@@ -1,0 +1,52 @@
+"""SparkSession factory.
+
+Centralizes the configs that matter at scale so every entry point (tests,
+bench, driver) runs the same engine profile:
+
+- AQE on (runtime re-planning, skew-join splitting, partition coalescing).
+- Arrow on (vectorized pandas UDF exchange for the few Python-side ops).
+- Session timezone pinned to UTC so event-time windows are reproducible
+  across engines (the DuckDB oracle treats naive timestamps as UTC).
+- ``spark.sql.shuffle.partitions`` defaults to the local core count; on a
+  real cluster this should be set to ~2-3x total executor cores (AQE
+  coalesces down, so erring high is safe).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "kafka-streams-example-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession with the engine's standard profile."""
+    cpus = os.environ.get("SPARK_GRAFT_CPUS") or str(os.cpu_count() or 4)
+    master = master or os.environ.get("SPARK_MASTER", f"local[{cpus}]")
+    if shuffle_partitions is None:
+        shuffle_partitions = int(cpus) if cpus.isdigit() else 32
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        # Keep parquet scan partitions reasonable on local[N]; on a cluster
+        # the 128MB default already yields good task sizing at 100TB.
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

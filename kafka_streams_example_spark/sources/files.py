@@ -1,0 +1,56 @@
+"""Batch file sources.
+
+The reference has exactly one source — a Kafka topic (reference:
+SolarConsumer.java:97-99). A general engine needs file-format scans as well;
+these helpers read the driver's parquet tables and register SQL views so
+the same queries run through either the DataFrame or the SQL surface.
+
+Scale notes: `spark.read.parquet` gives predicate pushdown + column pruning
+for free through the DataSource V2 scan; partition sizing is governed by
+``spark.sql.files.maxPartitionBytes`` (set in session.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.schemas import ALL_TABLES
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# Parquet TIMESTAMP(NANOS) columns (driver testdata writes pandas
+# datetime64[ns]). Spark has no nanosecond timestamp type — we read them as
+# raw INT64 nanos (legacy conf) and truncate to microseconds, matching what
+# DuckDB's reader does (ns → us floor), so both engines window identically.
+_NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet), normalizing ns-timestamps."""
+    # Callers (the driver) may hand us a session we didn't configure; pin the
+    # session timezone so timestamp-literal comparisons are tz-independent
+    # and match the (naive-timestamp) DuckDB oracle.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    nanos_cols = _NANOS_TS_COLS.get(name, ())
+    if nanos_cols:
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    for c in nanos_cols:
+        # integer div (not /): nanos exceed 2^53, double math would lose bits
+        df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
+    """Register each table as a temp view for spark.sql() queries."""
+    for name in tables:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def read_json_stream_dir(spark: SparkSession, path: str, schema) -> DataFrame:
+    """File-based streaming source (newline-JSON dir) — broker-free stand-in
+    for the Kafka source in tests; same downstream program either way."""
+    return spark.readStream.schema(schema).json(path)
