@@ -1,0 +1,213 @@
+"""Deduplication operators for training-data pipelines.
+
+Four tiers, cheapest first — the order a real 100TB dedup pass runs them:
+
+1. ``exact_dedup``          hash-groupBy on a content fingerprint. One
+                            shuffle on the (high-cardinality, unskewed)
+                            hash key; survives any scale.
+2. ``ngram_jaccard_pairs``  exact near-dup pairs within cheap blocking
+                            buckets (prefix key) — the verifier stage.
+3. ``minhash_pairs``        MinHash + LSH banding: signature → band →
+                            bucket equi-join → candidate pairs, then exact
+                            Jaccard verify. The scale path: no cross
+                            product ever materializes; the band join's key
+                            cardinality grows with the corpus.
+4. ``simhash64``            64-bit SimHash fingerprint for Hamming-distance
+                            near-dup (cheap bitwise comparison downstream).
+
+Determinism: keep-min(doc_id) per duplicate group; MinHash permutations are
+seeded linear hashes over a portable md5-derived base hash, so results are
+reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.functions.hashing import fingerprint_md5, stable_long
+from kafka_streams_example_spark.operators.text import jaccard, word_ngrams
+
+# 31-bit Mersenne prime — the classic universal-hash modulus. Kept at 31
+# bits so (a*x) with a,x < 2^31 stays under 2^62: Spark 4 runs ANSI mode by
+# default and a 64-bit overflow would throw, not wrap.
+_MERSENNE = (1 << 31) - 1
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """One surviving row (min id) per distinct normalized-text fingerprint."""
+    return (
+        df.withColumn("fp", fingerprint_md5(F.col(text_col)))
+        .groupBy("fp")
+        .agg(F.min(F.col(id_col)).alias("keep_id"), F.count("*").alias("n_dups"))
+    )
+
+
+def _minhash_perm(base: Column, a: int, b: int) -> Column:
+    # pmod: Spark % follows the dividend sign; inputs here are non-negative
+    # (stable_long is 60-bit) so a plain % is safe and portable.
+    return (F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE)
+
+
+def minhash_signature(
+    shingles: Column, num_hashes: int = 32, seed: int = 42
+) -> Column:
+    """MinHash signature: per permutation i, min over shingles of
+    hash_i(shingle). Permutation params derive deterministically from the
+    seed (python's Random is stable across platforms)."""
+    import random
+
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    base = F.transform(shingles, lambda s: stable_long(s) % F.lit(_MERSENNE))
+    return F.array(
+        *[
+            F.array_min(F.transform(base, lambda h: _minhash_perm(h, a, b)))
+            for a, b in params
+        ]
+    )
+
+
+def minhash_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate candidate pairs via MinHash-LSH banding, verified by
+    exact n-gram Jaccard ≥ threshold.
+
+    Plan shape at scale: shingle+sign each doc (one scan, no shuffle) →
+    explode to (band_id, band_hash, doc) → self-equi-join on the band key
+    (shuffle on a high-cardinality key) → distinct pairs → exact verify on
+    the pair's shingle sets. The full cross product never exists.
+    """
+    rows_per_band = num_hashes // bands
+    docs = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        .withColumn("shingles", word_ngrams(F.col("txt"), ngram))
+        .filter(F.size("shingles") > 0)
+        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+    )
+    banded = docs.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ).cast("array<string>"),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+    left = banded.alias("l")
+    right = banded.alias("r")
+    cand = (
+        left.join(
+            right,
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bhash") == F.col("r.bhash"))
+            & (F.col("l.id") < F.col("r.id")),
+        )
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.col("l.shingles").alias("sh_a"),
+            F.col("r.shingles").alias("sh_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        .filter(F.col("jac") >= threshold)
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_key: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact near-dup pairs within blocking buckets. Oracle-expressible
+    (plain SQL self-join) — used to validate the MinHash path."""
+    docs = df.select(
+        F.col(id_col).alias("id"),
+        block_key.alias("blk"),
+        word_ngrams(F.col(text_col), ngram).alias("shingles"),
+    ).filter(F.size("shingles") > 0)
+    l, r = docs.alias("l"), docs.alias("r")
+    return (
+        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
+        .withColumn("jac", jaccard(F.col("l.shingles"), F.col("r.shingles")))
+        .filter(F.col("jac") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("jac", 6).alias("jaccard"),
+        )
+    )
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    planes: list[list[float]],
+    dim: int = 64,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-dup: SimHash-bucket candidates → exact cosine
+    ≥ threshold. Same LSH shape as similarity.lsh_bucketed_topk."""
+    from kafka_streams_example_spark.operators.similarity import cosine, simhash_bits
+
+    docs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+        "bucket", simhash_bits(F.col("v"), planes, dim)
+    )
+    l, r = docs.alias("l"), docs.alias("r")
+    return (
+        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
+        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v"), dim))
+        .filter(F.col("cos") >= threshold)
+        .select(
+            F.col("l.id").alias("id_a"),
+            F.col("r.id").alias("id_b"),
+            F.round("cos", 6).alias("cosine"),
+        )
+    )
+
+
+def simhash64(shingles: Column) -> Column:
+    """64-bit SimHash of a shingle set: bit j of the result is the sign of
+    Σ_shingles (bit j of hash(shingle) ? +1 : -1). Pure array expressions."""
+    h = F.transform(shingles, lambda s: stable_long(s))
+    acc = F.lit(0)
+    for j in range(60):  # stable_long is 60 bits
+        votes = F.aggregate(
+            h,
+            F.lit(0),
+            lambda a, x, jj=j: a
+            + F.when(F.shiftright(x, jj).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+        acc = acc + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
+    return acc

@@ -1,0 +1,118 @@
+"""Text-analysis operators for large-scale training-data pipelines.
+
+All column-level, JVM-side expressions (no Python UDFs) so they stay inside
+whole-stage codegen — at 100TB, a per-row Python hop here would dominate the
+job. Tokenization is whitespace/regex-based; everything downstream (quality
+scoring, language ID, n-grams) composes from `pyspark.sql.functions`
+higher-order array functions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword heuristic
+# language scorer. Deterministic and engine-portable; a production system
+# would plug a real model in via mapInPandas (see operators/multimodal.py
+# for the pattern).
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "of", "and", "to", "in", "is"),
+    "de": ("der", "die", "das", "und", "ist", "ein"),
+    "fr": ("le", "la", "les", "et", "est", "un"),
+    "es": ("el", "la", "los", "y", "es", "un"),
+    "zh": ("de", "le", "shi", "zai", "he"),
+}
+
+# BPE-ish tokenizer regex: word pieces, single digits, punctuation runs.
+TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+
+
+def tokens(c: Column) -> Column:
+    """Whitespace tokens of trimmed text (empty text → empty array)."""
+    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+
+
+def token_count(c: Column) -> Column:
+    """BPE-ish token count via regex — proxy for LLM token budgets."""
+    return F.regexp_count(c, F.lit(TOKEN_RE))
+
+
+def word_count(c: Column) -> Column:
+    return F.size(tokens(c))
+
+
+def stopword_ratio(c: Column, lang: str = "en") -> Column:
+    """Fraction of whitespace tokens that are stopwords of ``lang``."""
+    toks = tokens(F.lower(c))
+    hits = F.size(
+        F.filter(
+            toks,
+            lambda t: t.isin(*STOPWORDS[lang]),
+        )
+    )
+    return F.when(F.size(toks) > 0, hits / F.size(toks)).otherwise(F.lit(0.0))
+
+
+def special_char_ratio(c: Column) -> Column:
+    """Fraction of non-whitespace chars that are not alphanumeric."""
+    stripped = F.regexp_replace(c, r"\s+", "")
+    specials = F.length(F.regexp_replace(stripped, r"[A-Za-z0-9]", ""))
+    return F.when(
+        F.length(stripped) > 0, specials / F.length(stripped)
+    ).otherwise(F.lit(0.0))
+
+
+def quality_score(c: Column) -> Column:
+    """Heuristic document quality in [0,1]: length saturation + stopword
+    presence + low special-char noise (the classic Gopher/C4-style rule
+    shape, deterministic)."""
+    length_term = F.least(F.lit(1.0), word_count(c) / F.lit(100.0))
+    return F.round(
+        0.4 * length_term
+        + 0.3 * stopword_ratio(c, "en")
+        + 0.3 * (1.0 - special_char_ratio(c)),
+        4,
+    )
+
+
+def lang_scores(c: Column) -> list[tuple[str, Column]]:
+    """Per-language stopword-hit ratio (the n-gram-heuristic family)."""
+    return [(lang, stopword_ratio(c, lang)) for lang in sorted(STOPWORDS)]
+
+
+def lang_id(c: Column) -> Column:
+    """Predicted language = argmax stopword ratio, ties → lexicographically
+    first language, all-zero → 'und' (undetermined)."""
+    scored = lang_scores(c)
+    best_score: Column = F.greatest(*[s for _, s in scored])
+    pred = F.lit("und")
+    # Build reverse so earlier languages win ties via later when() override.
+    for lang, score in reversed(scored):
+        pred = F.when((best_score > 0) & (score == best_score), F.lit(lang)).otherwise(
+            pred
+        )
+    return pred
+
+
+def word_ngrams(c: Column, n: int = 3) -> Column:
+    """Distinct word n-grams (space-joined) — shingles for Jaccard/MinHash."""
+    toks = tokens(F.lower(c))
+    return F.array_distinct(
+        F.when(
+            F.size(toks) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j) for j in range(n)]
+                ),
+            ),
+        ).otherwise(F.array())
+    )
+
+
+def jaccard(a: Column, b: Column) -> Column:
+    """Exact Jaccard similarity of two distinct-element arrays."""
+    inter = F.size(F.array_intersect(a, b))
+    union = F.size(F.array_union(a, b))
+    return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

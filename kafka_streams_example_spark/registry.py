@@ -31,6 +31,20 @@ QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
 ORACLES: dict[str, str] = {}
 
 
+def _dec(c: str, prec: str = "18,4"):
+    """Exact-decimal view of a 2-decimal money/rate double column. Sums of
+    these are bit-identical across engines (float sums are order-dependent;
+    decimal sums are exact) — final outputs cast back to double."""
+    return F.col(c).cast(f"decimal({prec})")
+
+
+def _sum_dbl(expr) -> F.Column:
+    """round(·,6) before the double cast: identity for ≤6-true-decimal sums,
+    and it keeps the decimal mantissa < 2^53 so BOTH engines' decimal→double
+    conversion is exact (DuckDB's is not correctly rounded above 2^53)."""
+    return F.round(F.sum(expr), 6).cast("double")
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -173,3 +187,645 @@ def solar_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("variance", 6).alias("variance"),
         "deviance",
     )
+
+
+# --------------------------------------------------------------------------
+# Relational operator breadth over the TPC-H-ish tables (SURVEY.md §2 —
+# "operators the reference does NOT have", exposed per the north star).
+# Money math runs in exact decimal and casts to double at the end, so both
+# engines emit bit-identical values regardless of summation order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 6) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) / count(*) AS avg_price,
+       CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Filter → multi-aggregate groupBy (TPC-H Q1 shape). Scan-side filter
+    is pushed to parquet; partial aggregation runs map-side before the
+    single exchange on the (tiny-cardinality) group key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = _dec("l_discount", "8,4")
+    tax = _dec("l_tax", "8,4")
+    one = F.lit(1).cast("decimal(8,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_dbl(_dec("l_quantity")).alias("sum_qty"),
+        _sum_dbl(_dec("l_extendedprice")).alias("sum_base_price"),
+        _sum_dbl(_dec("l_extendedprice") * (one - disc)).alias("sum_disc_price"),
+        _sum_dbl(_dec("l_extendedprice") * (one - disc) * (one + tax)).alias("sum_charge"),
+        (F.round(F.sum(_dec("l_quantity")), 6).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.round(F.sum(_dec("l_extendedprice")), 6).cast("double") / F.count("*")).alias("avg_price"),
+        (F.round(F.sum(_dec("l_discount")), 6).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_s, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_top_orders(spark, sf_dir):
+    """3-way join → agg → deterministic top-k (TPC-H Q3 shape). customer is
+    tiny → broadcast; orders⋈lineitem shuffles on the orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _sum_dbl(
+                _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("long").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark, sf_dir):
+    """6-way join with a dimension-chain filter (TPC-H Q5 shape). All
+    dimensions broadcast; the only shuffle is lineitem⋈orders + final agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _sum_dbl(
+                _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "ranking_top_customers",
+    """
+SELECT * FROM (
+    SELECT n_name, c_custkey, c_acctbal,
+           row_number()  OVER w AS rnk,
+           rank()        OVER w AS rnk_gaps,
+           dense_rank()  OVER w AS rnk_dense
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rnk <= 3
+""",
+)
+def ranking_top_customers(spark, sf_dir):
+    """Ranking window functions: top-3 customers by balance per nation."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+            F.rank().over(w).alias("rnk_gaps"),
+            F.dense_rank().over(w).alias("rnk_dense"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rollup_returns",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returns(spark, sf_dir):
+    """Hierarchical grouping-sets aggregation (ROLLUP)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_sum_dbl(_dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+SELECT 'union' AS op, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'intersect', c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'except', c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+""",
+)
+def set_ops_customers(spark, sf_dir):
+    """Set operators: UNION / INTERSECT / EXCEPT (distinct semantics),
+    tagged and stacked."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c")
+        .unionAll(a.intersect(b).select(F.lit("intersect").alias("op"), "c"))
+        .unionAll(a.subtract(b).select(F.lit("except").alias("op"), "c"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Event-stream operators over `events` (window shapes beyond the
+# reference's single tumbling window, as-of join, JSON extraction, dedup).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_counts",
+    """
+SELECT (CAST(floor(epoch(ts) / 30) AS BIGINT) - i) * 30 AS w_start,
+       (CAST(floor(epoch(ts) / 30) AS BIGINT) - i) * 30 + 60 AS w_end,
+       event_type,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) offs(i)
+GROUP BY 1, 2, 3
+""",
+)
+def sliding_window_counts(spark, sf_dir):
+    """Sliding (hopping) window agg: 60s window, 30s slide — each event lands
+    in 2 windows (Catalyst's Expand operator; still one shuffle)."""
+    from kafka_streams_example_spark.operators.windows import sliding_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev,
+        "ts",
+        "60 seconds",
+        "30 seconds",
+        ["event_type"],
+        [
+            F.count("*").alias("cnt"),
+            _sum_dbl(_dec("value")).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.col("w.start").cast("long").alias("w_start"),
+        F.col("w.end").cast("long").alias("w_end"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "session_windows",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 300000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 300000000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def session_windows(spark, sf_dir):
+    """Session windows with a 5-minute inactivity gap per user —
+    F.session_window handles merge semantics in batch AND streaming; the
+    oracle replicates it with the gaps-and-islands pattern."""
+    from kafka_streams_example_spark.operators.windows import session_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        "5 minutes",
+        ["user_id"],
+        [
+            F.count("*").alias("n_events"),
+            _sum_dbl(_dec("value")).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "asof_join_orders",
+    """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       o.o_orderkey, o.o_totalprice
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+    PARTITION BY e.event_id
+    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
+""",
+)
+def asof_join_orders(spark, sf_dir):
+    """As-of join: each event picks the customer's most recent order at or
+    before the event time (ties → max orderkey). Implemented as a union +
+    running last() — one shuffle, linear scan; no range join."""
+    from kafka_streams_example_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@register(
+    "events_json_stats",
+    """
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_stats(spark, sf_dir):
+    """Semi-structured JSON extraction (the reference's whole serde layer is
+    two expressions in Spark: from_json/get_json_object)."""
+    ev = load_table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+@register(
+    "dedup_events_keyed",
+    """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+""",
+)
+def dedup_events_keyed(spark, sf_dir):
+    """Keyed dedup keeping the earliest row — the deterministic form of
+    dropDuplicates (which keeps an arbitrary row; fine for semantics, wrong
+    for reproducible pipelines)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        ev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            "event_id",
+            F.unix_micros(F.col("ts")).alias("ts_us"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# LLM-training-data operators over `documents` / `embeddings`
+# (north star: dedup, text analysis, similarity search at 100TB).
+# --------------------------------------------------------------------------
+
+from kafka_streams_example_spark.operators import dedup as dd  # noqa: E402
+from kafka_streams_example_spark.operators import text as tx  # noqa: E402
+from kafka_streams_example_spark.operators import similarity as sim  # noqa: E402
+
+# DuckDB equivalents of the text.py tokenizer, shared by the doc oracles.
+_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+_NGRAMS = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+@register(
+    "dedup_exact_docs",
+    """
+SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+""",
+)
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    keep-min survivor. One shuffle on an unskewed high-cardinality key."""
+    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+""",
+)
+def doc_fingerprints(spark, sf_dir):
+    """Per-document content fingerprint (md5 of normalized text) — the
+    portable identity used by exact dedup and incremental pipelines."""
+    from kafka_streams_example_spark.functions.hashing import fingerprint_md5, normalize_text
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+@register(
+    "text_quality_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       round(CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stop_ratio,
+       round(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0 THEN
+           length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+           / CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) ELSE 0.0 END, 6) AS special_ratio
+FROM t
+""",
+)
+def text_quality_stats(spark, sf_dir):
+    """Text-quality features: word count, BPE-ish token count, stopword
+    ratio, special-char ratio — all JVM-side expressions, no Python UDFs."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.word_count(F.col("text")).alias("n_words"),
+        tx.token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.round(tx.stopword_ratio(F.col("text"), "en"), 6).alias("stop_ratio"),
+        F.round(tx.special_char_ratio(F.col("text")), 6).alias("special_ratio"),
+    )
+
+
+def _duck_lang_sql() -> str:
+    """DuckDB oracle for lang_id, generated from the same STOPWORDS lists
+    so the two implementations cannot drift."""
+    ratio_cols = []
+    for lang in sorted(tx.STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+        ratio_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+            f" / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"r_{l}" for l in sorted(tx.STOPWORDS)) + ")"
+    case = "CASE "
+    for lang in sorted(tx.STOPWORDS):
+        case += f"WHEN {best} > 0 AND r_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(ratio_cols)} FROM t)
+SELECT doc_id, lang, {case} AS lang_pred FROM s
+"""
+
+
+@register("lang_id_docs", _duck_lang_sql())
+def lang_id_docs(spark, sf_dir):
+    """Heuristic language ID (stopword-hit argmax, deterministic
+    tie-breaking) next to the labeled lang column."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "neardup_ngram_pairs",
+    f"""
+WITH d AS (
+    SELECT doc_id, lang, source, {_NGRAMS} AS ng
+    FROM (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+),
+nz AS (SELECT * FROM d WHERE len(ng) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       round(len(list_intersect(a.ng, b.ng))
+             / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE), 6) AS jaccard
+FROM nz a JOIN nz b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ng, b.ng))
+      / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.5
+""",
+)
+def neardup_ngram_pairs(spark, sf_dir):
+    """Exact 3-gram-Jaccard near-dup pairs within (lang, source) blocks —
+    the oracle-checkable verifier stage of the dedup stack (the MinHash-LSH
+    candidate generator below replaces the blocking at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs,
+        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
+        threshold=0.5,
+    )
+
+
+@register("neardup_minhash_pairs")
+def neardup_minhash_pairs(spark, sf_dir):
+    """MinHash(32 hashes) + LSH(8 bands) candidate pairs verified at exact
+    3-gram Jaccard ≥ 0.5. Approximate candidate generation → rows-only
+    driver check; tests/test_operators.py asserts recall against the exact
+    blocked pairs instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_pairs(docs, threshold=0.5)
+
+
+@register(
+    "similarity_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           list_aggregate(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')))
+           AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+""",
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 per query vector (query set = vec_id < 8,
+    broadcast). The exact baseline the LSH path is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, dim=64)
+
+
+def _hyperplanes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@register("similarity_lsh_topk")
+def similarity_lsh_topk(spark, sf_dir):
+    """SimHash-bucketed approximate top-10 (6 hyperplanes → 64 buckets,
+    ~64x candidate pruning), exact cosine re-rank. Approximate → rows-only
+    driver check; recall vs the exact top-k is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 8), _hyperplanes(), k=10, dim=64
+    )
+
+
+@register("neardup_embeddings")
+def neardup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (SimHash buckets → exact cosine
+    ≥ threshold) — rows-only driver check, recall asserted in tests.
+    The synthetic corpus is near-orthogonal (max pairwise cosine ≈ 0.46),
+    so the demo threshold is 0.4; production near-dup uses ≥ 0.9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(emb, _hyperplanes(), threshold=0.4)

@@ -34,6 +34,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # session timezone so timestamp-literal comparisons are tz-independent
     # and match the (naive-timestamp) DuckDB oracle.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Read naive parquet timestamps as TimestampType (not NTZ): with the
+    # session pinned to UTC the internal value equals the naive value the
+    # DuckDB oracle sees, and epoch casts/arithmetic stay legal.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
