@@ -1,0 +1,80 @@
+"""Benchmark harness: runs the engine's headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line with per-query wall seconds.
+
+Queries execute via the noop sink (full plan execution, no driver-side
+collect skew). Each query runs once, cold-ish (shared session, so JVM/JIT
+warmup lands on the first query — ordering puts a tiny warmup first).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from kafka_streams_example_spark import registry  # noqa: E402
+from kafka_streams_example_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    "solar_module_agg",
+    "solar_panel_stats",
+    "solar_anomalies",
+    "q1_pricing_summary",
+    "q3_top_orders",
+    "q5_region_revenue",
+    "ranking_top_customers",
+    "rollup_returns",
+    "set_ops_customers",
+    "sliding_window_counts",
+    "session_windows",
+    "asof_join_orders",
+    "events_json_stats",
+    "dedup_events_keyed",
+    "dedup_exact_docs",
+    "doc_fingerprints",
+    "text_quality_stats",
+    "lang_id_docs",
+    "neardup_ngram_pairs",
+    "neardup_minhash_pairs",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    spark = get_spark(app_name="kse-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it.
+    spark.range(1000).selectExpr("sum(id)").collect()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(sum(timings.values()), 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

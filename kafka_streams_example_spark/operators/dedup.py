@@ -49,12 +49,24 @@ def _minhash_perm(base: Column, a: int, b: int) -> Column:
     return (F.lit(a) * base + F.lit(b)) % F.lit(_MERSENNE)
 
 
+def hashed_shingles(shingles: Column) -> Column:
+    """Shingle strings → 60-bit integers (portable md5-derived hash).
+    A Jaccard-changing collision needs two distinct shingles of the same
+    doc pair to collide: ~|A|·|B|/2⁶⁰ ≈ 1e-14 per pair — safe even across
+    billions of verified pairs. Integer set ops downstream are far cheaper
+    than string set ops; materialize as a real column so md5 runs once."""
+    return F.transform(shingles, lambda s: stable_long(s))
+
+
 def minhash_signature(
-    shingles: Column, num_hashes: int = 32, seed: int = 42
+    hashed: Column, num_hashes: int = 32, seed: int = 42
 ) -> Column:
-    """MinHash signature: per permutation i, min over shingles of
-    hash_i(shingle). Permutation params derive deterministically from the
-    seed (python's Random is stable across platforms)."""
+    """MinHash signature over pre-hashed shingles: per permutation i,
+    min over shingles of hash_i(shingle mod P). Permutation params derive
+    deterministically from the seed (python's Random is stable across
+    platforms). The mod-P reduction to 31 bits keeps a*x below 2^62 (ANSI
+    overflow) and only perturbs the *approximate* signature, never the
+    exact verify stage."""
     import random
 
     rng = random.Random(seed)
@@ -62,10 +74,10 @@ def minhash_signature(
         (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
         for _ in range(num_hashes)
     ]
-    base = F.transform(shingles, lambda s: stable_long(s) % F.lit(_MERSENNE))
+    reduced = F.transform(hashed, lambda h: h % F.lit(_MERSENNE))
     return F.array(
         *[
-            F.array_min(F.transform(base, lambda h: _minhash_perm(h, a, b)))
+            F.array_min(F.transform(reduced, lambda h: _minhash_perm(h, a, b)))
             for a, b in params
         ]
     )
@@ -89,16 +101,26 @@ def minhash_pairs(
     (shuffle on a high-cardinality key) → distinct pairs → exact verify on
     the pair's shingle sets. The full cross product never exists.
     """
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
     rows_per_band = num_hashes // bands
     docs = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt"))
+        ensure_min_partitions(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")))
         .withColumn("shingles", word_ngrams(F.col("txt"), ngram))
+        .drop("txt")
         .filter(F.size("shingles") > 0)
-        .withColumn("sig", minhash_signature(F.col("shingles"), num_hashes, seed))
+        # distinct hashed shingles: integer set ops downstream, md5 once
+        .withColumn("hsh", F.array_distinct(hashed_shingles(F.col("shingles"))))
+        .drop("shingles")
+        .withColumn("sig", minhash_signature(F.col("hsh"), num_hashes, seed))
+        # consumed twice (banding join + verify); hashes/sigs are tiny
+        # relative to the text they replace, so caching is scale-safe
+        .cache()
     )
+    # Banding carries ONLY (id, band key) through the self-join — the
+    # shingle arrays would otherwise dominate shuffle volume.
     banded = docs.select(
         "id",
-        "shingles",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(bands - 1)),
@@ -115,27 +137,31 @@ def minhash_pairs(
                 ),
             )
         ).alias("bk"),
-    ).select("id", "shingles", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
 
-    left = banded.alias("l")
-    right = banded.alias("r")
     cand = (
-        left.join(
-            right,
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
             (F.col("l.band") == F.col("r.band"))
             & (F.col("l.bhash") == F.col("r.bhash"))
             & (F.col("l.id") < F.col("r.id")),
         )
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.col("l.shingles").alias("sh_a"),
-            F.col("r.shingles").alias("sh_b"),
-        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    sets = docs.select("id", "hsh")
+    pairs = (
+        cand.join(sets.withColumnRenamed("id", "id_a").withColumnRenamed("hsh", "sh_a"), "id_a")
+        .join(sets.withColumnRenamed("id", "id_b").withColumnRenamed("hsh", "sh_b"), "id_b")
+        # cheap size-ratio prune: J(A,B) <= min/max, so min/max < t can't pass
+        .filter(
+            F.least(F.size("sh_a"), F.size("sh_b"))
+            >= F.lit(threshold) * F.greatest(F.size("sh_a"), F.size("sh_b"))
+        )
+    )
     return (
-        cand.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
+        pairs.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= threshold)
         .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
     )
@@ -151,15 +177,32 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """Exact near-dup pairs within blocking buckets. Oracle-expressible
     (plain SQL self-join) — used to validate the MinHash path."""
-    docs = df.select(
-        F.col(id_col).alias("id"),
-        block_key.alias("blk"),
-        word_ngrams(F.col(text_col), ngram).alias("shingles"),
-    ).filter(F.size("shingles") > 0)
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
+    docs = (
+        ensure_min_partitions(
+            df.select(
+                F.col(id_col).alias("id"),
+                block_key.alias("blk"),
+                F.col(text_col).alias("txt"),
+            )
+        )
+        .select("id", "blk", word_ngrams(F.col("txt"), ngram).alias("shingles"))
+        .filter(F.size("shingles") > 0)
+        .select(
+            "id", "blk", F.array_distinct(hashed_shingles(F.col("shingles"))).alias("hsh")
+        )
+    )
     l, r = docs.alias("l"), docs.alias("r")
     return (
         l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-        .withColumn("jac", jaccard(F.col("l.shingles"), F.col("r.shingles")))
+        # size-ratio prune before the expensive set intersection:
+        # J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
+        .filter(
+            F.least(F.size("l.hsh"), F.size("r.hsh"))
+            >= F.lit(threshold) * F.greatest(F.size("l.hsh"), F.size("r.hsh"))
+        )
+        .withColumn("jac", jaccard(F.col("l.hsh"), F.col("r.hsh")))
         .filter(F.col("jac") >= threshold)
         .select(
             F.col("l.id").alias("id_a"),
