@@ -244,13 +244,18 @@ def simhash64(shingles: Column) -> Column:
     """64-bit SimHash of a shingle set: bit j of the result is the sign of
     Σ_shingles (bit j of hash(shingle) ? +1 : -1). Pure array expressions."""
     h = F.transform(shingles, lambda s: stable_long(s))
-    acc = F.lit(0)
-    for j in range(60):  # stable_long is 60 bits
-        votes = F.aggregate(
+
+    def bit_votes(j: int) -> Column:
+        # closure factory: PySpark introspects lambda arity, so the loop
+        # variable must be captured here, not via a default argument
+        return F.aggregate(
             h,
             F.lit(0),
-            lambda a, x, jj=j: a
-            + F.when(F.shiftright(x, jj).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+            lambda a, x: a
+            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
         )
-        acc = acc + F.when(votes > 0, F.lit(1 << j)).otherwise(F.lit(0))
+
+    acc = F.lit(0)
+    for j in range(60):  # stable_long is 60 bits
+        acc = acc + F.when(bit_votes(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
     return acc

@@ -1,0 +1,93 @@
+"""The reference topology as a Structured Streaming program.
+
+One DataFrame program, two execution modes (SURVEY.md §3.3): the batch
+functions in plans/solar.py run unchanged here. The streaming-specific
+pieces are exactly two:
+
+- a watermark on the event-time column replacing the reference's
+  suppression buffers (reference: SolarConsumer.java:114,129,156 —
+  ``Suppressed.untilTimeLimit(30s)``): append mode emits one final row per
+  window after the watermark passes, which is precisely the reference's
+  emit-final behavior, but with bounded state instead of an unbounded heap
+  buffer;
+
+- the post-aggregation stages (panel stats + join + anomaly filter) run
+  inside ``foreachBatch``. Append-mode window aggregation emits ALL rows of
+  a window in the same micro-batch (the watermark is global), so the
+  window-local panel statistics are complete within the batch and the batch
+  program is correct verbatim. This sidesteps Structured Streaming's
+  restrictions on chaining aggregations after stream-stream joins
+  (SURVEY.md §7.3) without giving up exactly the semantics the reference
+  implements.
+
+Scale: state = one row per (window, panel, module) — bounded by watermark
+expiry; the foreachBatch stage aggregates already-aggregated rows (panels ×
+windows per batch), which is tiny. Use RocksDB state store for large key
+spaces: ``spark.sql.streaming.stateStore.providerClass =
+...RocksDBStateStoreProvider``.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from kafka_streams_example_spark.plans import solar
+
+WATERMARK = "30 seconds"
+
+
+def stream_module_aggregates(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+    **kwargs,
+) -> DataFrame:
+    """A1 as a streaming aggregation (append mode ready).
+
+    Reference: SolarConsumer.java:107-115 (windowed aggregate + suppress).
+    """
+    return solar.module_aggregates(
+        stream_df.withWatermark(ts_col, watermark), ts_col=ts_col, **kwargs
+    )
+
+
+def stream_anomalies(
+    stream_df: DataFrame,
+    sink: Callable[[DataFrame, int], None],
+    z: float = solar.Z,
+    checkpoint: str | None = None,
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+    query_name: str = "solar_anomalies_stream",
+    **kwargs,
+) -> StreamingQuery:
+    """Full pipeline, streaming: watermarked window agg → per-batch panel
+    stats + join + anomaly filter → ``sink(anomalies_df, batch_id)``.
+
+    Reference: SolarConsumer.java:97-188 end-to-end. ``sink`` receives the
+    same schema the batch ``solar.anomalies`` produces.
+    """
+    mod = stream_module_aggregates(
+        stream_df, ts_col=ts_col, watermark=watermark, **kwargs
+    )
+
+    def process(batch_df: DataFrame, batch_id: int) -> None:
+        stats = solar.panel_statistics(batch_df)
+        out = batch_df.join(F.broadcast(stats), ["w", "panel"]).filter(
+            F.abs(F.col("sum_power") - F.col("panel_avg"))
+            > F.lit(z) * F.col("deviance")
+        )
+        sink(out, batch_id)
+
+    writer = (
+        mod.writeStream.outputMode("append")
+        .queryName(query_name)
+        .foreachBatch(process)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,0 +1,143 @@
+"""Streaming/batch parity: the same DataFrame program through
+Structured Streaming (file source, availableNow trigger) must produce the
+batch result — SURVEY.md §5.2(4)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.plans import solar
+from kafka_streams_example_spark.schemas import SOLAR_MODULE_DATA
+from kafka_streams_example_spark.streaming.solar_stream import (
+    stream_anomalies,
+    stream_module_aggregates,
+)
+
+
+def write_jsonl(path: str, rows: list[dict]) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    with open(path, "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+
+
+@pytest.fixture()
+def solar_fixture(tmp_path):
+    """2 panels x 3 modules x 2 windows, unequal per-module record counts
+    (FIXTURES.md §1) — enough structure for anomalies to exist."""
+    rows = []
+    base = "2024-01-01 00:00:"
+    # window 1: [00:00:00, 00:00:30) ; window 2: [00:00:30, 00:01:00)
+    data = [
+        ("p1", "m1", ["01", "05", "11"], [10.0, 12.0, 14.0]),
+        ("p1", "m2", ["02", "07"], [30.0, 31.0]),
+        ("p1", "m3", ["03"], [99.5]),
+        ("p2", "m1", ["04", "08"], [5.0, 5.0]),
+        ("p2", "m2", ["06"], [10.0]),
+        ("p1", "m1", ["31", "44"], [11.0, 11.0]),
+        ("p1", "m2", ["35"], [70.0]),
+        ("p1", "m3", ["39", "55", "59"], [9.0, 9.5, 10.0]),
+    ]
+    for panel, name, secs, powers in data:
+        for s, p in zip(secs, powers):
+            rows.append({"ts": base + s, "panel": panel, "name": name, "power": p})
+    # watermark advancer: far-future record so both fixture windows close in
+    # streaming mode; a single-module panel is never anomalous (deviance 0 →
+    # NaN z-score, SURVEY §2.1(4)) so it cannot appear on either side.
+    rows.append({"ts": "2024-01-01 00:10:00", "panel": "pz", "name": "mz", "power": 1.0})
+    path = str(tmp_path / "stream_in" / "part-000.json")
+    write_jsonl(path, rows)
+    return str(tmp_path / "stream_in"), rows
+
+
+def _run_stream(spark, src_dir, tmp_path, fn_start):
+    sink_rows = []
+    q = fn_start(
+        spark.readStream.schema(
+            "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+        ).json(src_dir),
+        sink_rows,
+        str(tmp_path / "ckpt"),
+    )
+    q.processAllAvailable()
+    q.stop()
+    return sink_rows
+
+
+def test_stream_anomalies_match_batch(spark, solar_fixture, tmp_path):
+    src_dir, rows = solar_fixture
+
+    batch_df = spark.createDataFrame(
+        [(r["ts"], r["panel"], r["name"], r["power"]) for r in rows],
+        "ts STRING, panel STRING, name STRING, power DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        tuple(r)
+        for r in solar.anomalies(batch_df)
+        .select("panel", "module", F.col("w.start").cast("long"), "sum_power")
+        .collect()
+    }
+    assert expected, "fixture must produce at least one anomaly"
+
+    got = []
+
+    def start(stream_df, acc, ckpt):
+        return stream_anomalies(
+            stream_df,
+            sink=lambda df, _bid: acc.extend(
+                df.select(
+                    "panel", "module", F.col("w.start").cast("long"), "sum_power"
+                ).collect()
+            ),
+            checkpoint=ckpt,
+        )
+
+    got_rows = _run_stream(spark, src_dir, tmp_path, lambda s, a=got, c=None: start(s, got, str(tmp_path / "ck")))
+    assert {tuple(r) for r in got} == expected
+
+
+def test_stream_module_agg_append_and_late_drop(spark, tmp_path):
+    """Append-mode emission + watermark late-data drop (SURVEY §2.1/E1):
+    a record arriving far behind the watermark must not resurrect its
+    window."""
+    src = tmp_path / "late_in"
+    os.makedirs(src)
+    # batch 0: window [0,30) data + a much later record pushing the watermark
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": "2024-01-01 00:00:05", "panel": "p", "name": "m", "power": 1.0},
+            {"ts": "2024-01-01 00:00:10", "panel": "p", "name": "m", "power": 2.0},
+            {"ts": "2024-01-01 00:10:00", "panel": "p", "name": "m", "power": 9.0},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+    ).json(str(src))
+    mod = stream_module_aggregates(stream)
+    q = (
+        mod.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("late_test")
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q.processAllAvailable()
+    # batch 1: a late record for the long-closed [0,30) window
+    write_jsonl(
+        str(src / "b1.json"),
+        [{"ts": "2024-01-01 00:00:20", "panel": "p", "name": "m", "power": 100.0}],
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["w"].start.isoformat(), r["sum_power"])
+        for r in spark.sql("SELECT * FROM late_test").collect()
+    }
+    # the [0,30) window closed with sum 3.0; the late 100.0 was dropped
+    assert ("2024-01-01T00:00:00", 3.0) in got
+    assert not any(s == 103.0 for _, s in got)
