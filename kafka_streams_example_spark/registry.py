@@ -829,3 +829,157 @@ def neardup_embeddings(spark, sf_dir):
     so the demo threshold is 0.4; production near-dup uses ≥ 0.9."""
     emb = load_table(spark, sf_dir, "embeddings")
     return dd.embedding_neardup_pairs(emb, _hyperplanes(), threshold=0.4)
+
+
+# --------------------------------------------------------------------------
+# Multimodal columns, custom-UDA surface, remaining relational coverage.
+# --------------------------------------------------------------------------
+
+from kafka_streams_example_spark.operators import multimodal as mm  # noqa: E402
+from kafka_streams_example_spark.operators import custom_agg as ca  # noqa: E402
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,  -- DuckDB md5(VARCHAR) hashes the UTF-8 bytes == Spark md5(encode(text,'utf-8'))
+       'application/octet-stream' AS mime
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary metadata pass: payload sizes + content fingerprints,
+    pure JVM expressions (operators/multimodal.py)."""
+    return mm.multimodal_meta(load_table(spark, sf_dir, "documents"))
+
+
+@register("multimodal_byte_features")
+def multimodal_byte_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (byte entropy, mean byte) — REAL numpy computation standing in for any
+    media embed/score pass. Python-side → rows-only driver check; values
+    asserted in tests."""
+    docs = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.byte_features(docs)
+
+
+@register("multimodal_decode_fake")
+def multimodal_decode_fake(spark, sf_dir):
+    """Decode-stage plumbing (binary → width/height/channels) with the
+    deterministic fake codec; the real path raises NotImplementedError
+    until an image library is present (operators/multimodal.py)."""
+    docs = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    return mm.decode_images(docs, fake=True)
+
+
+@register(
+    "udaf_weighted_avg",
+    """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS weighted_avg,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udaf_weighted_avg(spark, sf_dir):
+    """Custom UDA surface (U1): price-weighted mean quantity via Arrow
+    applyInPandas with integer-exact accumulation (order-independent, hence
+    oracle-checkable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return ca.weighted_avg_in_pandas(
+        li, group_col="l_returnflag", value_col="l_quantity", weight_col="l_extendedprice"
+    )
+
+
+@register(
+    "cube_order_priority",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_priority(spark, sf_dir):
+    """CUBE grouping sets over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), _sum_dbl(_dec("o_totalprice")).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_counts(spark, sf_dir):
+    """Exact distinct aggregation (count DISTINCT expands to a two-phase
+    agg in Catalyst)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register("approx_distinct_users")
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct (engine-specific sketch → no
+    cross-engine oracle; rows-only check, accuracy asserted in tests
+    against the exact count)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.01).alias("approx_users")
+    )
+
+
+@register(
+    "string_date_functions",
+    """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       length(o_orderpriority) AS prio_len,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(day(o_orderdate) AS INT) AS o_day,
+       CAST(quarter(o_orderdate) AS INT) AS o_quarter
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+)
+def string_date_functions(spark, sf_dir):
+    """Scalar string/date function coverage (X1/X2 beyond the reference's
+    round/sqrt/abs/pow)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+    )

@@ -1,0 +1,128 @@
+"""Multimodal plumbing, custom-UDA surface, stateful streaming operator."""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.operators import multimodal as mm
+from kafka_streams_example_spark.operators.custom_agg import grouped_agg_quantile
+from kafka_streams_example_spark.streaming.stateful import running_panel_totals
+
+
+@pytest.fixture(scope="module")
+def bin_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello world"), (2, "aaaa"), (3, "")],
+        "doc_id LONG, text STRING",
+    )
+    return mm.with_binary_payload(df)
+
+
+def test_byte_features_real_values(spark, bin_docs):
+    rows = {r.doc_id: r for r in mm.byte_features(bin_docs).collect()}
+    assert rows[1].n_bytes == 11
+    # 'aaaa' → single symbol → zero entropy; mean byte == ord('a')
+    assert rows[2].byte_entropy == 0.0
+    assert rows[2].mean_byte == float(ord("a"))
+    assert rows[3].n_bytes == 0 and rows[3].byte_entropy == 0.0
+    # 'hello world': hand-computed shannon entropy over byte histogram
+    text = b"hello world"
+    from collections import Counter
+
+    counts = Counter(text)
+    expected = -sum((c / 11) * math.log2(c / 11) for c in counts.values())
+    assert rows[1].byte_entropy == pytest.approx(expected)
+
+
+def test_decode_fake_deterministic(spark, bin_docs):
+    a = {r.doc_id: (r.width, r.height, r.channels) for r in mm.decode_images(bin_docs, fake=True).collect()}
+    b = {r.doc_id: (r.width, r.height, r.channels) for r in mm.decode_images(bin_docs, fake=True).collect()}
+    assert a == b
+    assert all(64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 4 for w, h, c in a.values())
+
+
+def test_decode_real_path_raises_without_codec(spark, bin_docs):
+    try:
+        import PIL  # noqa: F401
+
+        pytest.skip("PIL present; stub-gating not applicable")
+    except ImportError:
+        pass
+    with pytest.raises(NotImplementedError, match="PIL"):
+        mm.decode_images(bin_docs, fake=False)
+
+
+def test_sample_frames_shape(spark, bin_docs):
+    out = mm.sample_frames(bin_docs, every_n_bytes=4, max_frames=3).collect()
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r.byte_offset)
+    # doc 1: 11 bytes / 4 → offsets 0,4,8 ; doc 2: 4 bytes → 0,4 ; doc 3: 0
+    assert sorted(by_doc[1]) == [0, 4, 8]
+    assert sorted(by_doc[2]) == [0, 4]
+    assert sorted(by_doc[3]) == [0]
+
+
+def test_grouped_agg_quantile(spark):
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("b", 10.0)], "g STRING, v DOUBLE"
+    )
+    got = {r.g: r.q50 for r in grouped_agg_quantile(df, "g", "v").collect()}
+    assert got["a"] == 2.0 and got["b"] == 10.0
+
+
+def test_approx_distinct_close_to_exact(spark):
+    from kafka_streams_example_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.event_type: r.exact_users
+        for r in registry.QUERIES["distinct_counts"](spark, sf).collect()
+    }
+    approx = {
+        r.event_type: r.approx_users
+        for r in registry.QUERIES["approx_distinct_users"](spark, sf).collect()
+    }
+    for k, e in exact.items():
+        assert abs(approx[k] - e) <= max(1, 0.05 * e)
+
+
+def test_running_panel_totals_across_batches(spark, tmp_path):
+    """applyInPandasWithState keeps per-key state across micro-batches."""
+    src = tmp_path / "state_in"
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("b0.json", [
+        {"ts": "2024-01-01 00:00:01", "panel": "p1", "name": "m", "power": 1.0},
+        {"ts": "2024-01-01 00:00:02", "panel": "p1", "name": "m", "power": 2.0},
+    ])
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+    ).json(str(src))
+    q = (
+        running_panel_totals(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals")
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    write("b1.json", [
+        {"ts": "2024-01-01 00:00:03", "panel": "p1", "name": "m", "power": 4.0},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM running_totals").collect()
+    latest = max((r for r in rows if r.panel == "p1"), key=lambda r: r.total_count)
+    assert latest.total_count == 3 and latest.total_power == 7.0
