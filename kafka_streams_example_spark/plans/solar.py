@@ -75,33 +75,58 @@ def module_aggregates(
     )
 
 
-def panel_statistics(mod: DataFrame) -> DataFrame:
-    """A2+J1+A3 collapsed — per-panel stats over module window sums.
+def enrich_with_panel_statistics(mod: DataFrame) -> DataFrame:
+    """A2+J1+A3 collapsed — panel stats computed as WINDOW FUNCTIONS over
+    the module aggregates, attached to every module row.
 
     Reference: SolarConsumer.java:122-157 + SolarPanelAggregator.java:35-59.
-    ``squares_sum`` uses the ROUNDED panel mean (§2.1 note 1), so this is a
-    two-pass agg: first the mean, then the deviations — expressed as one
-    groupBy over the module aggregates joined to its own mean. Because both
-    aggs share the (w, panel) grouping, Catalyst reuses the exchange.
+    ``squares_sum`` uses the ROUNDED panel mean (§2.1 note 1), so plain
+    ``var_pop`` is not equivalent; the two passes (mean, then deviations
+    against it) stack as two Window operators over the SAME partitioning —
+    Catalyst plans them with one exchange and no sort beyond the partition
+    keys.
+
+    Scale rationale: the naive formulation (groupBy → join back → groupBy)
+    re-reads the module-agg subtree three times, which Spark physically
+    executes as THREE scans of the raw input. Window functions over
+    (w, panel) keep it to ONE scan and two exchanges total for the whole
+    pipeline, and the downstream anomaly filter needs the per-module rows
+    joined with panel stats anyway — this produces exactly that shape with
+    zero joins.
     """
-    base = mod.groupBy("w", "panel").agg(
-        F.count("*").alias("panel_cnt"),
-        F.sum("sum_power").alias("panel_sum"),
-        F.round(F.avg("sum_power"), 1).alias("panel_avg"),
-    )
-    # Second pass for deviations against the rounded mean. The joined input
-    # is (modules × windows) — already aggregated, tiny relative to raw.
-    return (
-        mod.join(base, ["w", "panel"])
-        .groupBy("w", "panel", "panel_cnt", "panel_sum", "panel_avg")
-        .agg(
-            F.sum(F.pow(F.col("sum_power") - F.col("panel_avg"), F.lit(2.0))).alias(
-                "squares_sum"
-            )
+    from pyspark.sql import Window
+
+    by_panel = Window.partitionBy("w", "panel")
+    enriched = (
+        mod.withColumn("panel_cnt", F.count("*").over(by_panel))
+        .withColumn("panel_sum", F.sum("sum_power").over(by_panel))
+        .withColumn("panel_avg", F.round(F.avg("sum_power").over(by_panel), 1))
+        .withColumn(
+            "squares_sum",
+            F.sum(F.pow(F.col("sum_power") - F.col("panel_avg"), F.lit(2.0))).over(
+                by_panel
+            ),
         )
         .withColumn("variance", F.col("squares_sum") / F.col("panel_cnt"))
         .withColumn("deviance", F.round(F.sqrt(F.col("variance")), 1))
     )
+    return enriched
+
+
+def panel_statistics(mod: DataFrame) -> DataFrame:
+    """Per-panel stats rows (one per window × panel) — the enriched module
+    rows reduced to the panel grain. All rows of a (w, panel) group carry
+    identical stats, so keeping any one is deterministic."""
+    return enrich_with_panel_statistics(mod).select(
+        "w",
+        "panel",
+        "panel_cnt",
+        "panel_sum",
+        "panel_avg",
+        "squares_sum",
+        "variance",
+        "deviance",
+    ).dropDuplicates(["w", "panel"])
 
 
 def anomalies(
@@ -116,14 +141,14 @@ def anomalies(
     """Full pipeline: J2 + F1 — modules whose window sum deviates > z·σ.
 
     Reference: SolarConsumer.java:165-188 (join) + :198-201 (predicate).
-    The panel-stats side has |panels|×|windows| rows — broadcast it.
+    The reference's J2 join materializes as the window-function enrichment
+    (every module row already carries its panel stats) — no join at all.
     """
     mod = module_aggregates(df, ts_col, panel_col, module_col, power_col, window)
-    stats = panel_statistics(mod)
-    joined = mod.join(F.broadcast(stats), ["w", "panel"])
+    enriched = enrich_with_panel_statistics(mod)
     # |sum − avg| > z·deviance ≡ |sum − avg|/deviance > z incl. 0-deviance
     # edge cases (§2.1 note 3); portable double arithmetic, no Inf/NaN.
-    return joined.filter(
+    return enriched.filter(
         F.abs(F.col("sum_power") - F.col("panel_avg")) > F.lit(z) * F.col("deviance")
     )
 

@@ -76,8 +76,7 @@ def stream_anomalies(
     )
 
     def process(batch_df: DataFrame, batch_id: int) -> None:
-        stats = solar.panel_statistics(batch_df)
-        out = batch_df.join(F.broadcast(stats), ["w", "panel"]).filter(
+        out = solar.enrich_with_panel_statistics(batch_df).filter(
             F.abs(F.col("sum_power") - F.col("panel_avg"))
             > F.lit(z) * F.col("deviance")
         )
