@@ -983,3 +983,78 @@ def string_date_functions(spark, sf_dir):
         F.dayofmonth("o_orderdate").alias("o_day"),
         F.quarter("o_orderdate").alias("o_quarter"),
     )
+
+
+@register(
+    "sql_q6_revenue_delta",
+    """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS promo_revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def sql_q6_revenue_delta(spark, sf_dir):
+    """The engine's SQL-text surface (TPC-H Q6 shape): same catalog views,
+    same Catalyst plan as the DataFrame API."""
+    from kafka_streams_example_spark.sources.files import register_views
+
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(l_discount AS DECIMAL(8,4))), 6) AS DOUBLE)
+                   AS promo_revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "json_wire_roundtrip",
+    _SOLAR_CTE
+    + """
+SELECT m.panel AS kafka_key, m.w_start, m.module,
+       round(m.sum_power, 4) AS sum_power, m.cnt
+FROM mod m JOIN stats s USING (w_start, panel)
+WHERE abs(m.sum_power - s.panel_avg) > 1.0 * round(sqrt(s.squares_sum / s.panel_cnt), 1)
+""",
+)
+def json_wire_roundtrip(spark, sf_dir):
+    """S2 wire format: anomalies → to_json (the Kafka sink value,
+    reference: SolarConsumer.java:184-188) → from_json → fields. Proves the
+    serde layer is lossless for the output schema."""
+    from pyspark.sql import types as T
+
+    df = solar.events_as_solar(load_table(spark, sf_dir, "events"))
+    out = solar.with_window_epoch(solar.anomalies(df))
+    wire = out.select(
+        F.col("panel").alias("kafka_key"),
+        F.to_json(
+            F.struct(
+                F.col("w_start"),
+                F.col("module"),
+                F.round("sum_power", 4).alias("sum_power"),
+                F.col("cnt"),
+            )
+        ).alias("value"),
+    )
+    value_schema = T.StructType(
+        [
+            T.StructField("w_start", T.LongType()),
+            T.StructField("module", T.StringType()),
+            T.StructField("sum_power", T.DoubleType()),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    return wire.select(
+        "kafka_key", F.from_json(F.col("value"), value_schema).alias("v")
+    ).select("kafka_key", "v.*")

@@ -141,3 +141,55 @@ def test_stream_module_agg_append_and_late_drop(spark, tmp_path):
     # the [0,30) window closed with sum 3.0; the late 100.0 was dropped
     assert ("2024-01-01T00:00:00", 3.0) in got
     assert not any(s == 103.0 for _, s in got)
+
+
+def test_streaming_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate event ids across
+    micro-batches collapse while inside the watermark."""
+    src = tmp_path / "dedup_in"
+    os.makedirs(src)
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": "2024-01-01 00:00:01", "event_id": 1, "v": 1.0},
+            {"ts": "2024-01-01 00:00:02", "event_id": 1, "v": 1.0},  # dup in batch
+            {"ts": "2024-01-01 00:00:03", "event_id": 2, "v": 2.0},
+        ],
+    )
+    stream = spark.readStream.schema("ts TIMESTAMP, event_id LONG, v DOUBLE").json(
+        str(src)
+    )
+    q = (
+        stream.withWatermark("ts", "1 minute")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck3"))
+        .start()
+    )
+    q.processAllAvailable()
+    # duplicate arrives in a later batch, still within the watermark
+    write_jsonl(
+        str(src / "b1.json"),
+        [{"ts": "2024-01-01 00:00:04", "event_id": 2, "v": 2.0}],
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT event_id, count(*) AS c FROM dedup_stream GROUP BY 1").collect()
+    counts = {r.event_id: r.c for r in rows}
+    assert counts == {1: 1, 2: 1}
+
+
+def test_memory_and_foreach_sinks(spark, tmp_path, solar_fixture):
+    """K1-K5 sink equivalents attach to the module-agg stream."""
+    from kafka_streams_example_spark.streaming.sinks import memory_sink
+
+    src_dir, _rows = solar_fixture
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+    ).json(src_dir)
+    q = memory_sink(stream_module_aggregates(stream), "module_log")
+    q.processAllAvailable()
+    q.stop()
+    assert spark.sql("SELECT count(*) FROM module_log").collect()[0][0] > 0
