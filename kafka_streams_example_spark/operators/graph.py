@@ -1,0 +1,78 @@
+"""Iterative graph operators — the dedup-cluster step.
+
+Near-dup pairs are edges; the final dedup decision needs connected
+components (a dup of a dup is a dup). At 100TB this is the standard
+alternating-minimum label propagation: O(diameter) rounds of
+join-aggregate, each a single shuffle on the vertex id, with lineage cut
+via localCheckpoint so plans don't grow across iterations (Spark's
+iterative-algorithm footgun).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """Min-label connected components over an undirected edge list.
+
+    Returns (id, component) where component = min vertex id reachable.
+    Converges in O(graph diameter) rounds; each round is one shuffle.
+    Deterministic (min is order-free), hence oracle-checkable against a
+    recursive-CTE transitive closure.
+    """
+    both = edges.select(
+        F.col(src).alias("u"), F.col(dst).alias("v")
+    ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+    both = both.distinct().localCheckpoint(eager=True)
+
+    labels = (
+        both.select(F.col("u").alias("id"))
+        .distinct()
+        .withColumn("component", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iterations):
+        neighbor_min = (
+            both.join(labels, both.v == labels.id)
+            .groupBy("u")
+            .agg(F.min("component").alias("nbr_component"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
+            .select(
+                "id",
+                F.least(
+                    F.col("component"), F.coalesce("nbr_component", F.col("component"))
+                ).alias("component"),
+            )
+        )
+        new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.component") != F.col("o.component"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
+def dedup_clusters(pairs: DataFrame) -> DataFrame:
+    """Near-dup pairs → dedup clusters: (doc id, cluster id = min reachable
+    doc id, is_keeper). Downstream keeps rows where is_keeper."""
+    cc = connected_components(pairs)
+    return cc.select(
+        F.col("id").alias("doc_id"),
+        F.col("component").alias("cluster_id"),
+        (F.col("id") == F.col("component")).alias("is_keeper"),
+    )

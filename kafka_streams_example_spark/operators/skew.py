@@ -1,0 +1,63 @@
+"""Skew mitigation for hot keys.
+
+First line of defense is AQE's skew-join splitting (enabled in
+session.py), which handles sort-merge joins transparently. Salting covers
+the cases AQE does not: skewed AGGREGATIONS (one giant group) and joins
+where the skewed side feeds a non-SMJ plan.
+
+``salted_agg`` is the two-phase pattern: partial aggregate on
+(key, salt) — spreading one hot key over N reducers — then final combine
+on key. Works for any algebraic aggregate (sum/count/min/max); averages
+combine from (sum, count) pairs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def with_salt(df: DataFrame, buckets: int = 16, col_name: str = "__salt") -> DataFrame:
+    """Deterministic row salt in [0, buckets): hash of the whole row's
+    monotonically-increasing partition+offset id — stable within a job, no
+    RNG (rand() breaks retry determinism at scale)."""
+    return df.withColumn(
+        col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    sum_cols: dict[str, str],
+    buckets: int = 16,
+) -> DataFrame:
+    """Two-phase skew-safe aggregation: sum/count per (keys, salt), then
+    combine per keys. ``sum_cols`` maps input column → output alias; a
+    row count lands in ``cnt``."""
+    salted = with_salt(df, buckets)
+    partial = salted.groupBy(*keys, "__salt").agg(
+        F.count("*").alias("__cnt"),
+        *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],
+    )
+    return partial.groupBy(*keys).agg(
+        F.sum("__cnt").alias("cnt"),
+        *[F.sum(f"__s_{c}").alias(alias) for c, alias in sum_cols.items()],
+    )
+
+
+def salted_broadcastable_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: str,
+    buckets: int = 8,
+) -> DataFrame:
+    """Skew-safe equi-join when ``small`` is modest but the key is hot on
+    the big side: salt the big side's key, explode the small side × buckets,
+    join on (key, salt). Prefer broadcast(small) when it fits; prefer AQE
+    skew-join for SMJ; this is the fallback for the in-between."""
+    big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    small_s = small.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
+    )
+    return big_s.join(small_s, [on, "__salt"]).drop("__salt")

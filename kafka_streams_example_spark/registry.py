@@ -1058,3 +1058,64 @@ def json_wire_roundtrip(spark, sf_dir):
     return wire.select(
         "kafka_key", F.from_json(F.col("value"), value_schema).alias("v")
     ).select("kafka_key", "v.*")
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng
+      FROM t),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+near_edges AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM nz a JOIN nz b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))
+          / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.5
+),
+fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+       FROM documents),
+fp_star AS (
+    SELECT g.keeper AS id_a, fp.doc_id AS id_b
+    FROM fp JOIN (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f) g USING (f)
+    WHERE fp.doc_id <> g.keeper
+),
+edges AS (SELECT * FROM near_edges UNION SELECT * FROM fp_star),
+undirected AS (SELECT id_a AS u, id_b AS v FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+reach(id, lbl) AS (
+    SELECT u, u FROM undirected
+    UNION
+    SELECT e.u, r.lbl FROM undirected e JOIN reach r ON r.id = e.v
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       (id = min(lbl)) AS is_keeper
+FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """End-to-end dedup decision: near-dup pairs (blocked 3-gram Jaccard
+    ≥ 0.5) + exact-dup star edges → connected components (iterative
+    min-label propagation, one shuffle per round, lineage cut per
+    iteration) → (doc, cluster, keeper). Oracle: recursive-CTE transitive
+    closure in DuckDB — same clusters, engine-independent."""
+    from kafka_streams_example_spark.functions.hashing import fingerprint_md5
+    from kafka_streams_example_spark.operators.graph import dedup_clusters as dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = dd.ngram_jaccard_pairs(
+        docs,
+        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    fp = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    fp_star = (
+        fp.join(keepers, "f")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return dc(near.union(fp_star))

@@ -54,6 +54,24 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table_name: str,
+    bucket_col: str,
+    num_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist as a bucketed (and optionally sorted) table: joins and
+    aggregations on the bucket column then run WITHOUT a shuffle (and
+    without a sort, if sorted) — the storage-level answer to repeated
+    co-located joins at scale. Bucket counts should match across tables
+    that join together."""
+    writer = df.write.mode("overwrite").bucketBy(num_buckets, bucket_col)
+    if sort_col:
+        writer = writer.sortBy(sort_col)
+    writer.saveAsTable(table_name)
+
+
 def read_json_stream_dir(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (newline-JSON dir) — broker-free stand-in
     for the Kafka source in tests; same downstream program either way."""

@@ -15,7 +15,13 @@ SF_CORRECT = os.path.join(TESTDATA, os.environ.get("SPARK_GRAFT_PARITY_SF", "sf0
 
 
 @pytest.fixture(scope="session")
-def spark():
-    s = get_spark(app_name="kse-tests", master="local[4]", shuffle_partitions=4)
+def spark(tmp_path_factory):
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    s = get_spark(
+        app_name="kse-tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield s
     s.stop()

@@ -1,0 +1,78 @@
+"""Scale-path features: bucketed shuffle-free joins, skew-safe salting,
+iterative connected components."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.operators.graph import connected_components
+from kafka_streams_example_spark.operators.skew import salted_agg, salted_broadcastable_join
+from kafka_streams_example_spark.sources.files import load_table, write_bucketed
+
+
+def test_bucketed_join_has_no_shuffle(spark):
+    """Tables bucketed+sorted on the join key must join without any
+    Exchange in the physical plan — the co-located-join guarantee."""
+    sf = "/root/testdata/sf0.001"
+    write_bucketed(
+        load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity"),
+        "li_bucketed", "l_orderkey", num_buckets=4, sort_col="l_orderkey",
+    )
+    write_bucketed(
+        load_table(spark, sf, "orders").select("o_orderkey", "o_totalprice"),
+        "ord_bucketed", "o_orderkey", num_buckets=4, sort_col="o_orderkey",
+    )
+    li = spark.table("li_bucketed")
+    orders = spark.table("ord_bucketed")
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    # disable auto-broadcast: at test scale Spark would rightly broadcast
+    # the small side, but the property under test is the 100TB shape —
+    # a sort-merge join fed by bucket distribution, no Exchange.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, plan[:2000]
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_salted_agg_matches_plain(spark):
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    plain = {
+        (r.event_type): (r.cnt, round(r.s, 4))
+        for r in ev.groupBy("event_type")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 4).alias("s"))
+        .collect()
+    }
+    salted = {
+        (r.event_type): (r.cnt, round(r.sum_value, 4))
+        for r in salted_agg(
+            ev, keys=["event_type"], sum_cols={"value": "sum_value"}, buckets=8
+        ).collect()
+    }
+    assert salted == plain
+
+
+def test_salted_join_matches_plain(spark):
+    sf = "/root/testdata/sf0.001"
+    li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
+    orders = load_table(spark, sf, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_totalprice"
+    )
+    plain = li.join(orders, "l_orderkey").count()
+    salted = salted_broadcastable_join(li, orders, on="l_orderkey", buckets=4).count()
+    assert salted == plain
+
+
+def test_connected_components_chain_and_islands(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4),        # chain → component 1
+         (10, 11),                      # pair → component 10
+         (20, 21), (21, 22), (20, 22)], # triangle → component 20
+        "id_a LONG, id_b LONG",
+    )
+    got = {r.id: r.component for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
