@@ -113,3 +113,80 @@ def lsh_bucketed_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
     )
+
+
+def ivf_assign(
+    vecs: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (max cosine; ties → min
+    centroid id). One broadcast of the centroid set, one corpus scan —
+    the IVF build step. Centroids come from any trainer (k-means on a
+    sample at scale); determinism of the *assignment* only requires fixed
+    centroids."""
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    scored = vecs.join(F.broadcast(c), F.lit(True)).withColumn(
+        "c_score", cosine(F.col(vec_col), F.col("c_vec"), dim)
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("c_score").desc(), F.col("centroid_id").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, vec_col, "centroid_id")
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    centroids: DataFrame,
+    nprobe: int = 4,
+    k: int = 10,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF search: queries probe their ``nprobe`` nearest centroids; only
+    vectors assigned to those cells are scored (exact cosine re-rank).
+
+    The 100TB shape: the corpus is pre-partitioned by centroid cell (a
+    real deployment writes it bucketed by ``centroid_id``), so a query
+    touches nprobe/n_cells of the data — the equi-join on the cell id
+    replaces the brute-force broadcast cross product."""
+    cells = ivf_assign(corpus, centroids, dim, id_col, vec_col)
+    c = centroids.select(
+        F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
+    )
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q_probe = (
+        q.join(F.broadcast(c), F.lit(True))
+        .withColumn("c_score", cosine(F.col("q_vec"), F.col("c_vec"), dim))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                Window.partitionBy("q_id").orderBy(
+                    F.col("c_score").desc(), F.col("centroid_id").asc()
+                )
+            ),
+        )
+        .filter(F.col("rn") <= nprobe)
+        .select("q_id", "q_vec", "centroid_id")
+    )
+    scored = (
+        cells.join(F.broadcast(q_probe), "centroid_id")
+        .filter(F.col(id_col) != F.col("q_id"))
+        .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col), dim))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
+    )

@@ -1119,3 +1119,114 @@ def dedup_clusters(spark, sf_dir):
         .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
     return dc(near.union(fp_star))
+
+
+@register(
+    "pivot_user_events",
+    """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_user_events(spark, sf_dir):
+    """Pivot: event types to columns (Catalyst rewrites to conditional
+    aggregation — exactly the oracle's FILTER form)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "semi_anti_joins",
+    """
+SELECT 'semi' AS op, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+UNION ALL
+SELECT 'anti', c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+)
+def semi_anti_joins(spark, sf_dir):
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    fo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    semi = cust.join(fo, cust.c_custkey == fo.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey"
+    )
+    anti = cust.join(fo, cust.c_custkey == fo.o_custkey, "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey"
+    )
+    return semi.unionAll(anti)
+
+
+@register(
+    "token_frequencies",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT unnest(toks) AS token FROM t)
+SELECT token, count(*) AS freq
+FROM x
+GROUP BY token
+HAVING count(*) >= 5
+""",
+)
+def token_frequencies(spark, sf_dir):
+    """Explode / lateral-view shape: corpus token frequencies (the
+    vocabulary-building pass of a text pipeline)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` share the definition; rounded to absorb the
+    interpolation's last-ULP arithmetic)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10: 16 coarse cells (deterministic demo
+    centroids: vec_id < 16; production trains k-means on a sample),
+    nprobe=4, exact cosine re-rank. Rows-only driver check; recall vs
+    brute force asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        centroids=emb.filter(F.col("vec_id") < 16),
+        nprobe=4,
+        k=10,
+        dim=64,
+    )

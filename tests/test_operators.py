@@ -158,3 +158,30 @@ def test_jaccard_edges(spark):
     )
     r = df.collect()[0]
     assert r.same == 1.0 and r.disjoint == 0.0 and r.empty == 0.0
+
+
+def test_ivf_topk_recall_and_exact_scores(spark):
+    from kafka_streams_example_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.filter(F.col("vec_id") < 3)
+    exact = cosine_topk(emb, queries, k=5, dim=64)
+    approx = ivf_topk(
+        emb, queries, centroids=emb.filter(F.col("vec_id") < 16),
+        nprobe=4, k=5, dim=64,
+    )
+    e = {(r.q_id, r.vec_id) for r in exact.collect()}
+    a_rows = approx.collect()
+    a = {(r.q_id, r.vec_id) for r in a_rows}
+    # probing 4/16 cells: recall is partial but must overlap, and every
+    # returned score must equal the exact cosine (re-rank is exact)
+    assert len(a & e) > 0
+    exact_scores = {(r.q_id, r.vec_id): r.score for r in exact.collect()}
+    for r in a_rows:
+        if (r.q_id, r.vec_id) in exact_scores:
+            assert r.score == exact_scores[(r.q_id, r.vec_id)]
+    # each query returns k rows (cells are populated)
+    from collections import Counter
+
+    per_q = Counter(r.q_id for r in a_rows)
+    assert all(v == 5 for v in per_q.values())
