@@ -40,8 +40,22 @@ HEADLINE = [
     "lang_id_docs",
     "neardup_ngram_pairs",
     "neardup_minhash_pairs",
+    "dedup_clusters",
     "similarity_cosine_topk",
     "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "udaf_weighted_avg",
+    "cube_order_priority",
+    "distinct_counts",
+    "string_date_functions",
+    "sql_q6_revenue_delta",
+    "json_wire_roundtrip",
+    "pivot_user_events",
+    "semi_anti_joins",
+    "token_frequencies",
+    "value_percentiles",
+    "multimodal_binary_meta",
+    "multimodal_byte_features",
 ]
 
 
@@ -51,8 +65,14 @@ def main() -> None:
     spark = get_spark(app_name="kse-bench", master=f"local[{cpus}]")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # JVM/codegen warmup on a trivial plan so q1 isn't charged for it.
+    # JVM/codegen warmup + Python/Arrow worker pool spin-up on trivial
+    # plans, so the first queries aren't charged engine startup cost.
     spark.range(1000).selectExpr("sum(id)").collect()
+
+    def _ident(it):
+        yield from it
+
+    spark.range(32).repartition(32).mapInPandas(_ident, "id LONG").count()
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

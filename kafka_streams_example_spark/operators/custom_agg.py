@@ -32,21 +32,37 @@ def weighted_avg_in_pandas(
     Output: group_col, weighted_avg (double), n (long).
     """
 
-    def agg(pdf: pd.DataFrame) -> pd.DataFrame:
-        w = (pdf[weight_col] * weight_scale).round().astype("int64")
-        v = pdf[value_col].astype("int64")  # quantities are integral
-        wsum = int(w.sum())
-        return pd.DataFrame(
-            {
-                group_col: [pdf[group_col].iloc[0]],
-                "weighted_avg": [float(int((v * w).sum()) / wsum) if wsum else 0.0],
-                "n": [len(pdf)],
-            }
-        )
+    from collections.abc import Iterator
 
-    out_schema = f"{group_col} STRING, weighted_avg DOUBLE, n LONG"
-    return df.select(group_col, value_col, weight_col).groupBy(group_col).applyInPandas(
-        agg, out_schema
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
+    def partials(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # Map-side combine for a custom UDA: each Arrow batch reduces to one
+        # row per group BEFORE any shuffle. groupBy().applyInPandas would
+        # instead gather whole groups — with low-cardinality keys that is a
+        # handful of giant single-threaded pandas calls; this stays parallel
+        # across partitions and shuffles only the partials.
+        for pdf in it:
+            w = (pdf[weight_col] * weight_scale).round().astype("int64")
+            out = pd.DataFrame(
+                {
+                    group_col: pdf[group_col],
+                    "vw": pdf[value_col].astype("int64") * w,
+                    "w": w,
+                }
+            )
+            g = out.groupby(group_col, sort=False, as_index=False).agg(
+                vw=("vw", "sum"), w=("w", "sum"), n=("w", "size")
+            )
+            yield g
+
+    partial_schema = f"{group_col} STRING, vw LONG, w LONG, n LONG"
+    partial = ensure_min_partitions(
+        df.select(group_col, value_col, weight_col)
+    ).mapInPandas(partials, partial_schema)
+    return partial.groupBy(group_col).agg(
+        (F.sum("vw").cast("double") / F.sum("w")).alias("weighted_avg"),
+        F.sum("n").alias("n"),
     )
 
 

@@ -55,10 +55,12 @@ def cosine_topk(
     broadcast — it must be small (true by construction for ANN serving);
     the corpus side streams through one whole-stage-codegen scan.
     """
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col), F.col(vec_col))
+    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
     scored = (
         c.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col), dim))
@@ -96,7 +98,9 @@ def lsh_bucketed_topk(
     """Approximate top-k: candidates share a SimHash bucket, re-ranked by
     exact cosine. Trades recall for a 2^|planes| reduction in pairs; at
     scale the bucket equi-join replaces the broadcast cross product."""
-    c = corpus.select(F.col(id_col), F.col(vec_col)).withColumn(
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
+    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
         "bucket", simhash_bits(F.col(vec_col), planes, dim)
     )
     q = queries.select(
@@ -127,10 +131,12 @@ def ivf_assign(
     the IVF build step. Centroids come from any trainer (k-means on a
     sample at scale); determinism of the *assignment* only requires fixed
     centroids."""
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
-    scored = vecs.join(F.broadcast(c), F.lit(True)).withColumn(
+    scored = ensure_min_partitions(vecs).join(F.broadcast(c), F.lit(True)).withColumn(
         "c_score", cosine(F.col(vec_col), F.col("c_vec"), dim)
     )
     w = Window.partitionBy(id_col).orderBy(
