@@ -54,6 +54,25 @@ def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
 
 
+def read_csv(spark: SparkSession, path: str, schema=None, header: bool = True) -> DataFrame:
+    """CSV batch scan. An explicit schema skips the inference pass (which
+    reads the data twice — never acceptable at scale)."""
+    reader = spark.read.option("header", str(header).lower())
+    if schema is not None:
+        reader = reader.schema(schema)
+    else:
+        reader = reader.option("inferSchema", "true")
+    return reader.csv(path)
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """Newline-JSON batch scan; same schema-or-inference contract."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
 def write_bucketed(
     df: DataFrame,
     table_name: str,

@@ -1,0 +1,90 @@
+"""Property-based tests (SURVEY §5.2(5)): the engine must agree with an
+independent pandas reimplementation of the §2.1 math on randomized inputs,
+and results must be invariant to record order."""
+
+from __future__ import annotations
+
+import math
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.plans import solar
+
+
+def round_half_up(x: float, digits: int) -> float:
+    """Java BigDecimal.valueOf(x).setScale(digits, HALF_UP) — what Spark's
+    F.round does. Python's built-in round is banker's (0.25 → 0.2, not
+    0.3), so the reference must not use it. Decimal(repr(x)) mirrors
+    Double.toString's shortest representation."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    q = Decimal(1).scaleb(-digits)
+    return float(Decimal(repr(x)).quantize(q, rounding=ROUND_HALF_UP))
+
+
+def pandas_reference_anomalies(rows: list[tuple]) -> set:
+    """Independent §2.1 reimplementation in pandas (Java-double semantics)."""
+    pdf = pd.DataFrame(rows, columns=["sec", "panel", "name", "power"])
+    pdf["w"] = (pdf["sec"] // 30) * 30
+    mod = (
+        pdf.groupby(["w", "panel", "name"])
+        .agg(sum_power=("power", "sum"), cnt=("power", "size"))
+        .reset_index()
+    )
+    out = set()
+    for (w, panel), grp in mod.groupby(["w", "panel"]):
+        panel_avg = round_half_up(float(grp.sum_power.mean()), 1)
+        squares = float(((grp.sum_power - panel_avg) ** 2).sum())
+        deviance = round_half_up(math.sqrt(squares / len(grp)), 1)
+        for _, r in grp.iterrows():
+            if abs(r.sum_power - panel_avg) > 1.0 * deviance:
+                out.add((int(w), r.panel, r["name"]))
+    return out
+
+
+record = st.tuples(
+    st.integers(min_value=0, max_value=89),          # second offset → 3 windows
+    st.sampled_from(["p1", "p2"]),
+    st.sampled_from(["m1", "m2", "m3"]),
+    # multiples of 0.25 are exactly representable → sums are exact in both
+    # engines and the property cannot flake on float summation order
+    st.integers(min_value=0, max_value=800).map(lambda v: v / 4.0),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(record, min_size=1, max_size=60))
+def test_anomalies_match_pandas_reference(spark, rows):
+    df = spark.createDataFrame(
+        [(f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", p, m, v) for s, p, m, v in rows],
+        "ts STRING, panel STRING, name STRING, power DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = {
+        (int(r["w"].start.timestamp() % 3600), r.panel, r.module)
+        for r in solar.anomalies(df).collect()
+    }
+    want = pandas_reference_anomalies(rows)
+    assert got == want
+
+
+@settings(max_examples=8, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(record, min_size=2, max_size=40), st.randoms())
+def test_anomalies_invariant_under_row_order(spark, rows, rnd):
+    shuffled = list(rows)
+    rnd.shuffle(shuffled)
+
+    def run(rs):
+        df = spark.createDataFrame(
+            [(f"2024-01-01 00:{s // 60:02d}:{s % 60:02d}", p, m, v) for s, p, m, v in rs],
+            "ts STRING, panel STRING, name STRING, power DOUBLE",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        return {
+            (int(r["w"].start.timestamp()), r.panel, r.module, r.sum_power, r.deviance)
+            for r in solar.anomalies(df).collect()
+        }
+
+    assert run(rows) == run(shuffled)

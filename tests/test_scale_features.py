@@ -76,3 +76,22 @@ def test_connected_components_chain_and_islands(spark):
     )
     got = {r.id: r.component for r in connected_components(edges).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20, 22: 20}
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    """CSV and JSON sources roundtrip the events table with explicit
+    schemas (no inference pass)."""
+    from kafka_streams_example_spark.sources.files import read_csv, read_json
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(100)
+    csv_dir, json_dir = str(tmp_path / "ev_csv"), str(tmp_path / "ev_json")
+    ev.write.option("header", "true").mode("overwrite").csv(csv_dir)
+    ev.write.mode("overwrite").json(json_dir)
+    schema = ("event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, "
+              "value DOUBLE, props STRING")
+    got_csv = read_csv(spark, csv_dir, schema=schema)
+    got_json = read_json(spark, json_dir, schema=schema)
+    assert got_csv.count() == 100 and got_json.count() == 100
+    base = {r.event_id for r in ev.select("event_id").collect()}
+    assert {r.event_id for r in got_csv.select("event_id").collect()} == base
+    assert {r.event_id for r in got_json.select("event_id").collect()} == base
