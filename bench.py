@@ -56,6 +56,12 @@ HEADLINE = [
     "value_percentiles",
     "multimodal_binary_meta",
     "multimodal_byte_features",
+    "q4_order_priority_check",
+    "q12_shipmode_case_agg",
+    "q14_promo_ratio",
+    "q18_large_orders",
+    "scalar_subquery_above_avg",
+    "array_functions_docs",
 ]
 
 

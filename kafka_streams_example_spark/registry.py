@@ -1230,3 +1230,185 @@ def similarity_ivf_topk(spark, sf_dir):
         k=10,
         dim=64,
     )
+
+
+@register(
+    "q4_order_priority_check",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority_check(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape) → left-semi join on a compound
+    condition."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_shipmode_case_agg",
+    """
+SELECT l_returnflag,
+       sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                THEN 1 ELSE 0 END) AS high_line_count,
+       sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                THEN 1 ELSE 0 END) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q12_shipmode_case_agg(spark, sf_dir):
+    """Conditional (CASE WHEN) aggregation over a join (TPC-H Q12 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    """
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+               THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))
+               ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+       / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE)
+       AS promo_revenue_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q14_promo_ratio(spark, sf_dir):
+    """Ratio of conditional sums (TPC-H Q14 shape), decimal-exact on both
+    sides of the division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.round(F.sum(promo) * F.lit(100).cast("decimal(8,4)"), 4).cast("double")
+                / F.round(F.sum(rev), 4).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING sum(l_quantity) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark, sf_dir):
+    """HAVING + deterministic top-k (TPC-H Q18 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            _sum_dbl(_dec("l_quantity")).alias("total_qty"),
+            F.sum("l_quantity").alias("__raw_qty"),
+        )
+        .filter(F.col("__raw_qty") > 150)
+        .drop("__raw_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM customer)
+""",
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar subquery: customers above the mean balance. The mean is a
+    double; both engines compare against sum/count of identical values —
+    the comparison is strict-inequality on values well away from the mean
+    boundary at any realistic ULP, and the subquery evaluates once
+    (broadcast scalar)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg((F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("a"))
+    return cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "array_functions_docs",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3_sorted,
+       list_contains(toks, 'the') AS has_the,
+       list_sort(list_distinct(toks))[1] AS min_token
+FROM t WHERE len(toks) > 0
+""",
+)
+def array_functions_docs(spark, sf_dir):
+    """Array/higher-order function coverage: size, distinct, sort, slice,
+    contains — scalar-ized outputs so cross-engine comparison is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    sorted_distinct = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), " ").alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(sorted_distinct, 1).alias("min_token"),
+    ).filter(F.size(toks) > 0)

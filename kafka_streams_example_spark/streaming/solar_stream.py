@@ -90,3 +90,26 @@ def stream_anomalies(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def stream_chained_window_aggregates(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """A1 → A2 as a FULLY declarative chained streaming aggregation —
+    Spark ≥ 3.4 supports multiple stateful time-window aggregations in
+    append mode by re-windowing on the window column itself
+    (reference: the A1→A2 re-aggregation at SolarConsumer.java:122-130).
+
+    This is the no-foreachBatch path for pipelines that stop at panel
+    sums; the variance stage stays in foreachBatch (stream_anomalies)
+    because its rounded-mean two-pass math needs window functions.
+    """
+    mod = solar.module_aggregates(
+        stream_df.withWatermark(ts_col, watermark)
+    )
+    return mod.groupBy(F.window("w", solar.WINDOW_DURATION).alias("w"), "panel").agg(
+        F.count("*").alias("panel_cnt"),
+        F.sum("sum_power").alias("panel_sum"),
+    )

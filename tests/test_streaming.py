@@ -193,3 +193,48 @@ def test_memory_and_foreach_sinks(spark, tmp_path, solar_fixture):
     q.processAllAvailable()
     q.stop()
     assert spark.sql("SELECT count(*) FROM module_log").collect()[0][0] > 0
+
+
+def test_chained_streaming_aggregations(spark, tmp_path, solar_fixture):
+    """Two chained stateful window aggregations in one streaming query
+    (append mode, Spark >= 3.4): module sums re-aggregated to panel sums."""
+    from kafka_streams_example_spark.streaming.solar_stream import (
+        stream_chained_window_aggregates,
+    )
+
+    src_dir, rows = solar_fixture
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+    ).json(src_dir)
+    q = (
+        stream_chained_window_aggregates(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("chained_agg")
+        .option("checkpointLocation", str(tmp_path / "ck_chain"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.panel, r["w"].start.isoformat(), r.panel_cnt, r.panel_sum)
+        for r in spark.sql("SELECT * FROM chained_agg").collect()
+    }
+    # batch equivalent over the same rows (finalized windows only)
+    batch_df = spark.createDataFrame(
+        [(r["ts"], r["panel"], r["name"], r["power"]) for r in rows],
+        "ts STRING, panel STRING, name STRING, power DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    mod = solar.module_aggregates(batch_df)
+    expected_all = {
+        (r.panel, r["w"].start.isoformat(), r.panel_cnt, r.panel_sum)
+        for r in mod.groupBy("w", "panel")
+        .agg(F.count("*").alias("panel_cnt"), F.sum("sum_power").alias("panel_sum"))
+        .collect()
+    }
+    # streaming emits exactly the batch rows whose window closed before the
+    # final watermark (everything except the advancer's own window)
+    assert got
+    assert got <= expected_all
+    missing = expected_all - got
+    assert all(w.startswith("2024-01-01T00:10") for _, w, _, _ in missing)
