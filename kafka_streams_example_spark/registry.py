@@ -45,6 +45,17 @@ def _sum_dbl(expr) -> F.Column:
     return F.round(F.sum(expr), 6).cast("double")
 
 
+
+def _load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """load_table + parallelism floor: local testdata arrives as one parquet
+    row-group, which would pin scan-side work (hashing, regex, window
+    bucketing over 1M rows) to a single core. No-op on real multi-split
+    inputs — see operators.ensure_min_partitions."""
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
+    return ensure_min_partitions(load_table(spark, sf_dir, name))
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn):
         QUERIES[name] = fn
@@ -104,7 +115,7 @@ FROM mod
 def solar_module_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-module 30s tumbling window aggregation
     (reference: SolarConsumer.java:107-115)."""
-    df = solar.events_as_solar(load_table(spark, sf_dir, "events"))
+    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
     mod = solar.module_aggregates(df)
     return solar.with_window_epoch(mod).select(
         "w_start",
@@ -134,7 +145,7 @@ def solar_panel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+J1+A3 collapsed: per-panel window stats incl. population stddev of
     module sums (reference: SolarConsumer.java:122-157,
     SolarPanelAggregator.java:45-59)."""
-    df = solar.events_as_solar(load_table(spark, sf_dir, "events"))
+    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
     stats = solar.panel_statistics(solar.module_aggregates(df))
     return solar.with_window_epoch(stats).select(
         "w_start",
@@ -170,7 +181,7 @@ def solar_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference pipeline: flag modules whose window power sum deviates
     more than Z=1 stddev from the panel mean
     (reference: SolarConsumer.java:165-201)."""
-    df = solar.events_as_solar(load_table(spark, sf_dir, "events"))
+    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
     out = solar.anomalies(df)
     return solar.with_window_epoch(out).select(
         "w_start",
@@ -455,7 +466,7 @@ def sliding_window_counts(spark, sf_dir):
     in 2 windows (Catalyst's Expand operator; still one shuffle)."""
     from kafka_streams_example_spark.operators.windows import sliding_agg
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _load_parallel(spark, sf_dir, "events")
     out = sliding_agg(
         ev,
         "ts",
@@ -508,7 +519,7 @@ def session_windows(spark, sf_dir):
     oracle replicates it with the gaps-and-islands pattern."""
     from kafka_streams_example_spark.operators.windows import session_agg
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _load_parallel(spark, sf_dir, "events")
     out = session_agg(
         ev,
         "ts",
@@ -582,7 +593,7 @@ GROUP BY event_type
 def events_json_stats(spark, sf_dir):
     """Semi-structured JSON extraction (the reference's whole serde layer is
     two expressions in Spark: from_json/get_json_object)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _load_parallel(spark, sf_dir, "events")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
@@ -606,7 +617,7 @@ def dedup_events_keyed(spark, sf_dir):
     for reproducible pipelines)."""
     from pyspark.sql import Window
 
-    ev = load_table(spark, sf_dir, "events")
+    ev = _load_parallel(spark, sf_dir, "events")
     w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
     return (
         ev.withColumn("rn", F.row_number().over(w))
@@ -650,7 +661,7 @@ GROUP BY 1
 def dedup_exact_docs(spark, sf_dir):
     """Exact dedup: hash-groupBy on the normalized-content fingerprint,
     keep-min survivor. One shuffle on an unskewed high-cardinality key."""
-    return dd.exact_dedup(load_table(spark, sf_dir, "documents"))
+    return dd.exact_dedup(_load_parallel(spark, sf_dir, "documents"))
 
 
 @register(
@@ -667,7 +678,7 @@ def doc_fingerprints(spark, sf_dir):
     portable identity used by exact dedup and incremental pipelines."""
     from kafka_streams_example_spark.functions.hashing import fingerprint_md5, normalize_text
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         fingerprint_md5(F.col("text")).alias("fp"),
@@ -694,7 +705,7 @@ FROM t
 def text_quality_stats(spark, sf_dir):
     """Text-quality features: word count, BPE-ish token count, stopword
     ratio, special-char ratio — all JVM-side expressions, no Python UDFs."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_parallel(spark, sf_dir, "documents")
     return docs.select(
         "doc_id",
         tx.word_count(F.col("text")).alias("n_words"),
@@ -731,7 +742,7 @@ SELECT doc_id, lang, {case} AS lang_pred FROM s
 def lang_id_docs(spark, sf_dir):
     """Heuristic language ID (stopword-hit argmax, deterministic
     tie-breaking) next to the labeled lang column."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_parallel(spark, sf_dir, "documents")
     return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
 
 
@@ -852,7 +863,7 @@ FROM documents
 def multimodal_binary_meta(spark, sf_dir):
     """Opaque-binary metadata pass: payload sizes + content fingerprints,
     pure JVM expressions (operators/multimodal.py)."""
-    return mm.multimodal_meta(load_table(spark, sf_dir, "documents"))
+    return mm.multimodal_meta(_load_parallel(spark, sf_dir, "documents"))
 
 
 @register("multimodal_byte_features")
@@ -861,7 +872,7 @@ def multimodal_byte_features(spark, sf_dir):
     (byte entropy, mean byte) — REAL numpy computation standing in for any
     media embed/score pass. Python-side → rows-only driver check; values
     asserted in tests."""
-    docs = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = mm.with_binary_payload(_load_parallel(spark, sf_dir, "documents"))
     return mm.byte_features(docs)
 
 
@@ -870,7 +881,7 @@ def multimodal_decode_fake(spark, sf_dir):
     """Decode-stage plumbing (binary → width/height/channels) with the
     deterministic fake codec; the real path raises NotImplementedError
     until an image library is present (operators/multimodal.py)."""
-    docs = mm.with_binary_payload(load_table(spark, sf_dir, "documents"))
+    docs = mm.with_binary_payload(_load_parallel(spark, sf_dir, "documents"))
     return mm.decode_images(docs, fake=True)
 
 
@@ -1034,7 +1045,7 @@ def json_wire_roundtrip(spark, sf_dir):
     serde layer is lossless for the output schema."""
     from pyspark.sql import types as T
 
-    df = solar.events_as_solar(load_table(spark, sf_dir, "events"))
+    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
     out = solar.with_window_epoch(solar.anomalies(df))
     wire = out.select(
         F.col("panel").alias("kafka_key"),
@@ -1137,7 +1148,7 @@ GROUP BY user_id
 def pivot_user_events(spark, sf_dir):
     """Pivot: event types to columns (Catalyst rewrites to conditional
     aggregation — exactly the oracle's FILTER form)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _load_parallel(spark, sf_dir, "events")
     return (
         ev.groupBy("user_id")
         .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
@@ -1183,7 +1194,7 @@ HAVING count(*) >= 5
 def token_frequencies(spark, sf_dir):
     """Explode / lateral-view shape: corpus token frequencies (the
     vocabulary-building pass of a text pipeline)."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_parallel(spark, sf_dir, "documents")
     return (
         docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
         .groupBy("token")
@@ -1207,7 +1218,7 @@ def value_percentiles(spark, sf_dir):
     """Exact percentiles (linear interpolation — Spark `percentile` and
     DuckDB `quantile_cont` share the definition; rounded to absorb the
     interpolation's last-ULP arithmetic)."""
-    ev = load_table(spark, sf_dir, "events")
+    ev = _load_parallel(spark, sf_dir, "events")
     return ev.groupBy("event_type").agg(
         F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
         F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
@@ -1401,7 +1412,7 @@ FROM t WHERE len(toks) > 0
 def array_functions_docs(spark, sf_dir):
     """Array/higher-order function coverage: size, distinct, sort, slice,
     contains — scalar-ized outputs so cross-engine comparison is exact."""
-    docs = load_table(spark, sf_dir, "documents")
+    docs = _load_parallel(spark, sf_dir, "documents")
     toks = tx.tokens(F.lower(F.col("text")))
     sorted_distinct = F.array_sort(F.array_distinct(toks))
     return docs.select(
