@@ -112,7 +112,11 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
 
 
 def jaccard(a: Column, b: Column) -> Column:
-    """Exact Jaccard similarity of two distinct-element arrays."""
+    """Exact Jaccard similarity of two distinct-element arrays.
+
+    |A∪B| = |A|+|B|−|A∩B| for sets, so one array_intersect suffices —
+    array_union would do the same hash-set work a second time, and this
+    sits in the innermost loop of every near-dup verify."""
     inter = F.size(F.array_intersect(a, b))
-    union = F.size(F.array_union(a, b))
+    union = F.size(a) + F.size(b) - inter
     return F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -238,3 +238,58 @@ def test_chained_streaming_aggregations(spark, tmp_path, solar_fixture):
     assert got <= expected_all
     missing = expected_all - got
     assert all(w.startswith("2024-01-01T00:10") for _, w, _, _ in missing)
+
+
+def test_kafka_wire_shape_stream(spark, tmp_path, solar_fixture):
+    """S1 wire path: rows shaped like the Kafka source (key, value-JSON,
+    record timestamp) parsed with from_json and run through the pipeline —
+    the broker-free equivalent of sources/kafka.read_kafka_stream
+    (reference: SolarConsumer.java:97-100 + JsonPojoDeserializer)."""
+    from kafka_streams_example_spark.schemas import SOLAR_MODULE_DATA_WIRE
+
+    src_dir, rows = solar_fixture
+    wire_dir = str(tmp_path / "wire_in")
+    os.makedirs(wire_dir)
+    with open(os.path.join(wire_dir, "b0.json"), "w") as f:
+        for r in rows:
+            f.write(
+                json.dumps(
+                    {
+                        "timestamp": r["ts"],
+                        "key": r["panel"],
+                        "value": json.dumps(
+                            {"panel": r["panel"], "name": r["name"], "power": r["power"]}
+                        ),
+                    }
+                )
+                + "\n"
+            )
+    raw = spark.readStream.schema(
+        "timestamp TIMESTAMP, key STRING, value STRING"
+    ).json(wire_dir)
+    parsed = raw.select(
+        F.col("timestamp").alias("ts"),
+        F.from_json(F.col("value"), SOLAR_MODULE_DATA_WIRE).alias("v"),
+    ).select("ts", "v.*")
+    got = []
+    q = stream_anomalies(
+        parsed,
+        sink=lambda df, _b: got.extend(
+            df.select("panel", "module", F.col("w.start").cast("long")).collect()
+        ),
+        checkpoint=str(tmp_path / "ck_wire"),
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    batch_df = spark.createDataFrame(
+        [(r["ts"], r["panel"], r["name"], r["power"]) for r in rows],
+        "ts STRING, panel STRING, name STRING, power DOUBLE",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    expected = {
+        tuple(r)
+        for r in solar.anomalies(batch_df)
+        .select("panel", "module", F.col("w.start").cast("long"))
+        .collect()
+    }
+    assert {tuple(r) for r in got} == expected
