@@ -1423,3 +1423,87 @@ def array_functions_docs(spark, sf_dir):
         F.array_contains(toks, "the").alias("has_the"),
         F.element_at(sorted_distinct, 1).alias("min_token"),
     ).filter(F.size(toks) > 0)
+
+
+@register(
+    "doc_perplexity_proxy",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS token FROM t),
+freq AS (SELECT token, count(*) AS c FROM x GROUP BY token),
+tot AS (SELECT sum(c) AS n FROM freq),
+scored AS (
+    SELECT x.doc_id, ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot)) AS logp
+    FROM x JOIN freq f USING (token)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(-sum(logp) / count(*), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_perplexity_proxy(spark, sf_dir):
+    """Unigram-LM quality score: mean negative log corpus-probability of a
+    doc's tokens (the cheap perplexity proxy used for corpus filtering).
+    Two aggregations + one broadcast-able frequency join — no Python."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .join(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("c").cast("double") / F.col("n")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.sum("logp") / F.count("*"), 6).alias("avg_neg_logp"),
+    )
+
+
+@register(
+    "sample_docs_by_hash",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 10
+""",
+)
+def sample_docs_by_hash(spark, sf_dir):
+    """Deterministic ~10%% content-hash sampling — reproducible across
+    runs, engines and cluster sizes (rand()-based sampling is none of
+    those). The standard way to carve stable dev/eval splits from a
+    training corpus."""
+    from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return docs.filter(
+        stable_long(normalize_text(F.col("text"))) % 100 < 10
+    ).select("doc_id", "lang")
+
+
+@register(
+    "truncate_to_context",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       least(len(toks), 32) AS n_kept,
+       array_to_string(toks[1:32], ' ') AS truncated
+FROM t
+""",
+)
+def truncate_to_context(spark, sf_dir):
+    """Context-window preparation: clip each document to its first 32
+    tokens (array slice + join — the tokenize-truncate-detokenize pass of
+    a training-data pipeline)."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.least(F.size(toks), F.lit(32)).alias("n_kept"),
+        F.array_join(F.slice(toks, 1, 32), " ").alias("truncated"),
+    )

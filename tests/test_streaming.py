@@ -293,3 +293,80 @@ def test_kafka_wire_shape_stream(spark, tmp_path, solar_fixture):
         .collect()
     }
     assert {tuple(r) for r in got} == expected
+
+
+def test_checkpoint_recovery_exactly_once(spark, tmp_path):
+    """Restarting a streaming query from its checkpoint neither drops nor
+    duplicates output (file sink transaction log + watermark state)."""
+    src = tmp_path / "recov_in"
+    out_dir = str(tmp_path / "recov_out")
+    ck = str(tmp_path / "recov_ck")
+    os.makedirs(src)
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": "2024-01-01 00:00:05", "panel": "p", "name": "m", "power": 1.0},
+            {"ts": "2024-01-01 00:05:00", "panel": "p", "name": "m", "power": 2.0},
+        ],
+    )
+
+    def start_query():
+        stream = spark.readStream.schema(
+            "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+        ).json(str(src))
+        mod = stream_module_aggregates(stream)
+        return (
+            mod.select(
+                F.col("w.start").cast("long").alias("w_start"),
+                "panel", "module", "cnt", "sum_power",
+            )
+            .writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .start()
+        )
+
+    q = start_query()
+    q.processAllAvailable()
+    q.stop()
+    # restart from the same checkpoint with more data
+    write_jsonl(
+        str(src / "b1.json"),
+        [{"ts": "2024-01-01 00:10:00", "panel": "p", "name": "m", "power": 4.0}],
+    )
+    q2 = start_query()
+    q2.processAllAvailable()
+    q2.stop()
+    rows = spark.read.parquet(out_dir).collect()
+    # every closed window appears exactly once
+    seen = [(r.w_start, r.sum_power) for r in rows]
+    assert len(seen) == len(set(seen)), f"duplicated output: {seen}"
+    sums = dict(seen)
+    assert sums[1704067200] == 1.0          # [00:00:00,00:00:30) closed once
+    assert sums[1704067500] == 2.0          # [00:05:00,...) closed by b1's watermark
+
+
+def test_corrupt_json_wire_records_dropped(spark, tmp_path):
+    """from_json yields NULL for malformed wire records (PERMISSIVE); the
+    pipeline filters them instead of failing — at 100TB some records ARE
+    garbage (reference counterpart: JsonPojoDeserializer.java:40-52 would
+    throw and kill the task)."""
+    from kafka_streams_example_spark.schemas import SOLAR_MODULE_DATA_WIRE
+
+    wire = spark.createDataFrame(
+        [
+            ("2024-01-01 00:00:01", '{"panel":"p","name":"m","power":1.5}'),
+            ("2024-01-01 00:00:02", "{not json at all"),
+            ("2024-01-01 00:00:03", '{"panel":"p","name":"m","power":"NaNope"}'),
+            ("2024-01-01 00:00:04", None),
+        ],
+        "ts STRING, value STRING",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    parsed = (
+        wire.select("ts", F.from_json("value", SOLAR_MODULE_DATA_WIRE).alias("v"))
+        .select("ts", "v.*")
+        .filter(F.col("panel").isNotNull() & F.col("power").isNotNull())
+    )
+    rows = parsed.collect()
+    assert len(rows) == 1 and rows[0].power == 1.5
