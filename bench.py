@@ -62,6 +62,12 @@ HEADLINE = [
     "q18_large_orders",
     "scalar_subquery_above_avg",
     "array_functions_docs",
+    "doc_perplexity_proxy",
+    "sample_docs_by_hash",
+    "truncate_to_context",
+    "q10_returned_items",
+    "q19_disjunctive_filter",
+    "funnel_signup_purchase",
 ]
 
 

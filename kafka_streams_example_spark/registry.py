@@ -1507,3 +1507,106 @@ def truncate_to_context(spark, sf_dir):
         F.least(F.size(toks), F.lit(32)).alias("n_kept"),
         F.array_join(F.slice(toks, 1, 32), " ").alias("truncated"),
     )
+
+
+@register(
+    "q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """Returned-item revenue ranking (TPC-H Q10 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _sum_dbl(
+                _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+SELECT count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """Disjunctive multi-attribute predicate across a join (TPC-H Q19
+    shape) — exercises OR-predicate pushdown and CNF conversion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(8,4)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n"),
+        _sum_dbl(_dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))).alias("revenue"),
+    )
+
+
+@register(
+    "funnel_signup_purchase",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(first_signup) AS n_signed_up,
+       count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+FROM firsts
+""",
+)
+def funnel_signup_purchase(spark, sf_dir):
+    """Event-funnel analysis: users whose first purchase follows their
+    first signup — conditional-min aggregation, one shuffle."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+        ).alias("n_converted"),
+    )
