@@ -91,6 +91,17 @@ def write_bucketed(
     writer.saveAsTable(table_name)
 
 
+def write_partitioned(
+    df: DataFrame, path: str, partition_cols: list[str], fmt: str = "parquet"
+) -> None:
+    """Hive-style partitioned layout: filters on the partition columns
+    prune whole directories at planning time (zero IO for excluded
+    partitions) — the first-order scan optimization at 100TB. Partition
+    columns should be low-cardinality (date, region), never high-
+    cardinality ids (small-file explosion)."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
+
+
 def read_json_stream_dir(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (newline-JSON dir) — broker-free stand-in
     for the Kafka source in tests; same downstream program either way."""

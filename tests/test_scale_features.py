@@ -95,3 +95,60 @@ def test_csv_json_roundtrip(spark, tmp_path):
     base = {r.event_id for r in ev.select("event_id").collect()}
     assert {r.event_id for r in got_csv.select("event_id").collect()} == base
     assert {r.event_id for r in got_json.select("event_id").collect()} == base
+
+
+def test_partition_pruning(spark, tmp_path):
+    """A filter on the partition column must prune directories at plan
+    time: PartitionFilters populated, and only matching files read."""
+    from kafka_streams_example_spark.sources.files import write_partitioned
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    path = str(tmp_path / "ev_part")
+    write_partitioned(ev, path, ["day"])
+    df = spark.read.parquet(path).filter(F.col("day") == "2024-01-05")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [" in plan
+    assert "isnotnull(day" in plan or "day" in plan.split("PartitionFilters")[1][:120]
+    n_days = ev.select("day").distinct().count()
+    assert n_days > 5  # pruning is meaningful
+    assert df.count() == ev.filter(F.col("day") == "2024-01-05").count()
+
+
+def test_streaming_throughput_listener(spark, tmp_path):
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.metrics import ThroughputListener
+    from kafka_streams_example_spark.streaming.solar_stream import (
+        stream_module_aggregates,
+    )
+
+    src = tmp_path / "metrics_in"
+    _os.makedirs(src)
+    with open(src / "b0.json", "w") as f:
+        for i in range(50):
+            f.write(_json.dumps({
+                "ts": f"2024-01-01 00:00:{i % 60:02d}", "panel": "p",
+                "name": f"m{i % 3}", "power": 1.0}) + "\n")
+    listener = ThroughputListener()
+    spark.streams.addListener(listener)
+    try:
+        q = (
+            stream_module_aggregates(
+                spark.readStream.schema(
+                    "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+                ).json(str(src))
+            )
+            .writeStream.format("memory")
+            .queryName("metrics_q")
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ck_m"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        assert any(p["num_input_rows"] == 50 for p in listener.progress)
+    finally:
+        spark.streams.removeListener(listener)
