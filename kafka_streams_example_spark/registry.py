@@ -1610,3 +1610,63 @@ def funnel_signup_purchase(spark, sf_dir):
             F.when(F.col("first_purchase") > F.col("first_signup"), 1)
         ).alias("n_converted"),
     )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH part_avg AS (
+    SELECT l_partkey, 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS half_avg
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS revenue
+FROM lineitem JOIN part_avg USING (l_partkey)
+WHERE l_quantity < half_avg
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated per-group aggregate subquery (TPC-H Q17 shape),
+    decorrelated into an aggregate + self-join — the form Catalyst's
+    subquery decorrelation produces anyway, written explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.5)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count("*").alias("n"),
+            _sum_dbl(_dec("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "set_ops_multiset",
+    """
+SELECT 'intersect_all' AS op, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+UNION ALL
+SELECT 'except_all', c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+""",
+)
+def set_ops_multiset(spark, sf_dir):
+    """Multiset set operators (INTERSECT ALL / EXCEPT ALL) — bag
+    semantics with multiplicities, distinct from set_ops_customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    b = orders.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("c"))
+    return (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "c")
+        .unionAll(a.exceptAll(b).select(F.lit("except_all").alias("op"), "c"))
+    )

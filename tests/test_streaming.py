@@ -370,3 +370,44 @@ def test_corrupt_json_wire_records_dropped(spark, tmp_path):
     )
     rows = parsed.collect()
     assert len(rows) == 1 and rows[0].power == 1.5
+
+
+def test_streaming_session_windows(spark, tmp_path):
+    """F.session_window works in streaming with a watermark: sessions close
+    once the watermark passes their gap."""
+    from kafka_streams_example_spark.operators.windows import session_agg
+
+    src = tmp_path / "sess_in"
+    os.makedirs(src)
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": "2024-01-01 00:00:01", "user_id": 1, "value": 1.0},
+            {"ts": "2024-01-01 00:00:50", "user_id": 1, "value": 2.0},   # same session (gap 5m)
+            {"ts": "2024-01-01 00:20:00", "user_id": 1, "value": 4.0},   # new session
+            {"ts": "2024-01-01 02:00:00", "user_id": 2, "value": 8.0},   # watermark advancer
+        ],
+    )
+    stream = spark.readStream.schema("ts TIMESTAMP, user_id LONG, value DOUBLE").json(
+        str(src)
+    )
+    out = session_agg(
+        stream.withWatermark("ts", "30 seconds"),
+        "ts",
+        "5 minutes",
+        ["user_id"],
+        [F.count("*").alias("n"), F.sum("value").alias("s")],
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_sess"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT user_id, n, s FROM sess_stream").collect()
+    got = {(r.user_id, r.n, r.s) for r in rows}
+    assert (1, 2, 3.0) in got      # merged session of the first two events
+    assert (1, 1, 4.0) in got      # the separate later session
