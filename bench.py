@@ -68,6 +68,8 @@ HEADLINE = [
     "q10_returned_items",
     "q19_disjunctive_filter",
     "funnel_signup_purchase",
+    "q17_small_quantity_revenue",
+    "set_ops_multiset",
 ]
 
 

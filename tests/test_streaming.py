@@ -411,3 +411,37 @@ def test_streaming_session_windows(spark, tmp_path):
     got = {(r.user_id, r.n, r.s) for r in rows}
     assert (1, 2, 3.0) in got      # merged session of the first two events
     assert (1, 1, 4.0) in got      # the separate later session
+
+
+def test_rocksdb_state_store_provider(spark, tmp_path, solar_fixture):
+    """The streaming pipeline runs unchanged on the RocksDB state store —
+    the provider that holds 100TB-scale keyed state off-heap with
+    incremental checkpointing (the reference's stores are RocksDB too:
+    Materialized.with at SolarConsumer.java:113/128/155)."""
+    src_dir, rows = solar_fixture
+    prev = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.HDFSBackedStateStoreProvider",
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+    )
+    try:
+        stream = spark.readStream.schema(
+            "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+        ).json(src_dir)
+        q = (
+            stream_module_aggregates(stream)
+            .writeStream.outputMode("append")
+            .format("memory")
+            .queryName("rocks_agg")
+            .option("checkpointLocation", str(tmp_path / "ck_rocks"))
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        got = spark.sql("SELECT count(*) FROM rocks_agg").collect()[0][0]
+        assert got > 0
+    finally:
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
