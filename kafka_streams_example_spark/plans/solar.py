@@ -171,3 +171,35 @@ def events_as_solar(events: DataFrame) -> DataFrame:
         F.col("event_type").alias("name"),
         F.col("value").alias("power"),
     )
+
+
+def anomalies_wire_format(out: DataFrame) -> DataFrame:
+    """Kafka-sink value in the REFERENCE's exact JSON layout: the
+    SolarModuleAggregatorJoiner object — module aggregate fields plus the
+    panel aggregate embedded as ``solarPanelAggregator``
+    (reference: SolarModuleAggregatorJoiner.java:21-22 — the joiner
+    *extends* SolarModuleAggregator, which Jackson flattens — and
+    SolarConsumer.java:184-188; field names from
+    SolarModuleAggregator.java:26-30, SolarPanelAggregator.java:26-33).
+    Kafka key = panel name (SolarConsumer.java:187)."""
+    return out.select(
+        F.col("panel").alias("key"),
+        F.to_json(
+            F.struct(
+                F.col("module").alias("moduleName"),
+                F.col("panel").alias("panelName"),
+                F.col("cnt").alias("count"),
+                F.col("sum_power").alias("sumPower"),
+                F.col("avg_power").alias("avgPower"),
+                F.struct(
+                    F.col("panel").alias("panelName"),
+                    F.col("panel_cnt").alias("count"),
+                    F.col("panel_sum").alias("sumPower"),
+                    F.col("panel_avg").alias("avgPower"),
+                    F.col("squares_sum").alias("squaresSum"),
+                    F.col("variance").alias("variance"),
+                    F.col("deviance").alias("deviance"),
+                ).alias("solarPanelAggregator"),
+            )
+        ).alias("value"),
+    )

@@ -1670,3 +1670,60 @@ def set_ops_multiset(spark, sf_dir):
         a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "c")
         .unionAll(a.exceptAll(b).select(F.lit("except_all").alias("op"), "c"))
     )
+
+
+@register(
+    "solar_wire_reference_format",
+    _SOLAR_CTE
+    + """
+SELECT m.panel AS key, m.module AS moduleName, m.cnt AS count,
+       round(m.sum_power, 4) AS sumPower,
+       s.panel_cnt AS panelCount,
+       round(s.squares_sum, 4) AS squaresSum,
+       round(sqrt(s.squares_sum / s.panel_cnt), 1) AS deviance
+FROM mod m JOIN stats s USING (w_start, panel)
+WHERE abs(m.sum_power - s.panel_avg) > 1.0 * round(sqrt(s.squares_sum / s.panel_cnt), 1)
+""",
+)
+def solar_wire_reference_format(spark, sf_dir):
+    """The reference's exact output wire format (nested
+    SolarModuleAggregatorJoiner JSON, camelCase Jackson names) serialized
+    with to_json and parsed back — proving a reference consumer could read
+    this engine's anomaly topic unchanged."""
+    from pyspark.sql import types as T
+
+    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
+    wire = solar.anomalies_wire_format(solar.anomalies(df))
+    value_schema = T.StructType(
+        [
+            T.StructField("moduleName", T.StringType()),
+            T.StructField("panelName", T.StringType()),
+            T.StructField("count", T.LongType()),
+            T.StructField("sumPower", T.DoubleType()),
+            T.StructField("avgPower", T.DoubleType()),
+            T.StructField(
+                "solarPanelAggregator",
+                T.StructType(
+                    [
+                        T.StructField("panelName", T.StringType()),
+                        T.StructField("count", T.LongType()),
+                        T.StructField("sumPower", T.DoubleType()),
+                        T.StructField("avgPower", T.DoubleType()),
+                        T.StructField("squaresSum", T.DoubleType()),
+                        T.StructField("variance", T.DoubleType()),
+                        T.StructField("deviance", T.DoubleType()),
+                    ]
+                ),
+            ),
+        ]
+    )
+    parsed = wire.select("key", F.from_json("value", value_schema).alias("v"))
+    return parsed.select(
+        "key",
+        F.col("v.moduleName").alias("moduleName"),
+        F.col("v.count").alias("count"),
+        F.round("v.sumPower", 4).alias("sumPower"),
+        F.col("v.solarPanelAggregator.count").alias("panelCount"),
+        F.round("v.solarPanelAggregator.squaresSum", 4).alias("squaresSum"),
+        F.col("v.solarPanelAggregator.deviance").alias("deviance"),
+    )

@@ -126,3 +126,12 @@ def test_running_panel_totals_across_batches(spark, tmp_path):
     rows = spark.sql("SELECT * FROM running_totals").collect()
     latest = max((r for r in rows if r.panel == "p1"), key=lambda r: r.total_count)
     assert latest.total_count == 3 and latest.total_power == 7.0
+
+
+def test_byte_features_arrow_matches_pandas(spark, bin_docs):
+    """mapInArrow and mapInPandas flavors produce identical features."""
+    a = {r.doc_id: (r.n_bytes, r.byte_entropy, r.mean_byte)
+         for r in mm.byte_features(bin_docs).collect()}
+    b = {r.doc_id: (r.n_bytes, r.byte_entropy, r.mean_byte)
+         for r in mm.byte_features_arrow(bin_docs).collect()}
+    assert a == b

@@ -152,3 +152,15 @@ def test_streaming_throughput_listener(spark, tmp_path):
         assert any(p["num_input_rows"] == 50 for p in listener.progress)
     finally:
         spark.streams.removeListener(listener)
+
+
+def test_column_pruning_reaches_scan(spark):
+    """A 2-column projection must read 2 columns, not 11 — ReadSchema in
+    the parquet scan is the proof."""
+    li = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    df = li.groupBy("l_returnflag").agg(F.sum("l_quantity").alias("q"))
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    read_schema = plan.split("ReadSchema: ")[1].splitlines()[0]
+    assert "l_returnflag" in read_schema and "l_quantity" in read_schema
+    assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
+    assert read_schema.count(":") <= 3  # struct<2 fields> → 2 colons + struct

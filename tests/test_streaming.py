@@ -445,3 +445,45 @@ def test_rocksdb_state_store_provider(spark, tmp_path, solar_fixture):
         assert got > 0
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_streaming_sliding_windows(spark, tmp_path):
+    """Sliding windows in streaming: each event lands in 2 windows; closed
+    windows emit once after the watermark passes."""
+    from kafka_streams_example_spark.operators.windows import sliding_agg
+
+    src = tmp_path / "slide_in"
+    os.makedirs(src)
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": "2024-01-01 00:00:40", "event_type": "click", "value": 1.0},
+            {"ts": "2024-01-01 00:00:41", "event_type": "click", "value": 2.0},
+            {"ts": "2024-01-01 02:00:00", "event_type": "view", "value": 0.0},
+        ],
+    )
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, event_type STRING, value DOUBLE"
+    ).json(str(src))
+    out = sliding_agg(
+        stream.withWatermark("ts", "30 seconds"),
+        "ts", "60 seconds", "30 seconds",
+        ["event_type"],
+        [F.count("*").alias("n"), F.sum("value").alias("s")],
+    )
+    q = (
+        out.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("slide_stream")
+        .option("checkpointLocation", str(tmp_path / "ck_slide"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r["w"].start.isoformat(), r.n, r.s)
+        for r in spark.sql("SELECT * FROM slide_stream WHERE event_type='click'").collect()
+    }
+    # events at :40/:41 belong to windows starting 00:00:00 and 00:00:30
+    assert ("2024-01-01T00:00:00", 2, 3.0) in got
+    assert ("2024-01-01T00:00:30", 2, 3.0) in got
