@@ -487,3 +487,73 @@ def test_streaming_sliding_windows(spark, tmp_path):
     # events at :40/:41 belong to windows starting 00:00:00 and 00:00:30
     assert ("2024-01-01T00:00:00", 2, 3.0) in got
     assert ("2024-01-01T00:00:30", 2, 3.0) in got
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Windowed stream-stream equi-join (the J1/J2 primitive the collapsed
+    solar plan no longer needs, demonstrated directly): clicks joined to
+    purchases of the same user within 1 minute."""
+    a_dir, b_dir = tmp_path / "ss_a", tmp_path / "ss_b"
+    os.makedirs(a_dir); os.makedirs(b_dir)
+    write_jsonl(str(a_dir / "a.json"), [
+        {"ts": "2024-01-01 00:00:10", "user_id": 1, "click_id": 100},
+        {"ts": "2024-01-01 00:05:00", "user_id": 1, "click_id": 101},  # no purchase near
+        {"ts": "2024-01-01 02:00:00", "user_id": 9, "click_id": 999},  # advancer
+    ])
+    write_jsonl(str(b_dir / "b.json"), [
+        {"ts": "2024-01-01 00:00:40", "user_id": 1, "purchase_id": 500},
+        {"ts": "2024-01-01 02:00:00", "user_id": 9, "purchase_id": 998},
+    ])
+    clicks = (
+        spark.readStream.schema("ts TIMESTAMP, user_id LONG, click_id LONG")
+        .json(str(a_dir)).withWatermark("ts", "10 seconds").alias("c")
+    )
+    purchases = (
+        spark.readStream.schema("ts TIMESTAMP, user_id LONG, purchase_id LONG")
+        .json(str(b_dir)).withWatermark("ts", "10 seconds").alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND "
+            "p.ts BETWEEN c.ts - INTERVAL 1 MINUTE AND c.ts + INTERVAL 1 MINUTE"
+        ),
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory").queryName("ss_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_ss"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.click_id, r.purchase_id) for r in spark.sql("SELECT * FROM ss_join").collect()}
+    assert (100, 500) in got
+    assert not any(c == 101 for c, _ in got)
+
+
+def test_stream_static_dimension_join(spark, tmp_path):
+    """Stream-static join: streaming events enriched with a static
+    dimension table (broadcast — no state, no watermark needed on the
+    static side)."""
+    src = tmp_path / "sd_in"
+    os.makedirs(src)
+    write_jsonl(str(src / "a.json"), [
+        {"ts": "2024-01-01 00:00:10", "user_id": 1, "value": 5.0},
+        {"ts": "2024-01-01 00:00:11", "user_id": 2, "value": 7.0},
+    ])
+    dim = spark.createDataFrame([(1, "gold"), (2, "silver")], "user_id LONG, tier STRING")
+    stream = spark.readStream.schema("ts TIMESTAMP, user_id LONG, value DOUBLE").json(str(src))
+    q = (
+        stream.join(F.broadcast(dim), "user_id")
+        .select("user_id", "tier", "value")
+        .writeStream.format("memory").queryName("sd_join")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_sd"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.tier, r.value) for r in spark.sql("SELECT * FROM sd_join").collect()}
+    assert got == {(1, "gold", 5.0), (2, "silver", 7.0)}
