@@ -70,6 +70,8 @@ HEADLINE = [
     "funnel_signup_purchase",
     "q17_small_quantity_revenue",
     "set_ops_multiset",
+    "solar_wire_reference_format",
+    "llm_corpus_prep",
 ]
 
 

@@ -1727,3 +1727,76 @@ def solar_wire_reference_format(spark, sf_dir):
         F.round("v.solarPanelAggregator.squaresSum", 4).alias("squaresSum"),
         F.col("v.solarPanelAggregator.deviance").alias("deviance"),
     )
+
+
+@register(
+    "llm_corpus_prep",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, text, toks,
+           round(0.4 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
+               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0 THEN
+                     length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+                     / CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
+           AS quality
+    FROM t
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+fp AS (
+    SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM kept
+),
+dedup AS (
+    SELECT * FROM fp
+    QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+),
+sampled AS (
+    SELECT * FROM dedup
+    WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 50
+)
+SELECT doc_id, quality,
+       least(len(toks), 32) AS n_kept,
+       array_to_string(toks[1:32], ' ') AS truncated
+FROM sampled
+""",
+)
+def llm_corpus_prep(spark, sf_dir):
+    """The composed training-data pipeline: quality filter (≥0.5) →
+    exact-dedup keepers → deterministic 50%% content-hash sample →
+    32-token truncation. One declarative plan — Catalyst fuses the
+    whole chain into scan → project/filter → one shuffle (dedup window)
+    → project. The composition proof for the operator library."""
+    from kafka_streams_example_spark.functions.hashing import (
+        fingerprint_md5,
+        normalize_text,
+        stable_long,
+    )
+    from pyspark.sql import Window
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    fp = scored.withColumn("f", fingerprint_md5(F.col("text")))
+    dedup = (
+        fp.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("f").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    sampled = dedup.filter(
+        stable_long(normalize_text(F.col("text"))) % 100 < 50
+    )
+    return sampled.select(
+        "doc_id",
+        "quality",
+        F.least(F.size("toks"), F.lit(32)).alias("n_kept"),
+        F.array_join(F.slice(F.col("toks"), 1, 32), " ").alias("truncated"),
+    )
