@@ -1,0 +1,39 @@
+"""The driver parses bench.py's stdout as one JSON line and smoke-runs the
+__spark_entry__ contract — lock both shapes down."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_emits_single_json_line_quickly():
+    """Run bench.py against the smoke SF with a trimmed headline list via
+    env override is not supported — instead just validate the contract on
+    sf0.001 (fast enough end-to-end)."""
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+    out = subprocess.run(
+        [sys.executable, "/root/repo/bench.py"],
+        capture_output=True, text=True, timeout=900, env=env,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    json_lines = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')]
+    assert len(json_lines) == 1
+    d = json.loads(json_lines[0])
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert d["sf"] == 0.001
+    assert len(d["queries"]) >= 50
+    assert all(isinstance(v, float) for v in d["queries"].values())
+
+
+def test_entry_contract_shape():
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 50 and len(os_) >= 45
+    assert all(callable(f) for f in qs.values())
+    assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
