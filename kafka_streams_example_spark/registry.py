@@ -1800,3 +1800,36 @@ def llm_corpus_prep(spark, sf_dir):
         F.least(F.size("toks"), F.lit(32)).alias("n_kept"),
         F.array_join(F.slice(F.col("toks"), 1, 32), " ").alias("truncated"),
     )
+
+
+@register("hll_sketch_rollup")
+def hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — THE pattern for distinct counts at 100TB:
+    build one HLL sketch per (day, event_type) partition, then merge
+    sketches across days per event_type instead of re-scanning raw data.
+    Engine-specific sketch bytes → rows-only check; accuracy vs exact is
+    asserted in tests."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.to_date("ts").alias("day"), "event_type"
+    ).agg(F.hll_sketch_agg("user_id").alias("sk"))
+    return daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("distinct_users_est"),
+        F.count("*").alias("n_days"),
+    )
+
+
+@register("value_percentiles_approx")
+def value_percentiles_approx(spark, sf_dir):
+    """approx_percentile (single-pass quantile sketch) — the streaming/
+    huge-cardinality alternative to exact percentiles; accuracy asserted
+    in tests against the exact values."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p_50_90_99")
+    ).select(
+        "event_type",
+        F.col("p_50_90_99")[0].alias("p50"),
+        F.col("p_50_90_99")[1].alias("p90"),
+        F.col("p_50_90_99")[2].alias("p99"),
+    )

@@ -135,3 +135,41 @@ def test_byte_features_arrow_matches_pandas(spark, bin_docs):
     b = {r.doc_id: (r.n_bytes, r.byte_entropy, r.mean_byte)
          for r in mm.byte_features_arrow(bin_docs).collect()}
     assert a == b
+
+
+def test_hll_rollup_accuracy(spark):
+    from kafka_streams_example_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.event_type: r.exact_users
+        for r in registry.QUERIES["distinct_counts"](spark, sf).collect()
+    }
+    est = {
+        r.event_type: r.distinct_users_est
+        for r in registry.QUERIES["hll_sketch_rollup"](spark, sf).collect()
+    }
+    for k, e in exact.items():
+        assert abs(est[k] - e) <= max(1, 0.05 * e), (k, est[k], e)
+
+
+def test_approx_percentiles_close_to_exact(spark):
+    from kafka_streams_example_spark import registry
+
+    sf = "/root/testdata/sf0.001"
+    exact = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in registry.QUERIES["value_percentiles"](spark, sf).collect()
+    }
+    approx = {
+        r.event_type: (r.p50, r.p90, r.p99)
+        for r in registry.QUERIES["value_percentiles_approx"](spark, sf).collect()
+    }
+    for k, (e50, e90, e99) in exact.items():
+        a50, a90, a99 = approx[k]
+        # central quantiles: tight; p99 on a ~200-row group is a sparse
+        # tail where the sketch returns an actual data value while the
+        # exact form interpolates — only rank-plausibility holds
+        assert abs(a50 - e50) <= max(1.0, 0.1 * abs(e50)), (k, a50, e50)
+        assert abs(a90 - e90) <= max(1.0, 0.1 * abs(e90)), (k, a90, e90)
+        assert a99 >= e90, (k, a99, e90)
