@@ -113,3 +113,19 @@ def stream_chained_window_aggregates(
         F.count("*").alias("panel_cnt"),
         F.sum("sum_power").alias("panel_sum"),
     )
+
+
+def stream_module_aggregates_changelog(
+    stream_df: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+    **kwargs,
+) -> DataFrame:
+    """A1 in CHANGELOG form — update output mode emits a row every time a
+    window's aggregate changes, which is exactly the reference's behavior
+    with the record cache disabled (CACHE_MAX_BYTES_BUFFERING_CONFIG=0,
+    reference: SolarConsumer.java:207): every update flows downstream.
+    The watermark still bounds state. Write with outputMode('update')."""
+    return solar.module_aggregates(
+        stream_df.withWatermark(ts_col, watermark), ts_col=ts_col, **kwargs
+    )

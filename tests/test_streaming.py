@@ -557,3 +557,39 @@ def test_stream_static_dimension_join(spark, tmp_path):
     q.stop()
     got = {(r.user_id, r.tier, r.value) for r in spark.sql("SELECT * FROM sd_join").collect()}
     assert got == {(1, "gold", 5.0), (2, "silver", 7.0)}
+
+
+def test_update_mode_changelog_emission(spark, tmp_path):
+    """Update mode re-emits a window's row as new records arrive across
+    batches — the reference's cache-disabled changelog behavior
+    (SolarConsumer.java:207) — vs append's emit-once-final."""
+    from kafka_streams_example_spark.streaming.solar_stream import (
+        stream_module_aggregates_changelog,
+    )
+
+    src = tmp_path / "chlog_in"
+    os.makedirs(src)
+    write_jsonl(str(src / "b0.json"), [
+        {"ts": "2024-01-01 00:00:05", "panel": "p", "name": "m", "power": 1.0},
+    ])
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+    ).json(str(src))
+    q = (
+        stream_module_aggregates_changelog(stream)
+        .select(F.col("w.start").cast("long").alias("ws"), "sum_power")
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("chlog")
+        .option("checkpointLocation", str(tmp_path / "ck_chlog"))
+        .start()
+    )
+    q.processAllAvailable()
+    write_jsonl(str(src / "b1.json"), [
+        {"ts": "2024-01-01 00:00:10", "panel": "p", "name": "m", "power": 2.0},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    rows = [tuple(r) for r in spark.sql("SELECT * FROM chlog").collect()]
+    # the same window appears twice: once at sum 1.0, updated to 3.0
+    assert (1704067200, 1.0) in rows and (1704067200, 3.0) in rows
