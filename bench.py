@@ -72,6 +72,10 @@ HEADLINE = [
     "set_ops_multiset",
     "solar_wire_reference_format",
     "llm_corpus_prep",
+    "hll_sketch_rollup",
+    "value_percentiles_approx",
+    "cumulative_user_value",
+    "lag_lead_deltas",
 ]
 
 

@@ -1833,3 +1833,61 @@ def value_percentiles_approx(spark, sf_dir):
         F.col("p_50_90_99")[1].alias("p90"),
         F.col("p_50_90_99")[2].alias("p99"),
     )
+
+
+@register(
+    "cumulative_user_value",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE) AS running_total,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_no
+FROM events
+""",
+)
+def cumulative_user_value(spark, sf_dir):
+    """Running totals per user (window frame ROWS UNBOUNDED PRECEDING) —
+    exact decimal accumulation so every prefix sum matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.sum(_dec("value")).over(w), 6).cast("double").alias("running_total"),
+        F.row_number().over(wo).alias("event_no"),
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev,
+       lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def lag_lead_deltas(spark, sf_dir):
+    """lag/lead window functions: inter-event gaps and next-event lookahead
+    per user — the building block of funnel and retention analyses."""
+    from pyspark.sql import Window
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )

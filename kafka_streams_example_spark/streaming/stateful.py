@@ -52,3 +52,81 @@ def running_panel_totals(stream_df: DataFrame, ts_col: str = "ts") -> DataFrame:
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+SESSION_SCHEMA = "user_id LONG, session_start_us LONG, session_end_us LONG, n_events LONG"
+SESSION_STATE = "start_us LONG, last_us LONG, n LONG"
+
+
+def sessionize_with_timeout(
+    stream_df: DataFrame,
+    gap_seconds: int = 300,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+) -> DataFrame:
+    """Custom sessionization with EventTimeTimeout: a session row is
+    emitted ONLY when the watermark passes last-event + gap (true
+    emit-on-close semantics — ``F.session_window`` can do this for simple
+    aggs; this operator is the template when per-session logic outgrows
+    SQL: funnels, ordered patterns, abandonment detection).
+
+    State per key: (start, last, count) — constant size, expired by the
+    engine via the registered timeout.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    gap_us = gap_seconds * 1_000_000
+
+    def update(key, pdfs: Iterator[pd.DataFrame], state: GroupState):
+        if state.hasTimedOut:
+            start_us, last_us, n = state.get
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "session_start_us": [start_us],
+                    "session_end_us": [last_us + gap_us],
+                    "n_events": [n],
+                }
+            )
+            return
+        ts_us, n_new = [], 0
+        for pdf in pdfs:
+            vals = pdf[ts_col].astype("int64")  # pandas ns
+            ts_us.extend((vals // 1000).tolist())
+            n_new += len(pdf)
+        lo, hi = min(ts_us), max(ts_us)
+        if state.exists:
+            start_us, last_us, n = state.get
+            # same session while inside the gap; else close the old one now
+            if lo - last_us > gap_us:
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "session_start_us": [start_us],
+                        "session_end_us": [last_us + gap_us],
+                        "n_events": [n],
+                    }
+                )
+                start_us, last_us, n = lo, hi, n_new
+            else:
+                last_us, n = max(last_us, hi), n + n_new
+        else:
+            start_us, last_us, n = lo, hi, n_new
+        state.update((start_us, last_us, n))
+        state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
+        return
+
+    return (
+        stream_df.withWatermark(ts_col, "10 seconds")
+        .groupBy(key_col)
+        .applyInPandasWithState(
+            update,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=SESSION_STATE,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

@@ -173,3 +173,45 @@ def test_approx_percentiles_close_to_exact(spark):
         assert abs(a50 - e50) <= max(1.0, 0.1 * abs(e50)), (k, a50, e50)
         assert abs(a90 - e90) <= max(1.0, 0.1 * abs(e90)), (k, a90, e90)
         assert a99 >= e90, (k, a99, e90)
+
+
+def test_sessionize_with_timeout(spark, tmp_path):
+    """EventTimeTimeout sessionization: the session closes and emits only
+    after the watermark passes last-event + gap."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.stateful import sessionize_with_timeout
+
+    src = tmp_path / "sess_to"
+    _os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(_json.dumps(r) + "\n")
+
+    write("b0.json", [
+        {"ts": "2024-01-01 00:00:01", "user_id": 1},
+        {"ts": "2024-01-01 00:00:30", "user_id": 1},
+    ])
+    stream = spark.readStream.schema("ts TIMESTAMP, user_id LONG").json(str(src))
+    q = (
+        sessionize_with_timeout(stream, gap_seconds=60)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("sess_to")
+        .option("checkpointLocation", str(tmp_path / "ck_to"))
+        .start()
+    )
+    q.processAllAvailable()
+    early = spark.sql("SELECT count(*) FROM sess_to").collect()[0][0]
+    # watermark hasn't passed the gap → nothing emitted yet
+    assert early == 0
+    # far-future event advances the watermark → session times out and emits
+    write("b1.json", [{"ts": "2024-01-01 01:00:00", "user_id": 2}])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM sess_to").collect()
+    sessions = {(r.user_id, r.n_events) for r in rows}
+    assert (1, 2) in sessions
