@@ -76,6 +76,8 @@ HEADLINE = [
     "value_percentiles_approx",
     "cumulative_user_value",
     "lag_lead_deltas",
+    "null_handling_outer_join",
+    "date_arithmetic",
 ]
 
 

@@ -1891,3 +1891,68 @@ def lag_lead_deltas(spark, sf_dir):
         (ts_us - F.lag(ts_us).over(w)).alias("us_since_prev"),
         F.lead("event_type").over(w).alias("next_event_type"),
     )
+
+
+@register(
+    "null_handling_outer_join",
+    """
+SELECT c.c_custkey,
+       coalesce(o.n_orders, 0) AS n_orders,
+       (o.n_orders IS NULL) AS never_ordered,
+       CAST(round(coalesce(o.total, CAST(0 AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+    FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def null_handling_outer_join(spark, sf_dir):
+    """Outer-join NULL semantics: customers without orders surface as NULL
+    aggregates, normalized with coalesce — plus an explicit IS NULL flag
+    (NULL handling must be deliberate, not incidental, in a 100TB join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("n_orders").isNull().alias("never_ordered"),
+        F.round(
+            F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,4)")), 6
+        ).cast("double").alias("total_spent"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+SELECT o_orderkey,
+       date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+       epoch(date_trunc('month', o_orderdate))::BIGINT AS month_start_s,
+       epoch(o_orderdate + INTERVAL 90 DAY)::BIGINT AS due_s,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm
+FROM orders WHERE o_orderkey <= 500
+""",
+)
+def date_arithmetic(spark, sf_dir):
+    """Date/interval arithmetic: day differences, month truncation,
+    interval addition — all tz-pinned (UTC session) so epoch outputs are
+    engine-portable."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.lit("2000-01-01 00:00:00").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_y2k"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("long").alias("month_start_s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("long").alias("due_s"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+    )
