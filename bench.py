@@ -78,6 +78,9 @@ HEADLINE = [
     "lag_lead_deltas",
     "null_handling_outer_join",
     "date_arithmetic",
+    "approx_distinct_users",
+    "multimodal_decode_fake",
+    "neardup_embeddings",
 ]
 
 
