@@ -227,16 +227,20 @@ def embedding_neardup_pairs(
     docs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
         "bucket", simhash_bits(F.col("v"), planes, dim)
     )
-    l, r = docs.alias("l"), docs.alias("r")
+    # explicit column renames on each side: DataFrame.alias self-joins on
+    # derived columns can hit Catalyst attribute-resolution internal errors
+    l = docs.select(
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+    )
+    r = docs.select(
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
+    )
     return (
-        l.join(r, (F.col("l.bucket") == F.col("r.bucket")) & (F.col("l.id") < F.col("r.id")))
-        .withColumn("cos", cosine(F.col("l.v"), F.col("r.v"), dim))
+        l.join(r, ["bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b"), dim))
         .filter(F.col("cos") >= threshold)
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round("cos", 6).alias("cosine"),
-        )
+        .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )
 
 

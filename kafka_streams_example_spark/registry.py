@@ -1956,3 +1956,170 @@ def date_arithmetic(spark, sf_dir):
         (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("long").alias("due_s"),
         (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
     )
+
+
+def _duck_minhash_sql(
+    ngram: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for the FULL MinHash-LSH pipeline — same md5-derived
+    shingle hashes, same seeded permutations, same banding — so even the
+    *approximate* candidate set is bit-reproduced across engines."""
+    import random
+
+    P = (1 << 31) - 1
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
+    rows = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(h31, x -> ({a} * x + {b}) % {P}))"
+        for a, b in params
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(toks) - {ngram - 1}, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng
+      FROM t),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+hashed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(ng, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h60
+    FROM nz),
+sigs AS (
+    SELECT doc_id, h60, [{sig_terms}] AS sig
+    FROM (SELECT doc_id, h60, list_transform(h60, x -> x % {P}) AS h31 FROM hashed)),
+banded AS (
+    SELECT doc_id, b.band,
+           md5(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',')) AS bhash
+    FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.h60, b.h60))
+           / CAST(len(a.h60) + len(b.h60) - len(list_intersect(a.h60, b.h60)) AS DOUBLE) AS jac
+    FROM cand c JOIN hashed a ON a.doc_id = c.id_a JOIN hashed b ON b.doc_id = c.id_b)
+SELECT id_a, id_b, round(jac, 6) AS jaccard
+FROM verified WHERE jac >= {threshold}
+"""
+
+
+# Upgrade the MinHash query from rows-only to fully oracle-checked: the
+# permutations, shingle hashes and banding are engine-portable by
+# construction (functions/hashing.py), so even the approximate candidate
+# generation reproduces exactly.
+ORACLES["neardup_minhash_pairs"] = _duck_minhash_sql()
+
+
+def _duck_dot(a: str, b: str, dim: int = 64) -> str:
+    # operands parenthesized: array-literal casts like [..]::DOUBLE[] need
+    # (expr)[i] indexing to parse
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {dim}),"
+        f" i -> CAST(({a})[i] AS DOUBLE) * CAST(({b})[i] AS DOUBLE)), 'sum')"
+    )
+
+
+def _duck_cosine(a: str, b: str, dim: int = 64) -> str:
+    return (
+        f"({_duck_dot(a, b, dim)} / "
+        f"(sqrt({_duck_dot(a, a, dim)}) * sqrt({_duck_dot(b, b, dim)})))"
+    )
+
+
+def _duck_simhash_bucket(vec: str, planes: list[list[float]], dim: int = 64) -> str:
+    """Bucket id = sign pattern vs the same hyperplane constants the Spark
+    side uses — fold order and double arithmetic identical, so the bucket
+    assignment reproduces bit-exactly."""
+    expr = "0"
+    for p in planes:
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        expr = (
+            f"({expr}) * 2 + (CASE WHEN {_duck_dot(vec, arr, dim)} >= 0"
+            " THEN 1 ELSE 0 END)"
+        )
+    return expr
+
+
+def _duck_lsh_topk_sql(k: int = 10) -> str:
+    planes = _hyperplanes()
+    return f"""
+WITH c AS (SELECT vec_id, embedding,
+                  {_duck_simhash_bucket('embedding', planes)} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, bucket
+      FROM c WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, c.vec_id,
+           {_duck_cosine('q.qv', 'c.embedding')} AS score
+    FROM c JOIN q USING (bucket)
+    WHERE c.vec_id <> q.q_id)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+def _duck_embedding_neardup_sql(threshold: float = 0.4) -> str:
+    planes = _hyperplanes()
+    return f"""
+WITH c AS (SELECT vec_id AS id, embedding AS v,
+                  {_duck_simhash_bucket('embedding', planes)} AS bucket
+           FROM embeddings)
+SELECT l.id AS id_a, r.id AS id_b,
+       round({_duck_cosine('l.v', 'r.v')}, 6) AS cosine
+FROM c l JOIN c r ON l.bucket = r.bucket AND l.id < r.id
+WHERE {_duck_cosine('l.v', 'r.v')} >= {threshold}
+"""
+
+
+# Upgrade the SimHash-LSH ops from rows-only to fully oracle-checked: the
+# hyperplanes are seeded constants shared with the Spark side, and the
+# fold-order-identical double arithmetic makes buckets and cosines
+# bit-equal across engines.
+ORACLES["similarity_lsh_topk"] = _duck_lsh_topk_sql()
+ORACLES["neardup_embeddings"] = _duck_embedding_neardup_sql()
+
+
+def _duck_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    cos_c = _duck_cosine("c.embedding", "cent.cv")
+    cos_q = _duck_cosine("q.qv", "cent.cv")
+    cos_s = _duck_cosine("qp.qv", "a.embedding")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id < {n_centroids}),
+assign AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT c.vec_id, c.embedding, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {cos_c} DESC, cent.centroid_id) AS rn
+        FROM embeddings c CROSS JOIN cent)
+    WHERE rn = 1),
+qprobe AS (
+    SELECT q_id, qv, centroid_id FROM (
+        SELECT q.q_id, q.qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {cos_q} DESC, cent.centroid_id) AS rn
+        FROM (SELECT vec_id AS q_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 8) q
+        CROSS JOIN cent)
+    WHERE rn <= {nprobe}),
+scored AS (
+    SELECT qp.q_id, a.vec_id, {cos_s} AS score
+    FROM assign a JOIN qprobe qp USING (centroid_id)
+    WHERE a.vec_id <> qp.q_id)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+# IVF joins the fully-oracle-checked club as well: fixed centroids +
+# fold-order-identical cosine make assignment, probing and re-ranking
+# reproduce exactly.
+ORACLES["similarity_ivf_topk"] = _duck_ivf_sql()
