@@ -6,15 +6,16 @@ Reference (thingsboard/kafka-streams-example, SolarConsumer.java:97-188):
   (J1) → variance/stddev re-agg (A3) → join module aggs back (J2) →
   anomaly filter (F1, |moduleSum − panelAvg| / deviance > Z) → Kafka sink.
 
-Spark-first redesign (SURVEY.md §2 row A3, §4.1): A2+J1+A3 collapse into a
-single ``groupBy(window, panel).agg(...)`` — the reference needed three
+Spark-first redesign (SURVEY.md §2 row A3, §4.1): A2+J1+A3 collapse into
+window functions over the module aggregates — the reference needed three
 stateful stages + two repartition topics only because the Kafka Streams DSL
-has no multi-column aggregation. Here the whole pipeline is TWO aggregations
-and ONE join:
+has no multi-column aggregation. Here the whole pipeline is ONE aggregation
+and ONE window pass (1 scan, 2 exchanges, 0 joins):
 
-  module_aggregates  -> groupBy(window, panel, module).agg(count, sum)
-  panel_statistics   -> groupBy(window, panel).agg(count, sum, avg, squares)
-  anomalies          -> module ⋈ panel-stats on (window, panel), filter
+  module_aggregates            -> groupBy(window, panel, module).agg(count, sum)
+  enrich_with_panel_statistics -> panel count/sum/avg/squares as stacked
+                                  Window ops over (window, panel)
+  anomalies                    -> filter on the enriched rows (J2 is free)
 
 Semantic fine print faithfully kept (SURVEY.md §2.1):
  1. ``avg_power``/``panel_avg`` round HALF_UP to 1 decimal
