@@ -81,6 +81,7 @@ HEADLINE = [
     "approx_distinct_users",
     "multimodal_decode_fake",
     "neardup_embeddings",
+    "regex_extraction",
 ]
 
 

@@ -2123,3 +2123,35 @@ WHERE rnk <= {k}
 # fold-order-identical cosine make assignment, probing and re-ranking
 # reproduce exactly.
 ORACLES["similarity_ivf_topk"] = _duck_ivf_sql()
+
+
+@register(
+    "regex_extraction",
+    """
+SELECT doc_id,
+       regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_name,
+       CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INT) AS src_num,
+       coalesce(nullif(regexp_extract(text, '(spark|stream|batch)', 1), ''), 'none') AS first_keyword,
+       greatest(n_chars, 100) AS floored_chars,
+       CASE WHEN n_chars > 300 THEN 'long' WHEN n_chars > 150 THEN 'mid' ELSE 'short' END AS len_class
+FROM documents
+""",
+)
+def regex_extraction(spark, sf_dir):
+    """Regex group extraction + conditional scalars (nullif/coalesce/
+    greatest/CASE) — the remaining scalar-function surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 1).alias("src_name"),
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2).cast("int").alias("src_num"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("text", r"(spark|stream|batch)", 1), F.lit("")),
+            F.lit("none"),
+        ).alias("first_keyword"),
+        F.greatest("n_chars", F.lit(100)).alias("floored_chars"),
+        F.when(F.col("n_chars") > 300, "long")
+        .when(F.col("n_chars") > 150, "mid")
+        .otherwise("short")
+        .alias("len_class"),
+    )
