@@ -82,6 +82,16 @@ HEADLINE = [
     "multimodal_decode_fake",
     "neardup_embeddings",
     "regex_extraction",
+    "q2_min_balance_supplier",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q11_important_parts",
+    "q13_customer_distribution",
+    "q15_top_supplier",
+    "q16_supplier_variety",
+    "q21_waiting_suppliers",
+    "q22_dormant_customers",
 ]
 
 

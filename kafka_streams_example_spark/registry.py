@@ -2155,3 +2155,9 @@ def regex_extraction(spark, sf_dir):
         .otherwise("short")
         .alias("len_class"),
     )
+
+
+# Extended TPC-H-shape relational coverage registers itself on import
+# (kept in a separate module; depends on `register`, so the import must
+# stay at the bottom of this file).
+from kafka_streams_example_spark import relational_extra  # noqa: E402,F401
