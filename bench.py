@@ -92,6 +92,10 @@ HEADLINE = [
     "q16_supplier_variety",
     "q21_waiting_suppliers",
     "q22_dormant_customers",
+    "grouping_sets_revenue",
+    "unpivot_part_metrics",
+    "stat_aggregates",
+    "range_frame_rolling_sum",
 ]
 
 

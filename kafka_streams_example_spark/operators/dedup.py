@@ -175,8 +175,23 @@ def ngram_jaccard_pairs(
     ngram: int = 3,
     threshold: float = 0.5,
 ) -> DataFrame:
-    """Exact near-dup pairs within blocking buckets. Oracle-expressible
-    (plain SQL self-join) — used to validate the MinHash path."""
+    """Exact near-dup pairs within blocking buckets, found with AllPairs
+    prefix filtering (Bayardo/Ma/Srikant, WWW'07 — public algorithm)
+    instead of the quadratic in-block self-join.
+
+    Shingle sets are sorted under one global order (their hash value);
+    a pair with J >= t MUST share an element inside both sets' prefixes
+    of length |X| - ceil(t*|X|) + 1, so exploding only the prefixes and
+    equi-joining on (block, token) yields a candidate superset at
+    ~token-frequency cost, not block-size-squared cost. Exact Jaccard
+    then verifies candidates — the result set is IDENTICAL to the brute
+    self-join (same SQL oracle), only the plan differs.
+
+    Shingles are hashed with Spark-native ``xxhash64`` (JVM codegen, no
+    md5 string churn): only equality matters for the verify, collisions
+    are ~|A|x|B|/2^64 per pair, and the oracle compares against
+    string-set Jaccard, so the hash never needs to be reproduced
+    elsewhere."""
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
     docs = (
@@ -190,25 +205,49 @@ def ngram_jaccard_pairs(
         .select("id", "blk", word_ngrams(F.col("txt"), ngram).alias("shingles"))
         .filter(F.size("shingles") > 0)
         .select(
-            "id", "blk", F.array_distinct(hashed_shingles(F.col("shingles"))).alias("hsh")
+            "id",
+            "blk",
+            F.sort_array(
+                F.array_distinct(
+                    F.transform(F.col("shingles"), lambda s: F.xxhash64(s))
+                )
+            ).alias("hsh"),
         )
+        .withColumn("sz", F.size("hsh"))
+        # consumed by candidate generation AND verify; hashes are far
+        # smaller than the text they replace, so caching is scale-safe
+        .cache()
     )
-    l, r = docs.alias("l"), docs.alias("r")
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = docs.select(
+        "id",
+        "blk",
+        "sz",
+        F.explode(F.slice(F.col("hsh"), F.lit(1), prefix_len)).alias("tok"),
+    )
+    cand = (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.id") < F.col("r.id"))
+            # size-ratio prune at candidate time: J <= min/max < t fails
+            & (
+                F.least(F.col("l.sz"), F.col("r.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            ),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = docs.select("id", "hsh")
     return (
-        l.join(r, (F.col("l.blk") == F.col("r.blk")) & (F.col("l.id") < F.col("r.id")))
-        # size-ratio prune before the expensive set intersection:
-        # J(A,B) <= min(|A|,|B|)/max(|A|,|B|)
-        .filter(
-            F.least(F.size("l.hsh"), F.size("r.hsh"))
-            >= F.lit(threshold) * F.greatest(F.size("l.hsh"), F.size("r.hsh"))
-        )
-        .withColumn("jac", jaccard(F.col("l.hsh"), F.col("r.hsh")))
+        cand.join(sets.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")), "id_a")
+        .join(sets.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")), "id_b")
+        .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= threshold)
-        .select(
-            F.col("l.id").alias("id_a"),
-            F.col("r.id").alias("id_b"),
-            F.round("jac", 6).alias("jaccard"),
-        )
+        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
     )
 
 

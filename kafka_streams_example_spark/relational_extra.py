@@ -542,3 +542,132 @@ def q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             _sum_dbl(_dec("c_acctbal")).alias("totacctbal"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Analytic shapes beyond the TPC-H set: GROUPING SETS, unpivot/melt,
+# bivariate statistical aggregates, and time-range window frames.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "grouping_sets_revenue",
+    f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(GROUPING(l_returnflag, l_linestatus) AS INT) AS gid,
+       count(*) AS n,
+       CAST(round(sum({_REV}), 6) AS DOUBLE) AS revenue
+FROM lineitem
+GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+""",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS with grouping_id — the generalization of the
+    registry's ROLLUP/CUBE queries to an explicit set list. One scan;
+    Spark expands the sets in a single Expand+hash-aggregate (no
+    self-union), identical to ROLLUP here but spelled explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("__gs_lineitem")
+    rev = (
+        "CAST(l_extendedprice AS DECIMAL(18,4)) * "
+        "CAST(1 - l_discount AS DECIMAL(8,4))"
+    )
+    return spark.sql(
+        f"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
+               count(*) AS n,
+               CAST(round(sum({rev}), 6) AS DOUBLE) AS revenue
+        FROM __gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        """
+    )
+
+
+@register(
+    "unpivot_part_metrics",
+    """
+SELECT p_partkey, 'retailprice' AS metric, CAST(p_retailprice AS DOUBLE) AS val
+FROM part WHERE p_size <= 5
+UNION ALL
+SELECT p_partkey, 'size' AS metric, CAST(p_size AS DOUBLE) AS val
+FROM part WHERE p_size <= 5
+""",
+)
+def unpivot_part_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot / melt: wide part columns to (key, metric, value) rows via
+    Spark's native `unpivot` (one Expand node, one scan — NOT a
+    scan-per-metric union; the oracle spells the portable UNION ALL)."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_size") <= 5)
+    return part.select(
+        "p_partkey",
+        F.col("p_retailprice").cast("double").alias("retailprice"),
+        F.col("p_size").cast("double").alias("size"),
+    ).unpivot(
+        ids=["p_partkey"],
+        values=["retailprice", "size"],
+        variableColumnName="metric",
+        valueColumnName="val",
+    )
+
+
+@register(
+    "stat_aggregates",
+    """
+SELECT l_returnflag,
+       round(corr(l_quantity, l_extendedprice), 5) AS qty_price_corr,
+       round(covar_pop(l_quantity, l_extendedprice), 3) AS qty_price_covar,
+       round(covar_samp(l_quantity, l_extendedprice), 3) AS qty_price_covar_samp,
+       round(stddev_samp(l_quantity), 5) AS qty_stddev,
+       round(var_samp(l_quantity), 5) AS qty_var
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def stat_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bivariate/sample statistical aggregates (corr, covar_pop,
+    covar_samp, stddev_samp, var_samp) — single hash aggregate, all
+    co-moments accumulated in one pass. Rounded one digit short of the
+    usual 6 because both engines accumulate co-moments in
+    merge-order-dependent doubles."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 5).alias("qty_price_corr"),
+        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 3).alias(
+            "qty_price_covar"
+        ),
+        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 3).alias(
+            "qty_price_covar_samp"
+        ),
+        F.round(F.stddev_samp("l_quantity"), 5).alias("qty_stddev"),
+        F.round(F.var_samp("l_quantity"), 5).alias("qty_var"),
+    )
+
+
+@register(
+    "range_frame_rolling_sum",
+    """
+SELECT event_id, user_id,
+       round(sum(value) OVER (
+           PARTITION BY user_id
+           ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+           RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW), 4) AS rolling_1h
+FROM events
+""",
+)
+def range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-RANGE window frame: per user, the rolling 1-hour sum of event
+    values (value-based frame, not row-based — covers the RANGE BETWEEN
+    frame spec the registry's cumulative/lag-lead queries don't). Ordered
+    on whole epoch seconds so both engines bound the frame identically."""
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_timestamp("ts"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 4).alias("rolling_1h"),
+    )
