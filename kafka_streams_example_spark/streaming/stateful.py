@@ -130,3 +130,55 @@ def sessionize_with_timeout(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+try:
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+except ImportError:  # Spark < 4.0: transformWithState API absent
+    StatefulProcessor = object  # type: ignore[assignment,misc]
+
+
+class RunningTotalsProcessor(StatefulProcessor):
+    """Spark 4 ``StatefulProcessor`` for per-panel running totals — the
+    ``transformWithStateInPandas`` successor to the
+    ``applyInPandasWithState`` operator above (same output contract as
+    ``running_panel_totals``). Demonstrates the typed-state handle API:
+    named ValueState with a schema, explicit exists/get/update."""
+
+    def init(self, handle) -> None:
+        self._totals = handle.getValueState("totals", STATE_SCHEMA)
+
+    def handleInputRows(self, key, rows, timerValues):
+        count, power = (
+            self._totals.get() if self._totals.exists() else (0, 0.0)
+        )
+        for pdf in rows:
+            count += len(pdf)
+            power += float(pdf["power"].sum())
+        self._totals.update((count, power))
+        yield pd.DataFrame(
+            {"panel": [key[0]], "total_count": [count], "total_power": [power]}
+        )
+
+    def close(self) -> None:
+        pass
+
+
+def running_panel_totals_tws(stream_df: DataFrame, ts_col: str = "ts") -> DataFrame:
+    """``running_panel_totals`` on the transformWithStateInPandas API
+    (Spark >= 4.0): arbitrary per-key state with named state variables,
+    timers, and TTL support — the engine's forward path for custom
+    stateful operators (applyInPandasWithState stays as the stable
+    fallback). Requires the RocksDB state-store provider and
+    google.protobuf on the driver (the TWS state protocol is
+    protobuf-encoded)."""
+    return (
+        stream_df.withWatermark(ts_col, "30 seconds")
+        .groupBy("panel")
+        .transformWithStateInPandas(
+            RunningTotalsProcessor(),
+            outputStructType=RUNNING_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+    )

@@ -215,3 +215,51 @@ def test_sessionize_with_timeout(spark, tmp_path):
     rows = spark.sql("SELECT * FROM sess_to").collect()
     sessions = {(r.user_id, r.n_events) for r in rows}
     assert (1, 2) in sessions
+
+
+def test_running_panel_totals_tws_across_batches(spark, tmp_path):
+    """transformWithStateInPandas (Spark 4 StatefulProcessor API) keeps
+    per-key named ValueState across micro-batches — same contract as the
+    applyInPandasWithState flavor above. The TWS state protocol speaks
+    protobuf from a driver-side Python worker, so the test skips where
+    google.protobuf isn't installed (this container)."""
+    pytest.importorskip("google.protobuf.descriptor")
+    from kafka_streams_example_spark.streaming.stateful import (
+        running_panel_totals_tws,
+    )
+
+    src = tmp_path / "tws_in"
+    os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(json.dumps(r) + "\n")
+
+    write("b0.json", [
+        {"ts": "2024-01-01 00:00:01", "panel": "p1", "name": "m", "power": 1.0},
+        {"ts": "2024-01-01 00:00:02", "panel": "p1", "name": "m", "power": 2.0},
+        {"ts": "2024-01-01 00:00:02", "panel": "p2", "name": "m", "power": 9.0},
+    ])
+    stream = spark.readStream.schema(
+        "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+    ).json(str(src))
+    q = (
+        running_panel_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("running_totals_tws")
+        .option("checkpointLocation", str(tmp_path / "ck_tws"))
+        .start()
+    )
+    q.processAllAvailable()
+    write("b1.json", [
+        {"ts": "2024-01-01 00:00:03", "panel": "p1", "name": "m", "power": 4.0},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM running_totals_tws").collect()
+    p1 = max((r for r in rows if r.panel == "p1"), key=lambda r: r.total_count)
+    assert p1.total_count == 3 and p1.total_power == 7.0
+    p2 = max((r for r in rows if r.panel == "p2"), key=lambda r: r.total_count)
+    assert p2.total_count == 1 and p2.total_power == 9.0
