@@ -96,6 +96,7 @@ HEADLINE = [
     "unpivot_part_metrics",
     "stat_aggregates",
     "range_frame_rolling_sum",
+    "approx_top_k_events",
 ]
 
 

@@ -671,3 +671,31 @@ def range_frame_rolling_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.round(F.sum("value").over(w), 4).alias("rolling_1h"),
     )
+
+
+@register(
+    "approx_top_k_events",
+    """
+SELECT event_type AS item, count(*) AS cnt
+FROM events
+GROUP BY event_type
+ORDER BY cnt DESC, item
+LIMIT 3
+""",
+)
+def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items sketch: ``approx_top_k`` (space-saving) — the
+    heavy-hitters member of the sketch family next to HLL and
+    approx-percentile. One aggregation, mergeable sketch state, no
+    exact-distinct shuffle. Oracle-exact here because the tracked-item
+    capacity (10k) exceeds the column's cardinality, making the sketch
+    counts exact and deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("__atk_events")
+    return spark.sql(
+        """
+        SELECT t.item AS item, t.count AS cnt
+        FROM (SELECT explode(approx_top_k(event_type, 3)) AS t
+              FROM __atk_events)
+        """
+    )

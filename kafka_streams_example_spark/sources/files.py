@@ -106,3 +106,51 @@ def read_json_stream_dir(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (newline-JSON dir) — broker-free stand-in
     for the Kafka source in tests; same downstream program either way."""
     return spark.readStream.schema(schema).json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC batch scan — same DSv2 pushdown/pruning properties as parquet
+    (vectorized reader, predicate pushdown, column projection)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").orc(path)
+
+
+def read_text(spark: SparkSession, path: str) -> DataFrame:
+    """Whole-line text scan (one `value` string column) — the raw-corpus
+    entry point for the text-analysis operators: read_text → quality
+    filter → dedup is the canonical LLM data path."""
+    return spark.read.text(path)
+
+
+def write_text(df: DataFrame, path: str) -> None:
+    """Write a single string column as raw lines."""
+    df.write.mode("overwrite").text(path)
+
+
+def avro_available(spark: SparkSession) -> bool:
+    """Avro is an external Spark module (spark-avro jar). True iff the
+    runtime has it on the classpath; callers gate avro IO on this rather
+    than failing mid-pipeline."""
+    try:
+        # the authoritative check is Spark's own data-source registry —
+        # stray avro *classes* can be on the classpath (via connect/
+        # protobuf deps) without the spark-avro module being deployed
+        spark._jvm.org.apache.spark.sql.execution.datasources.DataSource.lookupDataSource(
+            "avro", spark._jsparkSession.sessionState().conf()
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_avro(spark: SparkSession, path: str) -> DataFrame:
+    """Avro batch scan (requires the spark-avro module; see
+    ``avro_available``)."""
+    return spark.read.format("avro").load(path)
+
+
+def write_avro(df: DataFrame, path: str) -> None:
+    df.write.mode("overwrite").format("avro").save(path)

@@ -3,8 +3,9 @@ scale'). Correctness tests prove the small-SF answer; these prove the PLAN
 is the one we'd want on a 1000-executor cluster: no accidental cross
 products anywhere, dimensions broadcast, filters pushed into scans.
 
-Planning only — nothing here executes a query (AQE may re-plan at runtime,
-but a cartesian/bad-broadcast in the initial plan is already a bug)."""
+Mostly planning-only (a cartesian/bad-broadcast in the initial plan is
+already a bug, whatever AQE later does); the AQE skew test at the bottom
+executes its join because runtime re-planning is the thing under test."""
 
 from __future__ import annotations
 
@@ -104,3 +105,46 @@ def test_broadcast_hint_respected_under_stats_absence(spark):
     one_row = cust.agg(F.avg("c_acctbal").alias("a"))
     plan = _plan(cust.join(F.broadcast(one_row)))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """A 100x-hot join key must trigger AQE's runtime skew-join split
+    (SortMergeJoin(skew=true) in the final adaptive plan) — the engine's
+    no-manual-salting answer to skewed joins at scale. Thresholds are
+    lowered to make a test-sized skew visible; production keeps the
+    defaults and the same re-plan fires at 256MB partitions."""
+    conf = {
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "1",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "8KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "8KB",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {}
+    for k, v in conf.items():
+        try:
+            old[k] = spark.conf.get(k)
+        except Exception:
+            old[k] = None
+        spark.conf.set(k, v)
+    try:
+        big = spark.range(0, 300000).select(
+            F.when(F.col("id") % 3 != 0, 0).otherwise(F.col("id") % 1000).alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        small = spark.range(0, 1000).select(
+            F.col("id").alias("k"), F.lit("dim").alias("d")
+        )
+        joined = big.join(small, "k")
+        # execute THIS DataFrame's QueryExecution: AQE finalizes the plan
+        # per-execution, so a separate .count() would re-plan elsewhere
+        joined._jdf.collectToPython()
+        plan = _plan(joined)
+        assert "isFinalPlan=true" in plan
+        assert "skew=true" in plan, plan[:1500]
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)

@@ -164,3 +164,38 @@ def test_column_pruning_reaches_scan(spark):
     assert "l_returnflag" in read_schema and "l_quantity" in read_schema
     assert "l_extendedprice" not in read_schema and "l_comment" not in read_schema
     assert read_schema.count(":") <= 3  # struct<2 fields> → 2 colons + struct
+
+
+def test_orc_and_text_roundtrip(spark, tmp_path):
+    """ORC and raw-text sources roundtrip losslessly (Avro is gated on
+    the external spark-avro module, absent in this container)."""
+    from kafka_streams_example_spark.sources import files as fsrc
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    orc_path = str(tmp_path / "ev_orc")
+    fsrc.write_orc(ev, orc_path)
+    got = fsrc.read_orc(spark, orc_path)
+    assert got.schema == ev.schema
+    assert {r.event_id for r in got.select("event_id").collect()} == {
+        r.event_id for r in ev.select("event_id").collect()
+    }
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    txt_path = str(tmp_path / "docs_txt")
+    fsrc.write_text(docs.select(F.regexp_replace("text", r"[\r\n]", " ").alias("value")), txt_path)
+    lines = fsrc.read_text(spark, txt_path)
+    assert lines.columns == ["value"]
+    assert lines.count() == docs.count()
+
+
+def test_avro_roundtrip_when_available(spark, tmp_path):
+    from kafka_streams_example_spark.sources import files as fsrc
+
+    if not fsrc.avro_available(spark):
+        import pytest as _pytest
+
+        _pytest.skip("spark-avro module not on classpath")
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    avro_path = str(tmp_path / "ev_avro")
+    fsrc.write_avro(ev, avro_path)
+    assert fsrc.read_avro(spark, avro_path).count() == ev.count()
