@@ -97,6 +97,7 @@ HEADLINE = [
     "stat_aggregates",
     "range_frame_rolling_sum",
     "approx_top_k_events",
+    "kmeans_centroids",
 ]
 
 

@@ -196,3 +196,58 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
     )
+
+
+def kmeans_lloyd(
+    emb: DataFrame,
+    k: int = 8,
+    dim: int = 64,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd's k-means as a declarative DataFrame program — the centroid
+    trainer behind the IVF index (similarity_ivf_topk uses fixed seed
+    centroids; this refines them).
+
+    Per iteration: broadcast the k centroids against the corpus (k rows —
+    never a shuffled join), assign by max cosine with deterministic
+    (score desc, cid) tie-break, then recompute each centroid as the
+    element-wise mean via posexplode + (cid, dim) hash aggregation — the
+    scale-safe formulation: the widest shuffle is k*dim rows, the corpus
+    is scanned once per iteration and never collected.
+
+    Determinism across engines: centroids are rounded to 6 decimals each
+    iteration, so both engines assign against identical doubles; the mean
+    itself is order-dependent only below ~1e-14.
+    """
+    cent = emb.filter(F.col(id_col) < k).select(
+        F.col(id_col).cast("int").alias("cid"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    )
+    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid"))
+    for _ in range(iterations):
+        best = (
+            vecs.join(F.broadcast(cent))
+            .withColumn("cos", cosine(F.col("v"), F.col("cv"), dim))
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+        )
+        cent = (
+            best.select("cid", F.posexplode("v").alias("pos", "val"))
+            .groupBy("cid", "pos")
+            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
+                    lambda s: s.cval,
+                ).alias("cv")
+            )
+        )
+    return cent.select(
+        "cid", F.posexplode("cv").alias("pos0", "cval")
+    ).select(
+        "cid", (F.col("pos0") + 1).cast("int").alias("dim_pos"), "cval"
+    )

@@ -699,3 +699,53 @@ def approx_top_k_events(spark: SparkSession, sf_dir: str) -> DataFrame:
               FROM __atk_events)
         """
     )
+
+
+def _duck_kmeans_sql(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
+    """Unrolled Lloyd's iterations in DuckDB — same rounded-centroid
+    contract as operators.similarity.kmeans_lloyd, so assignment compares
+    identical doubles on both engines."""
+    from kafka_streams_example_spark.registry import _duck_cosine
+
+    cos0 = _duck_cosine("e.embedding", "c.cv", dim)
+    sql = f"""
+WITH cent0 AS (
+    SELECT CAST(vec_id AS INT) AS cid,
+           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+    FROM embeddings WHERE vec_id < {k})"""
+    prev = "cent0"
+    for it in range(1, iterations + 1):
+        sql += f""",
+a{it} AS (
+    SELECT vec_id, embedding, cid FROM (
+        SELECT e.vec_id, e.embedding, c.cid,
+               row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos0} DESC, c.cid) AS rn
+        FROM embeddings e CROSS JOIN {prev} c)
+    WHERE rn = 1),
+c{it}cols AS (
+    SELECT cid, CAST(pos AS INT) AS pos,
+           round(avg(CAST(embedding[pos] AS DOUBLE)), 6) AS cval
+    FROM a{it} CROSS JOIN range(1, {dim + 1}) AS t(pos)
+    GROUP BY 1, 2),
+c{it} AS (
+    SELECT cid, list(cval ORDER BY pos) AS cv FROM c{it}cols GROUP BY cid)"""
+        prev = f"c{it}"
+    sql += f"""
+SELECT cid, pos AS dim_pos, cval
+FROM c{iterations}cols
+"""
+    return sql
+
+
+@register("kmeans_centroids", _duck_kmeans_sql())
+def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative ML on the DataFrame API: 2 Lloyd's iterations of k=8
+    cosine k-means over the embeddings table (the IVF index's centroid
+    trainer). Oracle-exact: both engines assign against round-6 centroids
+    with identical fold-order cosine, and emit the final centroids
+    exploded to (cid, dim_pos, cval)."""
+    from kafka_streams_example_spark.operators.similarity import kmeans_lloyd
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return kmeans_lloyd(emb, k=8, dim=64, iterations=2)
