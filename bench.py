@@ -98,6 +98,11 @@ HEADLINE = [
     "range_frame_rolling_sum",
     "approx_top_k_events",
     "kmeans_centroids",
+    "decontam_ngram_overlap",
+    "repetition_quality_stats",
+    "stratified_sample_by_lang",
+    "vocab_stats_by_lang",
+    "range_join_value_tiers",
 ]
 
 

@@ -1,0 +1,298 @@
+"""Additional large-scale training-data-pipeline operators (north star):
+
+- decontam_ngram_overlap:   benchmark decontamination — flag training docs
+                            whose word 5-grams overlap a held-out benchmark
+                            split (the standard eval-contamination check).
+- repetition_quality_stats: Gopher-style repetition signals (distinct-word
+                            ratio, top-unigram / top-bigram fraction) as
+                            pure row-local higher-order array expressions.
+- stratified_sample_by_lang: per-stratum deterministic hash sampling with
+                            different keep-rates per language (downsample
+                            the dominant language, keep the rare ones).
+- vocab_stats_by_lang:      corpus vocabulary statistics — global distinct
+                            token count and type/token ratio per language.
+- range_join_value_tiers:   non-equi range join of a fact stream against a
+                            small banding dimension (broadcast nested-loop).
+
+These are engine-surface extensions, not ports: the reference
+(thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
+has no text/corpus layer; this module is part of the SURVEY.md §2
+"operators the reference does NOT have" + north-star breadth.
+
+Scale notes (100 TB target): every query here is one shuffle or zero.
+The decontamination benchmark n-gram set and the tier dimension are small
+by construction -> broadcast; the corpus side streams through map-side
+work (tokenize/shingle) inside whole-stage codegen and aggregates with
+map-side partials. The repetition signals never shuffle at all — they are
+per-row array expressions, embarrassingly parallel at any scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
+from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+
+# DuckDB-side distinct word 5-grams from the `toks` list column (matches
+# operators/text.py:word_ngrams(n=5) exactly: lowercase whitespace tokens,
+# space-joined windows, distinct).
+_NGRAMS5 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(toks) - 4, 0)),"
+    " i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]"
+    " || ' ' || toks[i+4]))"
+)
+
+
+@register(
+    "decontam_ngram_overlap",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, {_NGRAMS5} AS ng FROM t),
+bench AS (SELECT DISTINCT unnest(ng) AS g FROM d WHERE doc_id % 17 = 0),
+train AS (SELECT doc_id, ng FROM d WHERE doc_id % 17 <> 0),
+ex AS (SELECT doc_id, unnest(ng) AS g FROM train),
+hits AS (SELECT doc_id, count(*) AS n_overlap
+         FROM ex JOIN bench USING (g) GROUP BY doc_id)
+SELECT tr.doc_id, len(tr.ng) AS n_ngrams,
+       coalesce(h.n_overlap, 0) AS n_overlap,
+       CAST(coalesce(h.n_overlap, 0) > 0 AS INT) AS contaminated
+FROM train tr LEFT JOIN hits h USING (doc_id)
+""",
+)
+def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: docs with doc_id % 17 == 0 stand in for a
+    held-out eval set; every remaining (training) doc is scored by how many
+    of its distinct word 5-grams appear anywhere in the benchmark split.
+
+    At scale the benchmark n-gram set is tiny relative to the corpus ->
+    broadcast hash join against the exploded training shingles; the only
+    shuffle is the per-doc count groupBy. explode_outer keeps sub-5-word
+    docs (empty shingle sets) in the output with n_overlap = 0.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    ng = docs.select("doc_id", tx.word_ngrams(F.col("text"), 5).alias("ng"))
+    bench = (
+        ng.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode("ng").alias("g"))
+        .distinct()
+        .withColumn("_hit", F.lit(1))
+    )
+    train = ng.filter(F.col("doc_id") % 17 != 0)
+    exploded = train.select(
+        "doc_id", F.size("ng").alias("n_ngrams"), F.explode_outer("ng").alias("g")
+    )
+    # ng and bench are both distinct => at most one match per (doc, gram),
+    # so summing the hit marker counts distinct overlapping 5-grams.
+    return (
+        exploded.join(F.broadcast(bench), "g", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.max("n_ngrams").alias("n_ngrams"),
+            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+        )
+        .withColumn("contaminated", (F.col("n_overlap") > 0).cast("int"))
+    )
+
+
+@register(
+    "repetition_quality_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bg
+      FROM t)
+SELECT doc_id, len(toks) AS n_words,
+       round(CASE WHEN len(toks) > 0 THEN
+           len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6)
+           AS distinct_ratio,
+       round(CASE WHEN len(toks) > 0 THEN
+           list_max(list_transform(list_distinct(toks),
+               w -> len(list_filter(toks, x -> x = w)))) / CAST(len(toks) AS DOUBLE)
+           ELSE 0.0 END, 6) AS top_unigram_frac,
+       round(CASE WHEN len(bg) > 0 THEN
+           list_max(list_transform(list_distinct(bg),
+               w -> len(list_filter(bg, x -> x = w)))) / CAST(len(bg) AS DOUBLE)
+           ELSE 0.0 END, 6) AS top_bigram_frac
+FROM b
+""",
+)
+def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-word
+    ratio plus the fraction of tokens claimed by the most frequent unigram
+    and bigram (high values => boilerplate/spam, the classic repetition
+    filters of Rae et al. 2021 §A1.1, expressed as deterministic ratios).
+
+    Zero shuffles: nested higher-order array functions evaluate per row
+    inside whole-stage codegen — the cost is O(distinct x len) per doc on
+    natural-language vocabularies, and the operator scales linearly with
+    the corpus regardless of cluster size.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = tx.tokens(F.lower(F.col("text")))
+    n = F.size(t)
+    bigrams = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+    def _top_frac(arr: F.Column) -> F.Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
+        )
+        return F.when(F.size(arr) > 0, top / F.size(arr)).otherwise(F.lit(0.0))
+
+    stage = docs.select("doc_id", t.alias("t"), bigrams.alias("bg"))
+    tc = F.col("t")
+    return stage.select(
+        "doc_id",
+        F.size(tc).alias("n_words"),
+        F.round(
+            F.when(F.size(tc) > 0, F.size(F.array_distinct(tc)) / F.size(tc)).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(_top_frac(tc), 6).alias("top_unigram_frac"),
+        F.round(_top_frac(F.col("bg")), 6).alias("top_bigram_frac"),
+    )
+
+
+# Per-language keep-rates (percent): downsample the dominant language,
+# keep everything rare — the standard corpus language-rebalancing move.
+_LANG_RATES: dict[str, int] = {"en": 20, "de": 40, "es": 60, "fr": 80, "zh": 100}
+
+
+@register(
+    "stratified_sample_by_lang",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100
+      < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 40 WHEN 'es' THEN 60
+                  WHEN 'fr' THEN 80 ELSE 100 END
+""",
+)
+def stratified_sample_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: each language keeps a different
+    fraction of documents, selected by content hash — reproducible across
+    runs, engines and cluster layouts (`sampleBy`/rand() is none of those,
+    and resampling on re-run would break incremental pipelines).
+
+    Scale: a pure filter on a per-row hash — no shuffle, no state; the
+    predicate pushes the decision into the scan stage.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    rate_map = F.create_map(
+        *[x for k in sorted(_LANG_RATES) for x in (F.lit(k), F.lit(_LANG_RATES[k]))]
+    )
+    bucket = stable_long(normalize_text(F.col("text"))) % 100
+    return docs.filter(
+        bucket < F.coalesce(rate_map[F.col("lang")], F.lit(100))
+    ).select("doc_id", "lang")
+
+
+@register(
+    "vocab_stats_by_lang",
+    f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+tot AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        FROM t GROUP BY lang),
+v AS (SELECT lang, count(DISTINCT g) AS vocab_size
+      FROM (SELECT lang, unnest(toks) AS g FROM t) GROUP BY lang)
+SELECT lang, n_docs, total_tokens, vocab_size,
+       round(vocab_size / CAST(total_tokens AS DOUBLE), 6) AS ttr
+FROM tot JOIN v USING (lang)
+""",
+)
+def vocab_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per language: document count, total
+    token count, global vocabulary size (distinct tokens across all docs of
+    the language) and the type/token ratio.
+
+    Scale: token totals partial-aggregate map-side; the vocabulary count is
+    the one real shuffle (explode -> distinct per language). Both results
+    are a handful of rows, so the final combine join is trivial. The ttr
+    division is exact int/int — bit-identical across engines.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select("lang", tx.tokens(F.lower(F.col("text"))).alias("t"))
+    totals = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("t")).alias("total_tokens")
+    )
+    vocab = (
+        t.select("lang", F.explode("t").alias("g"))
+        .groupBy("lang")
+        .agg(F.count_distinct("g").alias("vocab_size"))
+    )
+    return totals.join(vocab, "lang").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias("ttr"),
+    )
+
+
+# Value-band dimension for the non-equi range join: [lo, hi) tiers that
+# cover the full `events.value` domain (0.01 .. 490.02 in the testdata).
+_TIERS: list[tuple[str, float, float]] = [
+    ("t0_low", -1e9, 10.0),
+    ("t1_mid", 10.0, 50.0),
+    ("t2_high", 50.0, 200.0),
+    ("t3_extreme", 200.0, 1e9),
+]
+
+_TIER_VALUES = ", ".join(f"('{t}', {lo}, {hi})" for t, lo, hi in _TIERS)
+
+
+@register(
+    "range_join_value_tiers",
+    f"""
+SELECT tier, event_type,
+       count(*) AS n_events,
+       round(sum(value), 4) AS sum_value
+FROM events
+JOIN (VALUES {_TIER_VALUES}) tiers(tier, lo, hi)
+  ON value >= lo AND value < hi
+GROUP BY tier, event_type
+""",
+)
+def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-equi range join: band every event's `value` into [lo, hi) tiers
+    from a small dimension, then aggregate per (tier, event_type). The
+    banding-dimension join is the canonical range-join shape (pricing
+    tiers, SLA buckets, histogram bands).
+
+    Scale: the tier table is constant-size -> broadcast nested-loop join,
+    which is O(n_tiers) per row with no shuffle; the only exchange is the
+    final aggregation, partially aggregated map-side. (With a sorted,
+    non-overlapping band table this could further compile to a binary
+    search via CASE, but the BNLJ keeps arbitrary overlapping bands
+    correct.)
+    """
+    events = _load_parallel(spark, sf_dir, "events")
+    tiers = spark.createDataFrame(_TIERS, "tier string, lo double, hi double")
+    return (
+        events.join(
+            F.broadcast(tiers),
+            (F.col("value") >= F.col("lo")) & (F.col("value") < F.col("hi")),
+        )
+        .groupBy("tier", "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 4).alias("sum_value"),
+        )
+    )

@@ -2161,3 +2161,8 @@ def regex_extraction(spark, sf_dir):
 # (kept in a separate module; depends on `register`, so the import must
 # stay at the bottom of this file).
 from kafka_streams_example_spark import relational_extra  # noqa: E402,F401
+
+# Additional training-data-pipeline operators (decontamination, repetition
+# quality, stratified sampling, vocabulary stats, range join) — same
+# self-registration pattern.
+from kafka_streams_example_spark import llm_extra  # noqa: E402,F401

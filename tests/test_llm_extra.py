@@ -1,0 +1,89 @@
+"""Semantic invariants for the training-data-pipeline extras
+(kafka_streams_example_spark/llm_extra.py) beyond the DuckDB oracle
+hash-match: decontamination split discipline, repetition-signal bounds,
+stratified-sampling hash discipline, vocabulary consistency, and range-join
+partition totality."""
+
+from __future__ import annotations
+
+import hashlib
+import re
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from kafka_streams_example_spark import registry
+from kafka_streams_example_spark.llm_extra import _LANG_RATES, _TIERS
+
+
+def test_decontam_split_and_bounds(spark):
+    rows = registry.QUERIES["decontam_ngram_overlap"](spark, SF_SMOKE).collect()
+    assert rows, "training split must be non-empty"
+    for r in rows:
+        # benchmark docs never appear in the scored training output
+        assert r.doc_id % 17 != 0
+        assert 0 <= r.n_overlap <= r.n_ngrams
+        assert r.contaminated == (1 if r.n_overlap > 0 else 0)
+    # the synthetic word-salad corpus shares a tiny vocabulary, so some
+    # contamination must exist — the query is not vacuously all-zero
+    assert any(r.contaminated for r in rows)
+    assert any(not r.contaminated for r in rows)
+
+
+def test_repetition_signal_bounds(spark):
+    rows = registry.QUERIES["repetition_quality_stats"](spark, SF_SMOKE).collect()
+    assert rows
+    for r in rows:
+        if r.n_words == 0:
+            assert r.distinct_ratio == r.top_unigram_frac == 0.0
+            continue
+        assert 0.0 < r.distinct_ratio <= 1.0
+        # the top unigram claims at least 1/n and at least its "fair share"
+        # under the distinct count
+        # tolerance: the frac is rounded to 6 decimals in the query output
+        assert r.top_unigram_frac >= 1.0 / r.n_words - 1e-6
+        assert r.top_unigram_frac <= 1.0
+        if r.n_words >= 2:
+            assert 0.0 < r.top_bigram_frac <= 1.0
+    # repetition exists in the synthetic corpus: some doc repeats a word
+    assert any(r.distinct_ratio < 1.0 for r in rows if r.n_words > 1)
+
+
+def test_stratified_sample_hash_discipline(spark):
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    kept = {
+        r.doc_id: r.lang
+        for r in registry.QUERIES["stratified_sample_by_lang"](spark, SF_SMOKE).collect()
+    }
+
+    def bucket(text: str) -> int:
+        norm = re.sub(r"\s+", " ", text.lower()).strip()
+        return int(hashlib.md5(norm.encode()).hexdigest()[:15], 16) % 100
+
+    for d in docs:
+        rate = _LANG_RATES.get(d.lang, 100)
+        assert (d.doc_id in kept) == (bucket(d.text) < rate), d.doc_id
+    # the en stratum is actually downsampled relative to zh (rate 100)
+    n_en_all = sum(1 for d in docs if d.lang == "en")
+    n_en_kept = sum(1 for lang in kept.values() if lang == "en")
+    assert n_en_kept < n_en_all
+
+
+def test_vocab_stats_consistency(spark):
+    rows = registry.QUERIES["vocab_stats_by_lang"](spark, SF_SMOKE).collect()
+    langs = {r.lang for r in rows}
+    assert langs == set(_LANG_RATES)
+    for r in rows:
+        assert 0 < r.vocab_size <= r.total_tokens
+        assert abs(r.ttr - round(r.vocab_size / r.total_tokens, 6)) < 1e-12
+
+
+def test_range_join_partitions_all_events(spark):
+    out = registry.QUERIES["range_join_value_tiers"](spark, SF_SMOKE)
+    n_binned = out.agg(F.sum("n_events")).collect()[0][0]
+    n_events = spark.read.parquet(f"{SF_SMOKE}/events.parquet").count()
+    # tiers cover the whole value domain with disjoint [lo, hi) bands
+    assert n_binned == n_events
+    los = sorted(lo for _, lo, _ in _TIERS)
+    his = sorted(hi for _, _, hi in _TIERS)
+    assert los[1:] == his[:-1], "bands must tile without gaps or overlap"
