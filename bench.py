@@ -103,6 +103,8 @@ HEADLINE = [
     "stratified_sample_by_lang",
     "vocab_stats_by_lang",
     "range_join_value_tiers",
+    "embedding_quantize_int8",
+    "multimodal_resize_fake",
 ]
 
 

@@ -13,6 +13,10 @@
                             token count and type/token ratio per language.
 - range_join_value_tiers:   non-equi range join of a fact stream against a
                             small banding dimension (broadcast nested-loop).
+- embedding_quantize_int8:  symmetric int8 vector quantization with
+                            reconstruction-error metrics, engine-exact.
+- multimodal_resize_fake:   the resize stage of the media pipeline
+                            (deterministic fake path, real Spark plumbing).
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -35,6 +39,8 @@ from pyspark.sql import functions as F
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
 from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+
+_DIM = 64  # embeddings.parquet vector dimensionality (repo:TESTDATA.md)
 
 # DuckDB-side distinct word 5-grams from the `toks` list column (matches
 # operators/text.py:word_ngrams(n=5) exactly: lowercase whitespace tokens,
@@ -81,17 +87,19 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("_hit", F.lit(1))
     )
     train = ng.filter(F.col("doc_id") % 17 != 0)
-    exploded = train.select(
-        "doc_id", F.size("ng").alias("n_ngrams"), F.explode_outer("ng").alias("g")
-    )
+    # single reference to the shingle array (a second reference, e.g.
+    # size(ng) next to explode(ng), would evaluate the shingling twice);
+    # n_ngrams is recovered as count(g) after the regroup since ng is
+    # distinct and explode_outer keeps empty docs as one null-g row.
+    exploded = train.select("doc_id", F.explode_outer("ng").alias("g"))
     # ng and bench are both distinct => at most one match per (doc, gram),
-    # so summing the hit marker counts distinct overlapping 5-grams.
+    # so counting hit markers counts distinct overlapping 5-grams.
     return (
         exploded.join(F.broadcast(bench), "g", "left")
         .groupBy("doc_id")
         .agg(
-            F.max("n_ngrams").alias("n_ngrams"),
-            F.sum(F.coalesce(F.col("_hit"), F.lit(0))).alias("n_overlap"),
+            F.count("g").alias("n_ngrams"),
+            F.count("_hit").alias("n_overlap"),
         )
         .withColumn("contaminated", (F.col("n_overlap") > 0).cast("int"))
     )
@@ -135,14 +143,9 @@ def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _load_parallel(spark, sf_dir, "documents")
     t = tx.tokens(F.lower(F.col("text")))
-    n = F.size(t)
-    bigrams = F.when(
-        n >= 2,
-        F.transform(
-            F.sequence(F.lit(1), n - 1),
-            lambda i: F.concat_ws(" ", F.element_at(t, i), F.element_at(t, i + 1)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    # single-pass regex (see text.py:word_ngrams_all) — a sequence+element_at
+    # lambda would re-tokenize the doc once per bigram position
+    bigrams = tx.word_ngrams_all(F.col("text"), 2)
 
     def _top_frac(arr: F.Column) -> F.Column:
         top = F.array_max(
@@ -295,4 +298,94 @@ def range_join_value_tiers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 4).alias("sum_value"),
         )
+    )
+
+
+def _duck_q(i: int) -> str:
+    """DuckDB int8-quantized value of embedding element i (1-based)."""
+    return f"round((e)[{i}]::DOUBLE / scale)"
+
+
+_QSUM = " + ".join(_duck_q(i) for i in range(1, _DIM + 1))
+_QERR = " + ".join(
+    f"pow((e)[{i}]::DOUBLE - {_duck_q(i)} * scale, 2)" for i in range(1, _DIM + 1)
+)
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""
+WITH s AS (
+    SELECT vec_id, embedding AS e,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+    FROM embeddings
+)
+SELECT vec_id, {_DIM} AS dim, scale,
+       CAST({_QSUM} AS BIGINT) AS q_sum,
+       round(({_QERR}) / {_DIM}, 9) AS mse
+FROM s WHERE scale > 0
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors: per-vector scale =
+    max|x|/127, elements round(x/scale) — the standard 4x memory/bandwidth
+    reduction for ANN indexes at scale. Emits the quantized checksum and
+    the reconstruction MSE so quantization quality is itself a query.
+
+    Engine-exact across Spark and DuckDB: float32 -> double widening is
+    exact, the per-element fold runs in identical left-to-right order
+    (F.aggregate vs an unrolled sum chain), and round() is
+    half-away-from-zero in both. Zero vectors (scale = 0) are excluded on
+    both sides — Spark's x/0 -> NaN and DuckDB's -> NULL would otherwise
+    diverge (verify-skill gotcha).
+
+    Scale: map-only per-row array math inside whole-stage codegen; no
+    shuffle, no Python.
+    """
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    stage = emb.select(
+        "vec_id",
+        vd.alias("v"),
+        (F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    ).filter(F.col("scale") > 0)
+    v, scale = F.col("v"), F.col("scale")
+    q = F.transform(v, lambda x: F.round(x / scale))
+    err = F.aggregate(
+        F.zip_with(v, q, lambda x, qq: F.pow(x - qq * scale, 2)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return stage.select(
+        "vec_id",
+        F.lit(_DIM).alias("dim"),
+        "scale",
+        F.aggregate(q, F.lit(0.0), lambda a, b: a + b).cast("long").alias("q_sum"),
+        F.round(err / F.lit(float(_DIM)), 9).alias("mse"),
+    )
+
+
+@register("multimodal_resize_fake")
+def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over opaque binary payloads (fake deterministic path —
+    no image codec in this container; see operators/multimodal.py). The
+    Spark-side contract is fully real: mapInPandas schema, fixed-size
+    output blobs, 1:1 row mapping. Rows-only check (binary output is
+    engine-specific)."""
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    out = mm.resize_images(
+        mm.with_binary_payload(docs), out_width=32, out_height=32, fake=True
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.octet_length("resized").alias("n_resized_bytes"),
+        "ok",
     )

@@ -154,6 +154,58 @@ def sample_frames(
     )
 
 
+RESIZED_SCHEMA = (
+    "doc_id LONG, width INT, height INT, out_width INT, out_height INT, "
+    "resized BINARY, ok BOOLEAN"
+)
+
+
+def resize_images(
+    df: DataFrame,
+    out_width: int = 224,
+    out_height: int = 224,
+    fake: bool = False,
+    id_col: str = "doc_id",
+    bin_col: str = "payload",
+) -> DataFrame:
+    """Resize stage: binary image → fixed-dims binary (the normalize-to-
+    model-input pass). Real path needs PIL (not installed here →
+    NotImplementedError); the fake path emits a deterministic
+    hash-derived pseudo-image of exactly ``out_width*out_height`` bytes so
+    the Spark-side contract — schema, output blob sizing, Arrow batch
+    shape, 1:1 row mapping — is exercised for real.
+
+    Scale: mapInPandas keeps this a map-only stage (no shuffle); output
+    blobs are bounded (out_width*out_height*channels) so downstream
+    partition sizing is predictable regardless of input image sizes.
+    """
+    if not fake:
+        _require_codec("PIL")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            h = pdf[bin_col].map(
+                lambda b: hashlib.md5(bytes(b)).digest() if b is not None else b"\0" * 16
+            )
+            n_out = out_width * out_height
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": h.map(lambda d: 64 + d[0] % 192).astype("int32"),
+                    "height": h.map(lambda d: 64 + d[1] % 192).astype("int32"),
+                    "out_width": pd.Series([out_width] * len(pdf), dtype="int32"),
+                    "out_height": pd.Series([out_height] * len(pdf), dtype="int32"),
+                    # deterministic pseudo-pixels: repeat the digest to size
+                    "resized": h.map(
+                        lambda d: (d * (n_out // len(d) + 1))[:n_out]
+                    ),
+                    "ok": pdf[bin_col].notna(),
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(batches, RESIZED_SCHEMA)
+
+
 def multimodal_meta(docs: DataFrame) -> DataFrame:
     """Oracle-checkable metadata pass: sizes + content fingerprints of the
     binary payload — pure JVM expressions."""

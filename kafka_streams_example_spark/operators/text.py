@@ -96,19 +96,28 @@ def lang_id(c: Column) -> Column:
 
 
 def word_ngrams(c: Column, n: int = 3) -> Column:
-    """Distinct word n-grams (space-joined) — shingles for Jaccard/MinHash."""
-    toks = tokens(F.lower(c))
-    return F.array_distinct(
-        F.when(
-            F.size(toks) >= n,
-            F.transform(
-                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(
-                    " ", *[F.element_at(toks, i + j) for j in range(n)]
-                ),
-            ),
-        ).otherwise(F.array())
-    )
+    """Distinct word n-grams (space-joined) — shingles for Jaccard/MinHash.
+
+    Implemented as a single regex pass with a zero-width lookahead anchored
+    at token boundaries (overlapping matches), NOT as a
+    ``transform(sequence, i -> element_at(toks, i))`` lambda: expressions
+    referenced inside a higher-order-function lambda are re-evaluated per
+    element, so the lambda form re-tokenizes the whole document for every
+    n-gram position — O(len²) per doc (measured 4.5x slower at sf0.1).
+    The regex form is one linear scan and produces the identical gram set
+    in the identical first-occurrence order."""
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    pat = r"(?=(?:^| )((?:\S+ ){%d}\S+))" % (n - 1)
+    return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
+
+
+def word_ngrams_all(c: Column, n: int = 2) -> Column:
+    """ALL overlapping word n-grams in order (non-distinct — duplicate
+    grams preserved, for repetition/frequency statistics). Same
+    single-pass lookahead-regex construction as :func:`word_ngrams`."""
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    pat = r"(?=(?:^| )((?:\S+ ){%d}\S+))" % (n - 1)
+    return F.regexp_extract_all(norm, F.lit(pat), 1)
 
 
 def jaccard(a: Column, b: Column) -> Column:

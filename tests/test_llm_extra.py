@@ -7,6 +7,7 @@ partition totality."""
 from __future__ import annotations
 
 import hashlib
+import math
 import re
 
 from pyspark.sql import functions as F
@@ -76,6 +77,57 @@ def test_vocab_stats_consistency(spark):
     for r in rows:
         assert 0 < r.vocab_size <= r.total_tokens
         assert abs(r.ttr - round(r.vocab_size / r.total_tokens, 6)) < 1e-12
+
+
+def test_embedding_quantization_quality(spark):
+    rows = registry.QUERIES["embedding_quantize_int8"](spark, SF_SMOKE).collect()
+    emb = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet").collect()
+    }
+    assert set(r.vec_id for r in rows) == set(emb)  # no zero vectors dropped
+    for r in rows:
+        v = emb[r.vec_id]
+        assert r.scale > 0
+        max_abs = max(abs(x) for x in v)
+        assert abs(r.scale - max_abs / 127.0) < 1e-12
+        # half-away-from-zero to match Spark/DuckDB round (python round()
+        # is half-to-even)
+        q = [
+            int(math.copysign(math.floor(abs(x / r.scale) + 0.5), x)) for x in v
+        ]
+        # int8 range respected by construction of the symmetric scale
+        assert all(-127 <= qi <= 127 for qi in q)
+        assert r.q_sum == sum(q)
+        # reconstruction error bounded by (scale/2)^2 per element
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12
+
+
+def test_multimodal_resize_contract(spark):
+    rows = registry.QUERIES["multimodal_resize_fake"](spark, SF_SMOKE).collect()
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    assert len(rows) == n_docs  # 1:1 row mapping
+    for r in rows:
+        assert r.ok
+        assert (r.out_width, r.out_height) == (32, 32)
+        assert r.n_resized_bytes == 32 * 32  # fixed-size output blobs
+        assert 64 <= r.width < 256 and 64 <= r.height < 256
+
+
+def test_resize_real_path_requires_codec(spark):
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(1)
+    try:
+        import PIL  # noqa: F401
+
+        _pytest.skip("PIL installed; stub path not applicable")
+    except ImportError:
+        pass
+    with _pytest.raises(NotImplementedError):
+        mm.resize_images(mm.with_binary_payload(docs), fake=False)
 
 
 def test_range_join_partitions_all_events(spark):
