@@ -105,6 +105,7 @@ HEADLINE = [
     "range_join_value_tiers",
     "embedding_quantize_int8",
     "multimodal_resize_fake",
+    "user_event_timeline",
 ]
 
 

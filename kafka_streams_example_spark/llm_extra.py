@@ -17,6 +17,8 @@
                             reconstruction-error metrics, engine-exact.
 - multimodal_resize_fake:   the resize stage of the media pipeline
                             (deterministic fake path, real Spark plumbing).
+- user_event_timeline:      per-user time-ordered sequence assembly
+                            (collect_list + sort_array, one shuffle).
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -364,6 +366,50 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         "scale",
         F.aggregate(q, F.lit(0.0), lambda a, b: a + b).cast("long").alias("q_sum"),
         F.round(err / F.lit(float(_DIM)), 9).alias("mse"),
+    )
+
+
+@register(
+    "user_event_timeline",
+    """
+WITH ordered AS (
+    SELECT user_id,
+           list(event_type ORDER BY ts, event_id) AS seq
+    FROM events GROUP BY user_id
+)
+SELECT user_id,
+       len(seq) AS n_events,
+       seq[1] AS first_event,
+       seq[len(seq)] AS last_event,
+       array_to_string(seq[1:8], '->') AS path8
+FROM ordered
+""",
+)
+def user_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-sequence assembly: collect each user's events into a
+    time-ordered array and derive sequence features (first/last event, the
+    first-8-step path). The grouped-sequence construction is the example-
+    assembly step of behavioral-data / SFT-trajectory pipelines.
+
+    Scale: one shuffle on user_id with map-side partial collect_list;
+    sort_array on the collected structs replaces a global orderBy (no
+    range exchange), and per-user sequences are bounded by user activity,
+    not corpus size. Determinism: (ts, event_id) is a unique sort key, so
+    the struct lexicographic sort equals the oracle's ORDER BY ts,
+    event_id.
+    """
+    ev = _load_parallel(spark, sf_dir, "events")
+    seq = F.sort_array(
+        F.collect_list(F.struct(F.col("ts"), F.col("event_id"), F.col("event_type")))
+    )
+    per_user = ev.groupBy("user_id").agg(seq.alias("seq"))
+    types = F.transform(F.col("seq"), lambda s: s["event_type"])
+    return per_user.select(
+        "user_id",
+        F.size("seq").alias("n_events"),
+        F.element_at(types, 1).alias("first_event"),
+        F.element_at(types, -1).alias("last_event"),
+        F.concat_ws("->", F.slice(types, 1, 8)).alias("path8"),
     )
 
 

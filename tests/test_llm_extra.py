@@ -130,6 +130,19 @@ def test_resize_real_path_requires_codec(spark):
         mm.resize_images(mm.with_binary_payload(docs), fake=False)
 
 
+def test_user_event_timeline_totals(spark):
+    out = registry.QUERIES["user_event_timeline"](spark, SF_SMOKE).collect()
+    ev = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    assert sum(r.n_events for r in out) == ev.count()
+    for r in out:
+        assert r.n_events >= 1
+        assert r.path8.startswith(r.first_event)
+        steps = r.path8.split("->")
+        assert len(steps) == min(r.n_events, 8)
+        if r.n_events <= 8:
+            assert steps[-1] == r.last_event
+
+
 def test_range_join_partitions_all_events(spark):
     out = registry.QUERIES["range_join_value_tiers"](spark, SF_SMOKE)
     n_binned = out.agg(F.sum("n_events")).collect()[0][0]
