@@ -106,6 +106,8 @@ HEADLINE = [
     "embedding_quantize_int8",
     "multimodal_resize_fake",
     "user_event_timeline",
+    "similarity_quantized_topk",
+    "bpe_pair_candidates",
 ]
 
 

@@ -19,6 +19,10 @@
                             (deterministic fake path, real Spark plumbing).
 - user_event_timeline:      per-user time-ordered sequence assembly
                             (collect_list + sort_array, one shuffle).
+- similarity_quantized_topk: cosine top-k over int8-quantized vectors —
+                            the ANN scale path, still oracle-exact.
+- bpe_pair_candidates:      first BPE merge iteration (adjacent char-pair
+                            counts, top-20 merge candidates).
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -410,6 +414,152 @@ def user_event_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.element_at(types, 1).alias("first_event"),
         F.element_at(types, -1).alias("last_event"),
         F.concat_ws("->", F.slice(types, 1, 8)).alias("path8"),
+    )
+
+
+def _duck_dequant_cte() -> str:
+    """Shared oracle CTEs: per-vector int8 reconstruction (same math as
+    embedding_quantize_int8)."""
+    return """
+WITH s AS (
+    SELECT vec_id, embedding AS e,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(e, x -> round(x::DOUBLE / scale) * scale) AS v
+    FROM s WHERE scale > 0
+)"""
+
+
+def _register_quantized_topk() -> None:
+    from kafka_streams_example_spark.registry import _duck_cosine
+
+    oracle = (
+        _duck_dequant_cte()
+        + f""",
+q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, c.vec_id, {_duck_cosine('q.qv', 'c.v')} AS score
+    FROM d c, q WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score FROM ranked WHERE rnk <= 10
+"""
+    )
+
+    @register("similarity_quantized_topk", oracle)
+    def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Brute-force cosine top-10 over int8-QUANTIZED vectors — the
+        memory/bandwidth-bound scale path of ANN serving (4x smaller
+        vectors than float32, 8x than float64). Engine-exact: the
+        dequantized values, fold order and rounding reproduce bit-identically
+        in DuckDB, so even this approximate-by-quantization ranking is
+        oracle-checked (recall vs the float top-k is asserted in tests).
+
+        Plan shape: the reconstructed vectors are materialized behind an
+        explicit exchange BEFORE any per-pair math — folding a dot product
+        over a `transform(...)` expression would re-evaluate the whole
+        dequantization per element (the higher-order-lambda re-evaluation
+        trap, see text.py:word_ngrams). Norms are computed once per vector
+        pre-join, so each of the |corpus| x |queries| pairs costs exactly
+        one fold.
+        """
+        from pyspark.sql.window import Window
+
+        from kafka_streams_example_spark.operators import similarity as sim
+
+        emb = _load_parallel(spark, sf_dir, "embeddings")
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        s1 = emb.select("vec_id", vd.alias("v"))
+        s2 = s1.select(
+            "vec_id",
+            "v",
+            (F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)).alias(
+                "scale"
+            ),
+        ).filter(F.col("scale") > 0)
+        deq = s2.select(
+            "vec_id",
+            F.transform(
+                F.col("v"), lambda x: F.round(x / F.col("scale")) * F.col("scale")
+            ).alias("v"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        base = deq.select(
+            "vec_id", "v", F.sqrt(sim.dot(F.col("v"), F.col("v"), _DIM)).alias("nrm")
+        )
+        q = base.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        scored = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
+            "score",
+            sim.dot(F.col("qv"), F.col("v"), _DIM) / (F.col("qnrm") * F.col("nrm")),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("q_id", "vec_id", "rnk", F.round("score", 6).alias("score"))
+        )
+
+
+_register_quantized_topk()
+
+
+@register(
+    "bpe_pair_candidates",
+    """
+WITH t AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s FROM documents),
+p AS (
+    SELECT unnest(list_transform(generate_series(1, greatest(length(s) - 1, 0)),
+                                 i -> substr(s, i, 2))) AS pair
+    FROM t
+)
+SELECT pair, count(*) AS cnt
+FROM p WHERE pair NOT LIKE '% %'
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-wide counts of adjacent character
+    pairs (word-internal only — pairs spanning a space are pretoken
+    boundaries), top-20 merge candidates. The inner loop of tokenizer
+    vocabulary induction, expressed as explode + hash aggregation.
+
+    Scale: pair generation is zip_with over two references of the same
+    split array (argument position — evaluated once each, NOT per
+    element); the count shuffles only (pair, partial_count) pairs thanks
+    to map-side partial aggregation, and the top-20 is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    stage = docs.select(norm.alias("s"))
+    chars = F.split(F.col("s"), "")
+    pairs = F.when(
+        F.size(chars) >= 2,
+        F.filter(
+            F.zip_with(
+                chars,
+                F.slice(chars, 2, F.size(chars)),
+                lambda a, b: F.concat(a, b),
+            ),
+            lambda p: p.isNotNull() & ~p.contains(" "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        stage.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(20)
     )
 
 

@@ -143,6 +143,32 @@ def test_user_event_timeline_totals(spark):
             assert steps[-1] == r.last_event
 
 
+def test_quantized_topk_recall(spark):
+    exact = registry.QUERIES["similarity_cosine_topk"](spark, SF_SMOKE).collect()
+    quant = registry.QUERIES["similarity_quantized_topk"](spark, SF_SMOKE).collect()
+
+    def by_query(rows):
+        out = {}
+        for r in rows:
+            out.setdefault(r.q_id, set()).add(r.vec_id)
+        return out
+
+    e, q = by_query(exact), by_query(quant)
+    assert set(e) == set(q)
+    recalls = [len(e[k] & q[k]) / len(e[k]) for k in e]
+    # int8 quantization barely perturbs cosine ranking
+    assert sum(recalls) / len(recalls) >= 0.8, recalls
+
+
+def test_bpe_pair_candidates_shape(spark):
+    rows = registry.QUERIES["bpe_pair_candidates"](spark, SF_SMOKE).collect()
+    assert len(rows) == 20
+    cnts = [r.cnt for r in rows]
+    assert cnts == sorted(cnts, reverse=True)
+    for r in rows:
+        assert len(r.pair) == 2 and " " not in r.pair
+
+
 def test_range_join_partitions_all_events(spark):
     out = registry.QUERIES["range_join_value_tiers"](spark, SF_SMOKE)
     n_binned = out.agg(F.sum("n_events")).collect()[0][0]
