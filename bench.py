@@ -108,6 +108,8 @@ HEADLINE = [
     "user_event_timeline",
     "similarity_quantized_topk",
     "bpe_pair_candidates",
+    "multimodal_frame_sample",
+    "sft_next_event_pairs",
 ]
 
 

@@ -23,6 +23,10 @@
                             the ANN scale path, still oracle-exact.
 - bpe_pair_candidates:      first BPE merge iteration (adjacent char-pair
                             counts, top-20 merge candidates).
+- multimodal_frame_sample:  the frame-sampling (1 blob -> N frames)
+                            explode stage, oracle-exact offset math.
+- sft_next_event_pairs:     next-event training-pair assembly (bounded
+                            windowed context, no self-join).
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -560,6 +564,71 @@ def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("cnt"))
         .orderBy(F.col("cnt").desc(), F.col("pair"))
         .limit(20)
+    )
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id,
+       unnest(generate_series(0, least(7, strlen(text) // 1024))) AS frame_no,
+       unnest(generate_series(0, least(7, strlen(text) // 1024))) * 1024 AS byte_offset,
+       md5(substr(text, 1, 32)) AS frame_md5
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (video -> frames dataflow shape): one blob row
+    explodes to one row per sampled byte offset. The offset arithmetic
+    stands in for a real decoder; the 1->N explode, bounded fan-out
+    (max 8 frames) and per-frame fingerprint are the parts that matter
+    for partitioning — and they are pure JVM expressions, so this stage
+    is oracle-exact (the payload is utf-8 text bytes, so byte lengths and
+    the 32-char prefix hash reproduce in DuckDB via strlen/substr).
+    """
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.with_binary_payload(docs))
+    return frames.select("doc_id", "frame_no", "byte_offset", "frame_md5")
+
+
+@register(
+    "sft_next_event_pairs",
+    """
+SELECT event_id, user_id,
+       coalesce(array_to_string(
+           list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                  ROWS BETWEEN 3 PRECEDING AND 1 PRECEDING),
+           '->'), '') AS context,
+       event_type AS label
+FROM events
+""",
+)
+def sft_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Next-event training-pair construction: for every event, the
+    preceding (up to) 3 event types of the same user as the context and
+    the current event type as the label — the example-assembly step of a
+    next-token / next-action prediction dataset, as a windowed
+    collect_list (no self-join).
+
+    Scale: one shuffle on user_id + an in-partition sort; the context
+    frame is bounded (3), so state per row is constant and the operator
+    streams through window evaluation regardless of user history length.
+    """
+    from pyspark.sql.window import Window
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-3, -1)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.concat_ws("->", F.collect_list("event_type").over(w)).alias("context"),
+        F.col("event_type").alias("label"),
     )
 
 

@@ -169,6 +169,37 @@ def test_bpe_pair_candidates_shape(spark):
         assert len(r.pair) == 2 and " " not in r.pair
 
 
+def test_sft_pairs_context_discipline(spark):
+    rows = registry.QUERIES["sft_next_event_pairs"](spark, SF_SMOKE).collect()
+    from kafka_streams_example_spark.sources.files import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").collect()
+    assert len(rows) == len(ev)  # one training pair per event
+    for r in rows:
+        steps = [s for s in r.context.split("->") if s]
+        assert len(steps) <= 3
+    # each user's (ts, event_id)-earliest event has an empty context
+    first_eid = {}
+    for e in ev:
+        cur = first_eid.get(e.user_id)
+        if cur is None or (e.ts, e.event_id) < cur[0]:
+            first_eid[e.user_id] = ((e.ts, e.event_id), e.event_id)
+    firsts = {eid for _, eid in first_eid.values()}
+    ctx = {r.event_id: r.context for r in rows}
+    assert all(ctx[eid] == "" for eid in firsts)
+
+
+def test_frame_sample_fanout_bounded(spark):
+    rows = registry.QUERIES["multimodal_frame_sample"](spark, SF_SMOKE).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+        assert r.byte_offset == r.frame_no * 1024
+    for frames in by_doc.values():
+        assert 1 <= len(frames) <= 8
+        assert len({f.frame_md5 for f in frames}) == 1
+
+
 def test_range_join_partitions_all_events(spark):
     out = registry.QUERIES["range_join_value_tiers"](spark, SF_SMOKE)
     n_binned = out.agg(F.sum("n_events")).collect()[0][0]
