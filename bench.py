@@ -110,6 +110,7 @@ HEADLINE = [
     "bpe_pair_candidates",
     "multimodal_frame_sample",
     "sft_next_event_pairs",
+    "similarity_cosine_topk_vectorized",
 ]
 
 

@@ -27,6 +27,8 @@
                             explode stage, oracle-exact offset math.
 - sft_next_event_pairs:     next-event training-pair assembly (bounded
                             windowed context, no self-join).
+- similarity_cosine_topk_vectorized: Arrow/numpy-matmul brute-force
+                            top-k with per-batch local pruning.
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -515,6 +517,21 @@ SELECT q_id, vec_id, rnk, round(score, 6) AS score FROM ranked WHERE rnk <= 10
 
 
 _register_quantized_topk()
+
+
+@register("similarity_cosine_topk_vectorized")
+def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy-matmul flavor of the exact brute-force cosine
+    top-k (query set = vec_id < 8). Emits only per-batch local top-k, so
+    the final shuffle is queries x partitions x k rows regardless of
+    corpus size. Rows-only driver check (BLAS sum order is not the
+    sequential fold); ranking equality with the JVM-fold query is
+    asserted exactly in tests."""
+    from kafka_streams_example_spark.operators import similarity as sim
+    from kafka_streams_example_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 8), k=10)
 
 
 @register(

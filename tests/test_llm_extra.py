@@ -160,6 +160,18 @@ def test_quantized_topk_recall(spark):
     assert sum(recalls) / len(recalls) >= 0.8, recalls
 
 
+def test_vectorized_topk_matches_jvm_fold(spark):
+    exact = registry.QUERIES["similarity_cosine_topk"](spark, SF_SMOKE).collect()
+    vect = registry.QUERIES["similarity_cosine_topk_vectorized"](spark, SF_SMOKE).collect()
+    key = lambda r: (r.q_id, r.rnk)  # noqa: E731
+    e = {key(r): (r.vec_id, r.score) for r in exact}
+    v = {key(r): (r.vec_id, r.score) for r in vect}
+    assert set(e) == set(v)
+    for kk in e:
+        assert e[kk][0] == v[kk][0], kk  # identical ranking
+        assert abs(e[kk][1] - v[kk][1]) < 1e-9  # scores equal after rounding
+
+
 def test_bpe_pair_candidates_shape(spark):
     rows = registry.QUERIES["bpe_pair_candidates"](spark, SF_SMOKE).collect()
     assert len(rows) == 20
