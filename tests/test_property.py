@@ -88,3 +88,96 @@ def test_anomalies_invariant_under_row_order(spark, rows, rnd):
         }
 
     assert run(rows) == run(shuffled)
+
+
+# ---------------------------------------------------------------------------
+# Quantization and repetition-signal properties (llm_extra operators)
+# ---------------------------------------------------------------------------
+
+vector = st.lists(
+    st.floats(
+        min_value=-100.0, max_value=100.0, allow_nan=False, allow_infinity=False
+    ),
+    min_size=4,
+    max_size=4,
+).filter(lambda v: max(abs(x) for x in v) > 0)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(vector, min_size=1, max_size=8))
+def test_int8_quantization_properties(spark, vectors):
+    """Engine quantization on arbitrary vectors: |q| <= 127, per-element
+    reconstruction error <= scale/2, and the engine's (scale, q_sum, mse)
+    agree with an independent numpy reimplementation."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vectors)], "vec_id long, v array<double>"
+    )
+    scale = (
+        F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)
+    ).alias("scale")
+    staged = df.select("vec_id", "v", scale).filter(F.col("scale") > 0)
+    q = F.transform(F.col("v"), lambda x: F.round(x / F.col("scale")))
+    err = F.aggregate(
+        F.zip_with(F.col("v"), q, lambda x, qq: F.pow(x - qq * F.col("scale"), 2)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    rows = staged.select(
+        "vec_id",
+        "scale",
+        F.aggregate(q, F.lit(0.0), lambda a, b: a + b).cast("long").alias("q_sum"),
+        (err / F.size("v")).alias("mse"),
+    ).collect()
+    assert len(rows) == len(vectors)
+    for r in rows:
+        v = np.array(vectors[r.vec_id], dtype=np.float64)
+        ref_scale = np.abs(v).max() / 127.0
+        assert abs(r.scale - ref_scale) < 1e-12
+        ref_q = np.sign(v) * np.floor(np.abs(v / ref_scale) + 0.5)
+        assert np.all(np.abs(ref_q) <= 127)
+        assert r.q_sum == int(ref_q.sum())
+        ref_mse = float(np.mean((v - ref_q * ref_scale) ** 2))
+        assert abs(r.mse - ref_mse) < 1e-9
+        assert r.mse <= (r.scale / 2) ** 2 + 1e-12
+
+
+words = st.lists(
+    st.sampled_from(["the", "cat", "sat", "mat", "dog", "a"]),
+    min_size=0,
+    max_size=12,
+)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.lists(words, min_size=1, max_size=5))
+def test_repetition_signals_match_python_reference(spark, docs):
+    """Engine repetition signals == a direct Python reimplementation on
+    arbitrary word sequences (including empty and single-word docs)."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_example_spark.operators import text as tx
+
+    df = spark.createDataFrame(
+        [(i, " ".join(ws)) for i, ws in enumerate(docs)], "doc_id long, text string"
+    )
+    t = tx.tokens(F.lower(F.col("text")))
+    bg = tx.word_ngrams_all(F.col("text"), 2)
+    stage = df.select("doc_id", t.alias("t"), bg.alias("bg"))
+    rows = stage.select(
+        "doc_id",
+        F.size("t").alias("n"),
+        F.size(F.array_distinct("t")).alias("nd"),
+        F.size("bg").alias("nbg"),
+        F.size(F.array_distinct("bg")).alias("nbgd"),
+    ).collect()
+    for r in rows:
+        ws = docs[r.doc_id]
+        assert r.n == len(ws)
+        assert r.nd == len(set(ws))
+        ref_bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
+        assert r.nbg == len(ref_bg)
+        assert r.nbgd == len(set(ref_bg))

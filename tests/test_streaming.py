@@ -593,3 +593,64 @@ def test_update_mode_changelog_emission(spark, tmp_path):
     rows = [tuple(r) for r in spark.sql("SELECT * FROM chlog").collect()]
     # the same window appears twice: once at sum 1.0, updated to 3.0
     assert (1704067200, 1.0) in rows and (1704067200, 3.0) in rows
+
+
+def test_streaming_corpus_prep_matches_batch(spark, tmp_path):
+    """North-star text ops composed as a STREAMING program: quality-score
+    the incoming documents, drop exact duplicates within the watermark,
+    keep high-quality docs — and the result must equal the same program
+    run in batch (prefix-consistency of Structured Streaming)."""
+    import json as _json
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_example_spark.functions.hashing import fingerprint_md5
+    from kafka_streams_example_spark.operators import text as tx
+
+    src = tmp_path / "docs_stream"
+    src.mkdir()
+    docs = [
+        # two exact dups (same normalized text), varying quality
+        {"ts": "2024-01-01T00:00:01", "doc_id": 1, "text": "the cat sat on the mat and looked at the dog"},
+        {"ts": "2024-01-01T00:00:02", "doc_id": 2, "text": "The  cat sat on the mat and looked at the dog"},
+        {"ts": "2024-01-01T00:00:03", "doc_id": 3, "text": "@@@ ### $$$"},
+        {"ts": "2024-01-01T00:00:04", "doc_id": 4, "text": "a completely different document about spark and streams in the wild"},
+    ]
+    with open(src / "part0.json", "w") as f:
+        for d in docs:
+            f.write(_json.dumps(d) + "\n")
+
+    def prep(df):
+        scored = df.withColumn("quality", tx.quality_score(F.col("text"))).withColumn(
+            "fp", fingerprint_md5(F.col("text"))
+        )
+        return scored.filter(F.col("quality") >= 0.3)
+
+    schema = "ts TIMESTAMP, doc_id LONG, text STRING"
+    stream = spark.readStream.schema(schema).json(str(src))
+    prepped = prep(stream.withWatermark("ts", "10 minutes")).dropDuplicatesWithinWatermark(
+        ["fp"]
+    )
+    q = (
+        prepped.writeStream.format("memory")
+        .queryName("corpus_prep_stream")
+        .outputMode("append")
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.doc_id: round(r.quality, 4)
+        for r in spark.sql("select * from corpus_prep_stream").collect()
+    }
+
+    batch = prep(spark.read.schema(schema).json(str(src))).dropDuplicates(["fp"])
+    want = {r.doc_id: round(r.quality, 4) for r in batch.collect()}
+
+    # dup group {1,2}: exactly one survivor in each mode; stream keeps the
+    # first arrival (ts order), batch keeps an arbitrary one -> compare fps
+    assert set(got) - {1, 2} == set(want) - {1, 2}
+    assert len([d for d in got if d in (1, 2)]) == 1
+    assert len([d for d in want if d in (1, 2)]) == 1
+    assert 3 not in got  # low-quality doc filtered before dedup state
+    assert got[4] == want[4]
