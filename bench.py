@@ -111,6 +111,7 @@ HEADLINE = [
     "multimodal_frame_sample",
     "sft_next_event_pairs",
     "similarity_cosine_topk_vectorized",
+    "map_functions_roundtrip",
 ]
 
 

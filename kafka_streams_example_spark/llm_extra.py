@@ -29,6 +29,8 @@
                             windowed context, no self-join).
 - similarity_cosine_topk_vectorized: Arrow/numpy-matmul brute-force
                             top-k with per-batch local pruning.
+- map_functions_roundtrip:  map-typed column surface (construct ->
+                            inspect -> explode, proven lossless).
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -646,6 +648,55 @@ def sft_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         F.concat_ws("->", F.collect_list("event_type").over(w)).alias("context"),
         F.col("event_type").alias("label"),
+    )
+
+
+@register(
+    "map_functions_roundtrip",
+    """
+WITH counts AS (
+    SELECT user_id, event_type, count(*) AS cnt
+    FROM events GROUP BY user_id, event_type
+),
+per_user AS (
+    SELECT user_id,
+           count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total
+    FROM counts GROUP BY user_id
+)
+SELECT c.user_id, c.event_type, c.cnt, p.n_keys, p.total
+FROM counts c JOIN per_user p USING (user_id)
+""",
+)
+def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: per user, build a map<event_type, count>
+    with map_from_entries, derive per-map scalars (size(map_keys),
+    aggregate(map_values)), then explode the map back to rows. The
+    construct -> inspect -> explode roundtrip covers the map-function
+    family the way json_wire_roundtrip covers structs; the oracle is the
+    plain relational equivalent, so the roundtrip is proven lossless.
+
+    Scale: one shuffle for the (user, type) counts, a second for the
+    per-user map assembly; maps are bounded by the per-user distinct
+    event-type count, not event volume.
+    """
+    ev = _load_parallel(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    maps = counts.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.sort_array(F.collect_list(F.struct("event_type", "cnt")))
+        ).alias("m")
+    )
+    enriched = maps.select(
+        "user_id",
+        "m",
+        F.size(F.map_keys(F.col("m"))).alias("n_keys"),
+        F.aggregate(
+            F.map_values(F.col("m")), F.lit(0).cast("long"), lambda a, b: a + b
+        ).alias("total"),
+    )
+    return enriched.select(
+        "user_id", F.explode("m").alias("event_type", "cnt"), "n_keys", "total"
     )
 
 
