@@ -112,6 +112,7 @@ HEADLINE = [
     "sft_next_event_pairs",
     "similarity_cosine_topk_vectorized",
     "map_functions_roundtrip",
+    "distribution_rank_functions",
 ]
 
 

@@ -31,6 +31,8 @@
                             top-k with per-batch local pruning.
 - map_functions_roundtrip:  map-typed column surface (construct ->
                             inspect -> explode, proven lossless).
+- distribution_rank_functions: ntile / percent_rank / cume_dist /
+                            levenshtein coverage.
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -697,6 +699,48 @@ def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return enriched.select(
         "user_id", F.explode("m").alias("event_type", "cnt"), "n_keys", "total"
+    )
+
+
+@register(
+    "distribution_rank_functions",
+    """
+SELECT n_name, c_custkey,
+       ntile(4) OVER w AS balance_quartile,
+       round(percent_rank() OVER w, 6) AS pct_rank,
+       round(cume_dist() OVER w, 6) AS cume,
+       levenshtein(c_mktsegment, 'BUILDING') AS seg_edit_dist
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def distribution_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-window surface: ntile quartiles, percent_rank and
+    cume_dist per nation (deterministic under the unique
+    (c_acctbal, c_custkey) ordering) plus levenshtein edit distance —
+    the remaining ranking/string functions not covered by
+    ranking_top_customers.
+
+    Scale: one shuffle on the partition key; percent_rank/cume_dist are
+    rational k/n values, exact in both engines before the cosmetic
+    round(6)."""
+    from pyspark.sql.window import Window
+
+    from kafka_streams_example_spark.sources.files import load_table
+
+    cust = _load_parallel(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(F.col("c_acctbal").desc(), F.col("c_custkey"))
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            F.ntile(4).over(w).alias("balance_quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_edit_dist"),
+        )
     )
 
 
