@@ -113,6 +113,8 @@ HEADLINE = [
     "similarity_cosine_topk_vectorized",
     "map_functions_roundtrip",
     "distribution_rank_functions",
+    "skew_salted_event_totals",
+    "corpus_quality_rollup",
 ]
 
 

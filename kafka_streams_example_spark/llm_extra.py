@@ -33,6 +33,10 @@
                             inspect -> explode, proven lossless).
 - distribution_rank_functions: ntile / percent_rank / cume_dist /
                             levenshtein coverage.
+- skew_salted_event_totals: two-phase salted aggregation of hot keys,
+                            proven semantics-preserving by the oracle.
+- corpus_quality_rollup:    ROLLUP quality/size dashboard per
+                            (lang, source) with exact decimal sums.
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -740,6 +744,94 @@ def distribution_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
             F.round(F.cume_dist().over(w), 6).alias("cume"),
             F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_edit_dist"),
+        )
+    )
+
+
+@register(
+    "skew_salted_event_totals",
+    """
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(floor(value) AS BIGINT)) AS BIGINT) AS sum_fv
+FROM events GROUP BY event_type
+""",
+)
+def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-safe two-phase aggregation surfaced as a driver-checked query:
+    events grouped by event_type (a handful of giant groups — exactly the
+    hot-key shape) via operators/skew.py:salted_agg. Phase 1 partial-sums
+    per (key, salt) spreading each hot key over 16 reducers; phase 2
+    combines per key. The oracle is the plain single-phase GROUP BY,
+    proving the salted plan is semantics-preserving.
+
+    The summed measure is integer-domain (floor(value) as BIGINT) so the
+    oracle match is exact regardless of the salt-induced summation order;
+    production double/decimal sums use the same operator unchanged.
+    """
+    from kafka_streams_example_spark.operators.skew import salted_agg
+
+    ev = _load_parallel(spark, sf_dir, "events").withColumn(
+        "fv", F.floor("value").cast("long")
+    )
+    return salted_agg(ev, ["event_type"], {"fv": "sum_fv"}, buckets=16)
+
+
+@register(
+    "corpus_quality_rollup",
+    f"""
+WITH t AS (SELECT lang, source, n_chars, {_TOKS} AS toks, text FROM documents),
+scored AS (
+    SELECT lang, source, n_chars,
+           round(0.4 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
+               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0 THEN
+                     length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+                     / CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
+           AS quality
+    FROM t
+)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(round(sum(CAST(quality AS DECIMAL(8,4))), 6) AS DOUBLE) AS sum_quality,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_chars) AS max_chars
+FROM scored
+GROUP BY ROLLUP (lang, source)
+""",
+)
+def corpus_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality dashboard: ROLLUP over (lang, source) of document
+    counts, summed quality score, and size stats — the
+    monitor-your-training-data query. Quality scores are 4-decimal by
+    construction, so the decimal-cast sum is exact across engines and
+    summation orders.
+
+    Scale: ROLLUP is one Expand + one shuffle with map-side partials;
+    quality scoring is per-row JVM expression work on the scan side.
+    """
+    from kafka_streams_example_spark.registry import _sum_dbl
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", tx.quality_score(F.col("text")))
+    return (
+        scored.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _sum_dbl(F.col("quality").cast("decimal(8,4)")).alias("sum_quality"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_quality",
+            "total_chars",
+            "max_chars",
         )
     )
 
