@@ -115,6 +115,7 @@ HEADLINE = [
     "distribution_rank_functions",
     "skew_salted_event_totals",
     "corpus_quality_rollup",
+    "value_window_functions",
 ]
 
 

@@ -37,6 +37,8 @@
                             proven semantics-preserving by the oracle.
 - corpus_quality_rollup:    ROLLUP quality/size dashboard per
                             (lang, source) with exact decimal sums.
+- value_window_functions:   first_value / last_value / nth_value with
+                            explicit unbounded frames.
 
 These are engine-surface extensions, not ports: the reference
 (thingsboard/kafka-streams-example, SolarConsumer.java — the whole topology)
@@ -833,6 +835,47 @@ def corpus_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_chars",
             "max_chars",
         )
+    )
+
+
+@register(
+    "value_window_functions",
+    """
+SELECT n_name, c_custkey,
+       first_value(c_name) OVER w AS richest,
+       last_value(c_name) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS poorest,
+       nth_value(c_name, 2) OVER (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           AS runner_up
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+""",
+)
+def value_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-window surface: first_value / last_value / nth_value per
+    nation under the unique (c_acctbal desc, c_custkey) ordering —
+    last_value and nth_value over the FULL frame (the default
+    running-frame for last_value is the classic SQL footgun; both engines
+    get the explicit unbounded frame).
+
+    Scale: same single-shuffle window shape as the ranking queries."""
+    from pyspark.sql.window import Window
+
+    from kafka_streams_example_spark.sources.files import load_table
+
+    cust = _load_parallel(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    order = [F.col("c_acctbal").desc(), F.col("c_custkey")]
+    w_run = Window.partitionBy("n_name").orderBy(*order)
+    w_full = w_run.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey).select(
+        "n_name",
+        "c_custkey",
+        F.first("c_name").over(w_run).alias("richest"),
+        F.last("c_name").over(w_full).alias("poorest"),
+        F.nth_value("c_name", 2).over(w_full).alias("runner_up"),
     )
 
 

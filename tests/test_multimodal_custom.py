@@ -263,3 +263,45 @@ def test_running_panel_totals_tws_across_batches(spark, tmp_path):
     assert p1.total_count == 3 and p1.total_power == 7.0
     p2 = max((r for r in rows if r.panel == "p2"), key=lambda r: r.total_count)
     assert p2.total_count == 1 and p2.total_power == 9.0
+
+
+def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
+    """spark.read.format('binaryFile') — the real media-ingestion path:
+    opaque blobs + (path, length) metadata straight from the filesystem,
+    feeding the same byte-feature extractor the parquet-backed queries
+    use. Proves the multimodal operators are source-agnostic."""
+    import numpy as np
+
+    from pyspark.sql import functions as F
+
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    blobs = {"a.bin": b"\x00\x01\x02\x03" * 64, "b.bin": b"spark" * 100}
+    for name, payload in blobs.items():
+        (tmp_path / name).write_bytes(payload)
+
+    df = (
+        spark.read.format("binaryFile")
+        .load(str(tmp_path))
+        .select(
+            F.element_at(F.split("path", "/"), -1).alias("fname"),
+            F.col("length"),
+            F.col("content").alias("payload"),
+        )
+        .withColumn("doc_id", F.monotonically_increasing_id())
+    )
+    rows = {
+        r.fname: r
+        for r in df.join(
+            mm.byte_features(df, id_col="doc_id", bin_col="payload"), "doc_id"
+        ).collect()
+    }
+    assert set(rows) == set(blobs)
+    for name, payload in blobs.items():
+        r = rows[name]
+        assert r.length == len(payload) == r.n_bytes
+        arr = np.frombuffer(payload, dtype=np.uint8)
+        counts = np.bincount(arr, minlength=256)
+        p = counts[counts > 0] / len(arr)
+        assert abs(r.byte_entropy - float(-(p * np.log2(p)).sum())) < 1e-12
+        assert abs(r.mean_byte - float(arr.mean())) < 1e-12
