@@ -654,3 +654,61 @@ def test_streaming_corpus_prep_matches_batch(spark, tmp_path):
     assert len([d for d in want if d in (1, 2)]) == 1
     assert 3 not in got  # low-quality doc filtered before dedup state
     assert got[4] == want[4]
+
+
+def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
+    """Stream-stream LEFT OUTER interval join: unmatched left rows must be
+    emitted with NULL right side — but only once the watermark passes the
+    join-condition upper bound (Spark holds them in state until no future
+    match is possible). The second batch advances event time far enough
+    to flush the unmatched click."""
+    a_dir, b_dir = tmp_path / "lo_a", tmp_path / "lo_b"
+    os.makedirs(a_dir)
+    os.makedirs(b_dir)
+    write_jsonl(str(a_dir / "a0.json"), [
+        {"ts": "2024-01-01 00:00:10", "user_id": 1, "click_id": 100},  # matched
+        {"ts": "2024-01-01 00:05:00", "user_id": 2, "click_id": 200},  # never matched
+    ])
+    write_jsonl(str(b_dir / "b0.json"), [
+        {"ts": "2024-01-01 00:00:40", "user_id": 1, "purchase_id": 500},
+    ])
+    clicks = (
+        spark.readStream.schema("ts TIMESTAMP, user_id LONG, click_id LONG")
+        .json(str(a_dir)).withWatermark("ts", "10 seconds").alias("c")
+    )
+    purchases = (
+        spark.readStream.schema("ts TIMESTAMP, user_id LONG, purchase_id LONG")
+        .json(str(b_dir)).withWatermark("ts", "10 seconds").alias("p")
+    )
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c.user_id = p.user_id AND "
+            "p.ts BETWEEN c.ts - INTERVAL 1 MINUTE AND c.ts + INTERVAL 1 MINUTE"
+        ),
+        "leftOuter",
+    )
+    q = (
+        joined.select("click_id", "purchase_id")
+        .writeStream.format("memory").queryName("ss_left_outer")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_lo"))
+        .start()
+    )
+    q.processAllAvailable()
+    # advance the watermark well past click 200's match window
+    write_jsonl(str(a_dir / "a1.json"), [
+        {"ts": "2024-01-01 03:00:00", "user_id": 9, "click_id": 999},
+    ])
+    write_jsonl(str(b_dir / "b1.json"), [
+        {"ts": "2024-01-01 03:00:00", "user_id": 9, "purchase_id": 998},
+    ])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        (r.click_id, r.purchase_id)
+        for r in spark.sql("SELECT * FROM ss_left_outer").collect()
+    }
+    assert (100, 500) in got          # matched pair
+    assert (200, None) in got         # unmatched left emitted with NULL right
+    assert (999, 998) in got
