@@ -16,15 +16,19 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import LongType
 
 from kafka_streams_example_spark.schemas import ALL_TABLES
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
-# Parquet TIMESTAMP(NANOS) columns (driver testdata writes pandas
-# datetime64[ns]). Spark has no nanosecond timestamp type — we read them as
-# raw INT64 nanos (legacy conf) and truncate to microseconds, matching what
-# DuckDB's reader does (ns → us floor), so both engines window identically.
+# Columns that MAY arrive as parquet TIMESTAMP(NANOS) (pandas
+# datetime64[ns] writers). Spark has no nanosecond timestamp type — when the
+# file carries NANOS we read them as raw INT64 nanos (legacy conf) and
+# truncate to microseconds, matching what DuckDB's reader does (ns → us
+# floor), so both engines window identically. Files already written as
+# TIMESTAMP(MICROS) read natively and need no conversion — we detect which
+# case we got from the resolved read schema.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 
@@ -43,6 +47,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for c in nanos_cols:
+        # Only NANOS columns surface as LongType under nanosAsLong; MICROS
+        # columns are already TimestampType and must not be re-converted.
+        if not isinstance(df.schema[c].dataType, LongType):
+            continue
         # integer div (not /): nanos exceed 2^53, double math would lose bits
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
     return df
