@@ -261,23 +261,33 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: SimHash-bucket candidates → exact cosine
     ≥ threshold. Same LSH shape as similarity.lsh_bucketed_topk."""
-    from kafka_streams_example_spark.operators.similarity import cosine, simhash_bits
+    from kafka_streams_example_spark.operators.similarity import dot, norm, simhash_bits
 
-    docs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
-        "bucket", simhash_bits(F.col("v"), planes, dim)
+    docs = (
+        emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("bucket", simhash_bits(F.col("v"), planes, dim))
+        .withColumn("nrm", norm(F.col("v"), dim))
     )
     # explicit column renames on each side: DataFrame.alias self-joins on
-    # derived columns can hit Catalyst attribute-resolution internal errors
+    # derived columns can hit Catalyst attribute-resolution internal errors.
+    # Norms fold once per ROW here, before the bucket self-join — the
+    # per-pair cosine then costs one dot-fold, not three (bit-identical:
+    # dot/(nrm_a*nrm_b) is the same double expression either way).
     l = docs.select(
-        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket"
+        F.col("id").alias("id_a"), F.col("v").alias("v_a"), "bucket",
+        F.col("nrm").alias("nrm_a"),
     )
     r = docs.select(
-        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket"
+        F.col("id").alias("id_b"), F.col("v").alias("v_b"), "bucket",
+        F.col("nrm").alias("nrm_b"),
     )
     return (
         l.join(r, ["bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cos", cosine(F.col("v_a"), F.col("v_b"), dim))
+        .withColumn(
+            "cos",
+            dot(F.col("v_a"), F.col("v_b"), dim) / (F.col("nrm_a") * F.col("nrm_b")),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))
     )

@@ -57,13 +57,22 @@ def cosine_topk(
     """
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
+    # Norms are precomputed per row BEFORE the pairing join: scoring then
+    # costs one dot-fold per candidate instead of three (the per-pair
+    # cosine would re-fold both norms). dot/(norm_a*norm_b) is the same
+    # double expression either way, so scores stay bit-identical.
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec"), dim))
+    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
+        "nrm", norm(F.col(vec_col), dim)
     )
-    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
     scored = (
         c.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col), dim))
+        .withColumn(
+            "score",
+            dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -100,16 +109,24 @@ def lsh_bucketed_topk(
     scale the bucket equi-join replaces the broadcast cross product."""
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
-    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
-        "bucket", simhash_bits(F.col(vec_col), planes, dim)
+    c = (
+        ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
+        .withColumn("bucket", simhash_bits(F.col(vec_col), planes, dim))
+        .withColumn("nrm", norm(F.col(vec_col), dim))
     )
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("bucket", simhash_bits(F.col("q_vec"), planes, dim))
+    q = (
+        queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+        .withColumn("bucket", simhash_bits(F.col("q_vec"), planes, dim))
+        .withColumn("q_nrm", norm(F.col("q_vec"), dim))
+    )
+    # norms precomputed pre-join (see cosine_topk) — 1 dot-fold per candidate
     scored = (
         c.join(F.broadcast(q), "bucket")
         .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col), dim))
+        .withColumn(
+            "score",
+            dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
@@ -135,9 +152,16 @@ def ivf_assign(
 
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
-    )
-    scored = ensure_min_partitions(vecs).join(F.broadcast(c), F.lit(True)).withColumn(
-        "c_score", cosine(F.col(vec_col), F.col("c_vec"), dim)
+    ).withColumn("c_nrm", norm(F.col("c_vec"), dim))
+    # corpus norm folded once per vector, not once per (vector, centroid)
+    scored = (
+        ensure_min_partitions(vecs)
+        .withColumn("nrm", norm(F.col(vec_col), dim))
+        .join(F.broadcast(c), F.lit(True))
+        .withColumn(
+            "c_score",
+            dot(F.col(vec_col), F.col("c_vec"), dim) / (F.col("nrm") * F.col("c_nrm")),
+        )
     )
     w = Window.partitionBy(id_col).orderBy(
         F.col("c_score").desc(), F.col("centroid_id").asc()
@@ -166,11 +190,15 @@ def ivf_topk(
     real deployment writes it bucketed by ``centroid_id``), so a query
     touches nprobe/n_cells of the data — the equi-join on the cell id
     replaces the brute-force broadcast cross product."""
-    cells = ivf_assign(corpus, centroids, dim, id_col, vec_col)
+    cells = ivf_assign(corpus, centroids, dim, id_col, vec_col).withColumn(
+        "nrm", norm(F.col(vec_col), dim)
+    )
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )
-    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
+    ).withColumn("q_nrm", norm(F.col("q_vec"), dim))
     q_probe = (
         q.join(F.broadcast(c), F.lit(True))
         .withColumn("c_score", cosine(F.col("q_vec"), F.col("c_vec"), dim))
@@ -183,12 +211,16 @@ def ivf_topk(
             ),
         )
         .filter(F.col("rn") <= nprobe)
-        .select("q_id", "q_vec", "centroid_id")
+        .select("q_id", "q_vec", "q_nrm", "centroid_id")
     )
+    # norms precomputed pre-join (see cosine_topk) — 1 dot-fold per candidate
     scored = (
         cells.join(F.broadcast(q_probe), "centroid_id")
         .filter(F.col(id_col) != F.col("q_id"))
-        .withColumn("score", cosine(F.col("q_vec"), F.col(vec_col), dim))
+        .withColumn(
+            "score",
+            dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
+        )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
