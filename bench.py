@@ -123,6 +123,8 @@ HEADLINE = [
     "ewma_trailing_signal",
     "pii_scrub_events",
     "neardup_dedup_corpus",
+    "events_variant_extract",
+    "pyds_solar_sim_agg",
 ]
 
 

@@ -603,6 +603,57 @@ def events_json_stats(spark, sf_dir):
 
 
 @register(
+    "events_variant_extract",
+    """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       CAST(CAST(props->>'k' AS BIGINT) % 2 = 0 AS INT) AS k_even,
+       CAST(props->>'missing' IS NOT NULL AS INT) AS has_missing
+FROM events
+""",
+)
+def events_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's VariantType: the raw
+    JSON payload parses ONCE into the binary variant encoding, and every
+    path extraction reads the variant (no re-parse per path — the scaling
+    point vs get_json_object, which re-parses the string for each field).
+    try_variant_get on an absent path yields NULL instead of erroring."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.withColumn("v", v).select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.k", "long").alias("k"),
+        (F.variant_get(F.col("v"), "$.k", "long") % 2 == 0)
+        .cast("int")
+        .alias("k_even"),
+        F.try_variant_get(F.col("v"), "$.missing", "string")
+        .isNotNull()
+        .cast("int")
+        .alias("has_missing"),
+    )
+
+
+@register("pyds_solar_sim_agg")
+def pyds_solar_sim_agg(spark, sf_dir):
+    """The solar module aggregation fed from a custom Python DataSource
+    (Spark 4 extension point, sources/pyds.py) instead of Kafka/files —
+    a deterministic partitioned telemetry generator. No oracle table
+    backs a generated source → rows-only driver check; the exact output
+    is pinned against a pandas recomputation in
+    tests/test_multimodal_custom.py."""
+    from kafka_streams_example_spark.sources.pyds import SolarSimDataSource
+
+    spark.dataSource.register(SolarSimDataSource)
+    raw = (
+        spark.read.format("solar_sim")
+        .option("partitions", "4")
+        .option("rows_per_partition", "2000")
+        .load()
+    )
+    return solar.with_window_epoch(solar.module_aggregates(raw))
+
+
+@register(
     "dedup_events_keyed",
     """
 SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
@@ -614,19 +665,25 @@ QUALIFY row_number() OVER (PARTITION BY user_id, event_type
 def dedup_events_keyed(spark, sf_dir):
     """Keyed dedup keeping the earliest row — the deterministic form of
     dropDuplicates (which keeps an arbitrary row; fine for semantics, wrong
-    for reproducible pipelines)."""
-    from pyspark.sql import Window
+    for reproducible pipelines).
 
+    Expressed as min(struct(ts, event_id)) per key rather than a
+    row_number window: struct comparison is lexicographic, so the min is
+    exactly the (ts, event_id)-first row, but the aggregate gets map-side
+    partial combine — at scale only one candidate per key per partition
+    shuffles, instead of every row sorting within its key partition."""
     ev = _load_parallel(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    first = F.min(
+        F.struct(F.unix_micros(F.col("ts")).alias("ts_us"), F.col("event_id"))
+    ).alias("f")
     return (
-        ev.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
+        ev.groupBy("user_id", "event_type")
+        .agg(first)
         .select(
             "user_id",
             "event_type",
-            "event_id",
-            F.unix_micros(F.col("ts")).alias("ts_us"),
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.ts_us").alias("ts_us"),
         )
     )
 

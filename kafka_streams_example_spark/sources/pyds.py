@@ -1,0 +1,89 @@
+"""Python DataSource (Spark 4 API): a deterministic synthetic
+solar-telemetry generator.
+
+The reference's only source is a Kafka topic of JSON telemetry
+(reference: SolarConsumer.java:47, :97-100). Our engine's source surface is
+pluggable; this module exercises Spark's Python DataSource extension point
+with a generator that produces the same record shape
+`(ts, panel, name, power)` the solar pipeline consumes — useful for load
+tests and CI without a broker or fixture files.
+
+Scale shape: the generator is partitioned — each InputPartition derives its
+rows independently from (partition_index, row_index), so N partitions scale
+across executors with zero coordination, and the output is byte-identical
+for a given (seed, partitions, rows_per_partition) regardless of
+parallelism.
+
+The classes are defined FUNCTION-LOCALLY (factory below) on purpose:
+Spark ships the registered DataSource to Python workers via cloudpickle,
+which serializes module-level classes by reference — the worker would then
+need this package importable on ITS sys.path (true in our tests, false for
+an external driver that sys.path-hacks only its own process). Local classes
+serialize by value, so registration works from any session.
+"""
+
+from __future__ import annotations
+
+
+def make_solar_sim_datasource():
+    """Build the solar_sim DataSource class (self-contained, cloudpickled
+    by value — see module docstring)."""
+    import datetime as dt
+
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.types import StructType
+
+    epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+
+    def mix64(x: int) -> int:
+        """splitmix64 finalizer — cheap deterministic per-row randomness."""
+        x = (x + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & 0xFFFFFFFFFFFFFFFF
+        x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & 0xFFFFFFFFFFFFFFFF
+        return x ^ (x >> 31)
+
+    class SolarSimReader(DataSourceReader):
+        def __init__(self, options: dict):
+            self.n_partitions = int(options.get("partitions", 4))
+            self.rows = int(options.get("rows_per_partition", 1000))
+            self.seed = int(options.get("seed", 42))
+            self.n_panels = int(options.get("panels", 5))
+            self.n_modules = int(options.get("modules", 4))
+
+        def partitions(self):
+            return [InputPartition(i) for i in range(self.n_partitions)]
+
+        def read(self, partition: InputPartition):
+            base = self.seed * 1_000_003 + partition.value * 1_000_000
+            for i in range(self.rows):
+                h = mix64(base + i)
+                panel = h % self.n_panels
+                module = (h >> 8) % self.n_modules
+                # event time advances 1s per row within the partition
+                ts = epoch + dt.timedelta(seconds=partition.value * self.rows + i)
+                power = round((h >> 16) % 10_000 / 100.0, 2)
+                yield (ts, f"P{panel}", f"M{module}", power)
+
+    class SolarSimDataSource(DataSource):
+        """spark.read.format("solar_sim") after
+        ``spark.dataSource.register(SolarSimDataSource)``."""
+
+        _mix64 = staticmethod(mix64)
+        _epoch = epoch
+
+        @classmethod
+        def name(cls) -> str:
+            return "solar_sim"
+
+        def schema(self) -> str:
+            return "ts timestamp, panel string, name string, power double"
+
+        def reader(self, schema: StructType) -> DataSourceReader:
+            return SolarSimReader(self.options)
+
+    return SolarSimDataSource
+
+
+SolarSimDataSource = make_solar_sim_datasource()
+_mix64 = SolarSimDataSource._mix64
+_EPOCH = SolarSimDataSource._epoch

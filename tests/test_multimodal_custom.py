@@ -305,3 +305,74 @@ def test_binary_file_source_feeds_media_pipeline(spark, tmp_path):
         p = counts[counts > 0] / len(arr)
         assert abs(r.byte_entropy - float(-(p * np.log2(p)).sum())) < 1e-12
         assert abs(r.mean_byte - float(arr.mean())) < 1e-12
+
+
+def test_python_datasource_solar_sim_exact(spark):
+    """sources/pyds.py: the Spark 4 Python DataSource generator is
+    deterministic and partition-independent; its module aggregation is
+    pinned against a pure-Python recomputation of the same splitmix64
+    stream."""
+    import datetime as dt
+
+    from kafka_streams_example_spark import registry
+    from kafka_streams_example_spark.sources.pyds import _EPOCH, _mix64
+
+    rows = registry.QUERIES["pyds_solar_sim_agg"](spark, "unused").collect()
+
+    # recompute expected aggregates in pure Python
+    agg: dict[tuple, list] = {}
+    for part in range(4):
+        base = 42 * 1_000_003 + part * 1_000_000
+        for i in range(2000):
+            h = _mix64(base + i)
+            panel, module = f"P{h % 5}", f"M{(h >> 8) % 4}"
+            ts = _EPOCH + dt.timedelta(seconds=part * 2000 + i)
+            power = round((h >> 16) % 10_000 / 100.0, 2)
+            w_start = int(ts.timestamp() // 30 * 30)
+            key = (w_start, panel, module)
+            cur = agg.setdefault(key, [0, 0.0])
+            cur[0] += 1
+            cur[1] += power
+    assert len(rows) == len(agg)
+    for r in rows:
+        cnt, sum_power = agg[(r.w_start, r.panel, r.module)]
+        assert r.cnt == cnt
+        assert abs(r.sum_power - sum_power) < 1e-9
+        assert r.w_end == r.w_start + 30
+
+
+def test_datasource_rows_identical_across_parallelism(spark):
+    from kafka_streams_example_spark.sources.pyds import SolarSimDataSource
+
+    spark.dataSource.register(SolarSimDataSource)
+
+    def read(parts: str):
+        return (
+            spark.read.format("solar_sim")
+            .option("partitions", parts)
+            .option("rows_per_partition", "500")
+            .load()
+        )
+
+    a = sorted(map(tuple, read("2").collect()))
+    b = sorted(map(tuple, read("2").coalesce(1).collect()))
+    assert a == b and len(a) == 1000
+
+
+def test_variant_extract_matches_json_path(spark):
+    from conftest import SF_SMOKE
+    from kafka_streams_example_spark import registry
+
+    rows = registry.QUERIES["events_variant_extract"](spark, SF_SMOKE).collect()
+    raw = {
+        r.event_id: r.props
+        for r in spark.read.parquet(f"{SF_SMOKE}/events.parquet").collect()
+    }
+    import json
+
+    assert len(rows) == len(raw)
+    for r in rows:
+        k = json.loads(raw[r.event_id])["k"]
+        assert r.k == k
+        assert r.k_even == (1 if k % 2 == 0 else 0)
+        assert r.has_missing == 0
