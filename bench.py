@@ -125,6 +125,9 @@ HEADLINE = [
     "neardup_dedup_corpus",
     "events_variant_extract",
     "pyds_solar_sim_agg",
+    "string_agg_ordered",
+    "bitmap_exact_distinct",
+    "udtf_word_windows",
 ]
 
 

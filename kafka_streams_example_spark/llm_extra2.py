@@ -437,3 +437,56 @@ def neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("doc_id").alias("min_doc"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# udtf_word_windows — Python UDTF surface (Spark 4)
+# --------------------------------------------------------------------------
+
+_WW = 5  # words per window (stride == size: non-overlapping)
+
+
+@register(
+    "udtf_word_windows",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS win_id,
+       array_to_string(toks[(i * {_WW} + 1):((i + 1) * {_WW})], ' ') AS window_text,
+       CAST(len(toks[(i * {_WW} + 1):((i + 1) * {_WW})]) AS INT) AS n_words
+FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / {_WW}.0) - 1 AS BIGINT))) AS u(i)
+WHERE len(toks) > 0
+""",
+)
+def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping 5-word windows per document, produced by a Python
+    UDTF (Spark 4 user-defined table function) driven through a LATERAL
+    join — the 1-row-to-N-rows Python extension point, complementing
+    mapInPandas (operators/multimodal.py) on the N-to-M side.
+
+    The UDTF class is function-local so cloudpickle ships it by value
+    (see sources/pyds.py for the rationale). Deterministic output → full
+    DuckDB oracle parity even though the compute path is Python.
+    At scale the UDTF runs per-partition in Arrow-batched Python workers;
+    for this particular op the pure-JVM sequence/slice form (doc_chunking)
+    is preferred — this entry exists to keep the UDTF surface tested.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_id int, window_text string, n_words int")
+    class WordWindows:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").strip().lower().split() if t]
+            for i in range(0, len(toks), _WW):
+                win = toks[i : i + _WW]
+                yield i // _WW, " ".join(win), len(win)
+
+    spark.udtf.register("word_windows", WordWindows)
+    docs = _load_parallel(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.win_id, w.window_text, w.n_words
+        FROM udtf_docs_in d, LATERAL word_windows(d.text) w
+        """
+    )

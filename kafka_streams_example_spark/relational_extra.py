@@ -33,7 +33,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from kafka_streams_example_spark.registry import _dec, _sum_dbl, register
+from kafka_streams_example_spark.registry import _dec, _load_parallel, _sum_dbl, register
 from kafka_streams_example_spark.sources.files import load_table
 
 _REV = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))"
@@ -749,3 +749,78 @@ def kmeans_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     return kmeans_lloyd(emb, k=8, dim=64, iterations=2)
+
+
+@register(
+    "string_agg_ordered",
+    """
+SELECT n.n_name AS nation,
+       count(*) AS n_customers,
+       string_agg(c.c_name, ',' ORDER BY c.c_name) AS top_names
+FROM (SELECT c_name, c_nationkey,
+             row_number() OVER (PARTITION BY c_nationkey
+                                ORDER BY c_acctbal DESC, c_custkey) AS rn
+      FROM customer) c
+JOIN nation n ON c.c_nationkey = n.n_nationkey
+WHERE c.rn <= 5
+GROUP BY 1
+""",
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered within-group string aggregation (LISTAGG): the 5 richest
+    customers per nation, names concatenated in deterministic name order.
+
+    collect_list is order-nondeterministic under parallelism, so the
+    deterministic form sorts the collected array before joining —
+    array_sort(collect_list(...)) is the scalable ORDER BY-in-aggregate:
+    per-group arrays are bounded (top-5) and the sort is per-row work."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.desc("c_acctbal"), F.asc("c_custkey")
+    )
+    top = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    return (
+        top.join(F.broadcast(nation), top.c_nationkey == nation.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.array_join(F.array_sort(F.collect_list("c_name")), ",").alias(
+                "top_names"
+            ),
+        )
+    )
+
+
+@register(
+    "bitmap_exact_distinct",
+    """
+SELECT event_type, count(DISTINCT user_id) AS n_users
+FROM events
+GROUP BY 1
+""",
+)
+def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distinct counting via roaring-style bitmaps
+    (bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
+    bitmap_count — Spark 3.5+): partial bitmaps build per
+    (key, 2^32-value bucket) with map-side combine, then OR-merge.
+
+    At 100 TB this is the standard two-level exact-distinct: the shuffle
+    carries fixed-size bitmaps per bucket instead of every distinct value
+    (count(DISTINCT) shuffles all values to one reducer per key), while
+    staying exact — unlike approx_count_distinct's HLL. The oracle is the
+    plain COUNT(DISTINCT), proving the bitmap path's exactness."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    partial = (
+        ev.select(
+            "event_type",
+            F.bitmap_bucket_number(F.col("user_id")).alias("bucket"),
+            F.bitmap_bit_position(F.col("user_id")).alias("pos"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(F.bitmap_construct_agg(F.col("pos")).alias("bm"))
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
+    )
