@@ -128,6 +128,7 @@ HEADLINE = [
     "string_agg_ordered",
     "bitmap_exact_distinct",
     "udtf_word_windows",
+    "chunk_dedup_ratio",
 ]
 
 

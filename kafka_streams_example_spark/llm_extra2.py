@@ -490,3 +490,74 @@ def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM udtf_docs_in d, LATERAL word_windows(d.text) w
         """
     )
+
+
+# --------------------------------------------------------------------------
+# chunk_dedup_ratio — line/segment-level dedup signal (C4 / RefinedWeb shape)
+# --------------------------------------------------------------------------
+
+
+@register(
+    "chunk_dedup_ratio",
+    f"""
+WITH ch AS (
+    SELECT doc_id,
+           md5(substr(text, CAST(i * {_CHUNK} + 1 AS BIGINT), {_CHUNK})) AS h
+    FROM documents,
+         unnest(generate_series(0, CAST(floor((length(text) - 1) / {_CHUNK}) AS BIGINT))) AS u(i)
+    WHERE length(text) > 0
+),
+freq AS (SELECT h, count(*) AS n_occ FROM ch GROUP BY 1)
+SELECT ch.doc_id,
+       count(*) AS n_chunks,
+       count(*) FILTER (WHERE freq.n_occ > 1) AS n_dup_chunks,
+       round(count(*) FILTER (WHERE freq.n_occ > 1)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM ch JOIN freq USING (h)
+GROUP BY 1
+""",
+)
+def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Segment-level dedup signal (the C4/RefinedWeb line-dedup shape over
+    fixed 200-char segments, since the synthetic corpus has no newlines):
+    fraction of each doc's non-overlapping segments whose content hash
+    occurs more than once corpus-wide. Docs above a dup_ratio threshold
+    get dropped or trimmed by the corpus-prep pipeline.
+
+    Two shuffles at any scale: hash-frequency groupBy (map-side combine;
+    the value is a 1-int count), then the hash-keyed equi-join back and a
+    per-doc groupBy. No text moves after the map stage — only 16-byte
+    hashes."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - F.lit(1)) / F.lit(_CHUNK))
+    ch = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.substring(
+                        F.col("text"), (F.col("i") * _CHUNK + 1).cast("int"), _CHUNK
+                    ),
+                    "utf-8",
+                )
+            ).alias("h"),
+        )
+    )
+    freq = ch.groupBy("h").agg(F.count("*").alias("n_occ"))
+    return (
+        ch.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.count(F.when(F.col("n_occ") > 1, 1)).alias("n_dup_chunks"),
+            F.round(
+                F.count(F.when(F.col("n_occ") > 1, 1)) / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+    )

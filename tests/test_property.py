@@ -181,3 +181,83 @@ def test_repetition_signals_match_python_reference(spark, docs):
         ref_bg = [f"{a} {b}" for a, b in zip(ws, ws[1:])]
         assert r.nbg == len(ref_bg)
         assert r.nbgd == len(set(ref_bg))
+
+
+texts = st.lists(
+    st.text(
+        alphabet=st.sampled_from("ab c"),  # spaces included → word structure
+        min_size=0,
+        max_size=700,
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(texts)
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+def test_chunking_tiles_and_packing_conserves(spark, docs_txt):
+    """llm_extra2 invariants on randomized corpora: character chunks tile
+    each doc exactly (stride-aligned starts, full coverage, correct
+    lengths) and sequence packing conserves tokens and docs."""
+    from kafka_streams_example_spark.llm_extra2 import _CHUNK, _CTX, _SHARDS, _STRIDE
+
+    pdf = pd.DataFrame(
+        {
+            "doc_id": range(len(docs_txt)),
+            "text": docs_txt,
+            "lang": "en",
+            "source": "src0",
+            "n_chars": [len(t) for t in docs_txt],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    # --- chunking (same plan as the registry query, local input) ---
+    n_chunks = F.floor((F.length("text") - F.lit(1)) / F.lit(_STRIDE))
+    chunks = (
+        df.filter(F.length("text") > 0)
+        .select("doc_id", F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("i"), "text")
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            F.substring(F.col("text"), (F.col("i") * _STRIDE + 1).cast("int"), _CHUNK).alias("chunk"),
+        )
+        .collect()
+    )
+    by_doc = {}
+    for r in chunks:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, t in enumerate(docs_txt):
+        got = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not t:
+            assert got == []
+            continue
+        expect = [t[i : i + _CHUNK] for i in range(0, len(t), _STRIDE) if i == 0 or i < len(t)]
+        # formula yields floor((len-1)/stride)+1 chunks
+        assert len(got) == (len(t) - 1) // _STRIDE + 1
+        for j, r in enumerate(got):
+            assert r.chunk == t[j * _STRIDE : j * _STRIDE + _CHUNK]
+        # coverage: concatenating stride-prefixes + last chunk == text
+        rebuilt = "".join(c.chunk[:_STRIDE] for c in got[:-1]) + got[-1].chunk
+        assert rebuilt == t
+
+    # --- packing conservation (registry plan needs parquet; re-derive) ---
+    toks = df.select(
+        "doc_id",
+        (F.col("doc_id") % _SHARDS).alias("shard"),
+        F.size(F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")).alias("n"),
+    ).collect()
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("shard").orderBy("doc_id").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    packed = (
+        df.select("doc_id", (F.col("doc_id") % _SHARDS).alias("shard"),
+                  F.size(F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda x: x != "")).alias("n"))
+        .withColumn("cum_before", F.sum("n").over(w) - F.col("n"))
+        .groupBy("shard", F.floor(F.col("cum_before") / _CTX).alias("seq_id"))
+        .agg(F.sum("n").alias("tot"), F.count("*").alias("n_docs"))
+        .collect()
+    )
+    assert sum(r.tot for r in packed) == sum(r.n for r in toks)
+    assert sum(r.n_docs for r in packed) == len(docs_txt)
