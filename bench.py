@@ -164,16 +164,38 @@ def main() -> None:
         timings[name] = round(min(runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+    # Full per-query map (steady + cold) goes to a file: the driver keeps
+    # only a ~2KB tail of stdout, so the printed line must stay small or
+    # BENCH_r{N}.json records parsed=null (round-1 failure mode). The
+    # single stdout line carries totals + the slowest queries and fits the
+    # tail whole; BENCH_DETAIL.json carries everything.
+    detail = {
+        "metric": "headline_queries_total_wall_steady",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "cold": cold,
+        "cold_total": round(sum(cold.values()), 3),
+        "n_queries": len(timings),
+        "sf": sf_val,
+    }
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"), "w") as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total_wall_steady",
-                "value": round(sum(timings.values()), 3),
+                "value": detail["value"],
                 "unit": "sec",
-                "queries": timings,
-                "cold_total": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
+                "queries": slowest,
+                "cold_total": detail["cold_total"],
+                "n_queries": len(timings),
+                "sf": sf_val,
+                "detail": "BENCH_DETAIL.json",
+            },
+            separators=(",", ":"),
         )
     )
     spark.stop()

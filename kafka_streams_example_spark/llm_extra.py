@@ -879,13 +879,34 @@ def value_window_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_resize_fake")
+def _resize_fake_sql() -> str:
+    from kafka_streams_example_spark.registry import _md5_byte_sql
+
+    # fake path: output blob = md5 digest (16B) repeated to 32*32 = 1024B,
+    # i.e. exactly 64 repeats; its lowercase hex = repeat(md5-hex, 64), so
+    # md5 of that hex string is an exact cross-engine content fingerprint.
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx, text FROM documents)
+SELECT doc_id,
+       CAST(64 + {_md5_byte_sql('hx', 0)} % 192 AS INT) AS width,
+       CAST(64 + {_md5_byte_sql('hx', 1)} % 192 AS INT) AS height,
+       CAST(32 AS INT) AS out_width,
+       CAST(32 AS INT) AS out_height,
+       CAST(1024 AS INT) AS n_resized_bytes,
+       md5(repeat(hx, 64)) AS resized_md5,
+       text IS NOT NULL AS ok
+FROM h
+"""
+
+
+@register("multimodal_resize_fake", _resize_fake_sql())
 def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize stage over opaque binary payloads (fake deterministic path —
     no image codec in this container; see operators/multimodal.py). The
     Spark-side contract is fully real: mapInPandas schema, fixed-size
-    output blobs, 1:1 row mapping. Rows-only check (binary output is
-    engine-specific)."""
+    output blobs, 1:1 row mapping. The output blob is fingerprinted via
+    md5(lower(hex(blob))), which DuckDB reproduces as md5(repeat(md5hex,
+    64)) — a full value oracle over the Python resize path."""
     from kafka_streams_example_spark.operators import multimodal as mm
 
     docs = _load_parallel(spark, sf_dir, "documents")
@@ -899,5 +920,6 @@ def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
         "out_width",
         "out_height",
         F.octet_length("resized").alias("n_resized_bytes"),
+        F.md5(F.lower(F.hex("resized"))).alias("resized_md5"),
         "ok",
     )

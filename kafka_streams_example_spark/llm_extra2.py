@@ -3,7 +3,7 @@
 - doc_chunking:          fixed-size overlapping character chunks (the
                          standard pre-embedding / pre-training split),
                          1 doc -> N chunk rows with content hashes.
-- pack_sequences:        greedy sequential packing of docs into fixed
+- pack_sequences:        offset-bucket packing of docs into fixed
                          token-budget training sequences, sharded so the
                          prefix-sum window never sees more than one shard.
 - tfidf_top_terms:       per-document top-3 TF-IDF terms (the classic
@@ -31,8 +31,8 @@ Scale notes (100 TB target):
   inside whole-stage codegen (sequence + substring, no Python).
 - pack_sequences partitions its running-sum window by a deterministic
   doc_id shard, so state per window partition is bounded by shard size
-  (shard count scales with the cluster; a global prefix-sum would
-  serialize on one task).
+  (shard count scales with the INPUT via pack_shard_count; a global
+  prefix-sum would serialize on one task).
 - tfidf joins the per-(doc,term) TF table to the per-term DF table on
   `term`; DF is corpus-wide but tiny relative to the corpus (vocab,
   not tokens) -> broadcast.
@@ -112,17 +112,33 @@ def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
 # --------------------------------------------------------------------------
 
 _CTX = 512  # token budget per packed training sequence
-_SHARDS = 16  # deterministic packing shards (bounds window-partition size)
+_MIN_SHARDS = 16  # shard-count floor (small inputs)
+_DOCS_PER_SHARD = 4096  # target docs per packing shard (bounds window state)
+
+
+def pack_shard_count(n_docs: int) -> int:
+    """Data-dependent packing shard count: ~one shard per 4096 docs with a
+    floor of 16. A FIXED shard count caps window parallelism — at 100 TB
+    each window partition would hold corpus/16 rows sorted on one reducer;
+    deriving shards from input size keeps per-shard rows bounded
+    (~_DOCS_PER_SHARD for uniformly distributed doc_ids) so the prefix
+    sum scales out with the data."""
+    return max(_MIN_SHARDS, -(-n_docs // _DOCS_PER_SHARD))
 
 
 @register(
     "pack_sequences",
     f"""
-WITH t AS (
-    SELECT doc_id,
-           doc_id % {_SHARDS} AS shard,
-           len({_TOKS}) AS n_tokens
+WITH s AS (
+    SELECT greatest({_MIN_SHARDS},
+                    CAST(ceil(count(*) / {_DOCS_PER_SHARD}.0) AS BIGINT)) AS n_shards
     FROM documents
+),
+t AS (
+    SELECT doc_id,
+           doc_id % s.n_shards AS shard,
+           len({_TOKS}) AS n_tokens
+    FROM documents, s
 ),
 c AS (
     SELECT *,
@@ -142,19 +158,25 @@ GROUP BY 1, 2
 """,
 )
 def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy sequential sequence packing: within each deterministic shard
-    (doc_id % 16), docs are laid out in doc_id order and cut into training
-    sequences of ~512 whitespace tokens (a doc starts a new sequence when
-    the running total crosses the budget). Emits per-sequence stats.
+    """Offset-bucket sequence packing: within each deterministic shard
+    (doc_id % n_shards), docs are laid out in doc_id order and assigned to
+    the training sequence their starting token offset falls in
+    (seq_id = floor(cum_before / 512)). This is offset bucketing, NOT
+    greedy packing — a sequence's total_tokens can exceed the 512 budget
+    when a long doc lands on or straddles a boundary (true greedy packing
+    needs a stateful sequential pass; downstream truncation absorbs the
+    overflow). Emits per-sequence stats.
 
-    The running sum is a window over (shard) — sharding bounds each window
-    partition to |corpus|/shards rows, so packing parallelizes with the
-    cluster instead of serializing on a single global prefix sum.
+    The running sum is a window over (shard); the shard count scales with
+    the input (pack_shard_count: ~4096 docs per shard) so each window
+    partition holds a bounded number of rows and packing parallelizes
+    with the cluster instead of serializing on a single global prefix sum.
     """
     docs = _load_parallel(spark, sf_dir, "documents")
+    shards = pack_shard_count(docs.count())
     t = docs.select(
         "doc_id",
-        (F.col("doc_id") % _SHARDS).alias("shard"),
+        (F.col("doc_id") % shards).alias("shard"),
         F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens"),
     )
     w = (
@@ -305,9 +327,12 @@ def _ewma_taps_sql() -> str:
         f"(CASE WHEN lag(value, {k}) OVER w IS NULL THEN 0 ELSE {_EWMA_ALPHA ** k!r} END)"
         for k in range(_EWMA_TAPS)
     )
+    # den = 0 only if every tap is NULL (possible iff `value` is nullable):
+    # guard the divide so Spark (x/0 → Inf/NaN) and DuckDB (x/0 → NULL)
+    # cannot diverge — both emit NULL via the same CASE.
     return f"""
 SELECT event_id, user_id,
-       round(({num}) / ({den}), 6) AS ewma
+       CASE WHEN ({den}) > 0 THEN round(({num}) / ({den}), 6) END AS ewma
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 """
@@ -336,8 +361,11 @@ def ewma_trailing_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
          for k in range(_EWMA_TAPS)),
         start=F.lit(0.0),
     )
+    # same guarded divide as the oracle (see _ewma_taps_sql)
     return events.select(
-        "event_id", "user_id", F.round(num / den, 6).alias("ewma")
+        "event_id",
+        "user_id",
+        F.when(den > 0, F.round(num / den, 6)).alias("ewma"),
     )
 
 
@@ -420,11 +448,18 @@ def neardup_dedup_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/dedup.py:minhash_pairs) instead of exact blocking.
     """
     docs = _load_parallel(spark, sf_dir, "documents")
-    pairs = dd.ngram_jaccard_pairs(
-        docs,
-        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
-        threshold=0.5,
+    # Collision-free, NULL-faithful block key: base64 never contains '|',
+    # so distinct (lang, source) pairs can't collide the way a plain
+    # concat_ws could when values contain the delimiter; and F.concat
+    # null-propagates, matching the oracle's equality join (which pairs
+    # nothing when lang/source is NULL — concat_ws would have skipped the
+    # NULL and merged (NULL,'x') with ('x',NULL)).
+    blk = F.concat(
+        F.base64(F.encode(F.col("lang"), "utf-8")),
+        F.lit("|"),
+        F.base64(F.encode(F.col("source"), "utf-8")),
     )
+    pairs = dd.ngram_jaccard_pairs(docs, block_key=blk, threshold=0.5)
     dups = pairs.select(F.col("id_b").alias("dup_id")).distinct()
     return (
         docs.join(

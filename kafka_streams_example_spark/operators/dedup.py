@@ -293,22 +293,35 @@ def embedding_neardup_pairs(
     )
 
 
+_SIMHASH_BITS = 60  # stable_long is 60 bits
+
+
 def simhash64(shingles: Column) -> Column:
     """64-bit SimHash of a shingle set: bit j of the result is the sign of
-    Σ_shingles (bit j of hash(shingle) ? +1 : -1). Pure array expressions."""
+    Σ_shingles (bit j of hash(shingle) ? +1 : -1). Pure array expressions.
+
+    Single-pass form: ONE ``aggregate`` fold accumulates all 60 bit-vote
+    counters as an array (``zip_with`` against the bit-index sequence),
+    then one more fold sums the winning bits' place values. The earlier
+    60-separate-folds form built an expression tree large enough to risk
+    falling out of whole-stage codegen; this one is O(bits) nodes.
+    """
     h = F.transform(shingles, lambda s: stable_long(s))
-
-    def bit_votes(j: int) -> Column:
-        # closure factory: PySpark introspects lambda arity, so the loop
-        # variable must be captured here, not via a default argument
-        return F.aggregate(
-            h,
-            F.lit(0),
-            lambda a, x: a
-            + F.when(F.shiftright(x, j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    acc = F.lit(0)
-    for j in range(60):  # stable_long is 60 bits
-        acc = acc + F.when(bit_votes(j) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-    return acc
+    bit_idx = F.sequence(F.lit(0), F.lit(_SIMHASH_BITS - 1))
+    votes = F.aggregate(
+        h,
+        F.array_repeat(F.lit(0), _SIMHASH_BITS),
+        lambda acc, x: F.zip_with(
+            acc,
+            bit_idx,
+            lambda a, j: a + F.when(F.getbit(x, j) == 1, 1).otherwise(-1),
+        ),
+    )
+    place = F.array(*[F.lit(1 << j).cast("long") for j in range(_SIMHASH_BITS)])
+    return F.aggregate(
+        F.zip_with(
+            votes, place, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )

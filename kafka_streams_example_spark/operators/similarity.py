@@ -142,12 +142,17 @@ def ivf_assign(
     dim: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    keep_norm: bool = False,
 ) -> DataFrame:
     """Assign each vector to its nearest centroid (max cosine; ties → min
     centroid id). One broadcast of the centroid set, one corpus scan —
     the IVF build step. Centroids come from any trainer (k-means on a
     sample at scale); determinism of the *assignment* only requires fixed
-    centroids."""
+    centroids.
+
+    ``keep_norm=True`` retains the per-vector norm as ``nrm`` so callers
+    that score candidates afterwards (ivf_topk) reuse the fold instead of
+    re-deriving it over the full corpus."""
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
     c = centroids.select(
@@ -166,10 +171,11 @@ def ivf_assign(
     w = Window.partitionBy(id_col).orderBy(
         F.col("c_score").desc(), F.col("centroid_id").asc()
     )
+    out_cols = [id_col, vec_col, "centroid_id"] + (["nrm"] if keep_norm else [])
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
-        .select(id_col, vec_col, "centroid_id")
+        .select(*out_cols)
     )
 
 
@@ -190,9 +196,9 @@ def ivf_topk(
     real deployment writes it bucketed by ``centroid_id``), so a query
     touches nprobe/n_cells of the data — the equi-join on the cell id
     replaces the brute-force broadcast cross product."""
-    cells = ivf_assign(corpus, centroids, dim, id_col, vec_col).withColumn(
-        "nrm", norm(F.col(vec_col), dim)
-    )
+    # keep_norm: the assignment pass already folded each vector's norm —
+    # reuse it instead of one redundant dot-fold per corpus row
+    cells = ivf_assign(corpus, centroids, dim, id_col, vec_col, keep_norm=True)
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
     )

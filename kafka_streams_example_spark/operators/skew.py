@@ -17,12 +17,23 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
-def with_salt(df: DataFrame, buckets: int = 16, col_name: str = "__salt") -> DataFrame:
-    """Deterministic row salt in [0, buckets): hash of the whole row's
-    monotonically-increasing partition+offset id — stable within a job, no
-    RNG (rand() breaks retry determinism at scale)."""
+def with_salt(
+    df: DataFrame,
+    buckets: int = 16,
+    col_name: str = "__salt",
+    salt_cols: list[str] | None = None,
+) -> DataFrame:
+    """Deterministic CONTENT-keyed row salt in [0, buckets): xxhash64 over
+    ``salt_cols`` (default: every column). Content hashing — not
+    monotonically_increasing_id, not rand() — is the only salt that
+    survives stage retries and repartitioning unchanged: partition-layout-
+    derived ids change when Spark repacks splits, and a changed salt on
+    retry double-counts rows in any non-idempotent downstream sink.
+    Identical rows share a salt, which only matters if one exact row
+    dominates; pass a unique key in ``salt_cols`` to spread those too."""
+    cols = salt_cols if salt_cols is not None else df.columns
     return df.withColumn(
-        col_name, F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets))
+        col_name, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
     )
 
 
@@ -56,7 +67,10 @@ def salted_broadcastable_join(
     the big side: salt the big side's key, explode the small side × buckets,
     join on (key, salt). Prefer broadcast(small) when it fits; prefer AQE
     skew-join for SMJ; this is the fallback for the in-between."""
-    big_s = big.withColumn("__salt", F.pmod(F.xxhash64(F.monotonically_increasing_id()), F.lit(buckets)))
+    # content-keyed salt (see with_salt): invariant under retries/repartition
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
+    )
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

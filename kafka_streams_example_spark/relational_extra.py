@@ -801,10 +801,12 @@ GROUP BY 1
 """,
 )
 def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EXACT distinct counting via roaring-style bitmaps
-    (bitmap_bit_position / bitmap_construct_agg / bitmap_or_agg /
-    bitmap_count — Spark 3.5+): partial bitmaps build per
-    (key, 2^32-value bucket) with map-side combine, then OR-merge.
+    """EXACT distinct counting via bitmaps (bitmap_bucket_number /
+    bitmap_bit_position / bitmap_construct_agg / bitmap_count — Spark
+    3.5+): one bitmap builds per (key, bucket) group — each bucket covers
+    2^15 bit positions — with map-side partial bitmap combine inside the
+    hash aggregate; per-bucket cardinalities then SUM per key (buckets
+    partition the value space, so no OR-merge across buckets is needed).
 
     At 100 TB this is the standard two-level exact-distinct: the shuffle
     carries fixed-size bitmaps per bucket instead of every distinct value

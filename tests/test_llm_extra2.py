@@ -10,7 +10,14 @@ from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra2 import _CHUNK, _CTX, _SHARDS, _STRIDE
+from kafka_streams_example_spark.llm_extra2 import (
+    _CHUNK,
+    _CTX,
+    _DOCS_PER_SHARD,
+    _MIN_SHARDS,
+    _STRIDE,
+    pack_shard_count,
+)
 
 
 def test_doc_chunking_tiles_every_doc(spark):
@@ -55,9 +62,10 @@ def test_pack_sequences_budget_discipline(spark):
     total_tokens = sum(r.n for r in docs)
     assert sum(r.total_tokens for r in rows) == total_tokens
     assert sum(r.n_docs for r in rows) == len(docs)
+    n_shards = pack_shard_count(len(docs))
     by_shard: dict[int, list] = {}
     for r in rows:
-        assert 0 <= r.shard < _SHARDS
+        assert 0 <= r.shard < n_shards
         by_shard.setdefault(r.shard, []).append(r)
     for shard, seqs in by_shard.items():
         seqs.sort(key=lambda r: r.seq_id)
@@ -69,6 +77,21 @@ def test_pack_sequences_budget_discipline(spark):
         # doc was added: its docs-before-last sum < CTX
         for s in seqs:
             assert s.n_docs >= 1
+
+
+def test_pack_shard_count_bounds_window_state():
+    """Shard count must grow with the input so per-shard (= per window
+    partition) rows stay bounded — the fixed-16-shard form serialized
+    corpus/16 rows onto one reducer at scale."""
+    assert pack_shard_count(0) == _MIN_SHARDS
+    assert pack_shard_count(500) == _MIN_SHARDS
+    for n_docs in (10**5, 10**7, 10**9):
+        shards = pack_shard_count(n_docs)
+        assert shards >= n_docs / _DOCS_PER_SHARD  # ceil division
+        # uniformly distributed doc_ids → per-shard rows ≈ n/shards,
+        # bounded by the target regardless of corpus size
+        assert n_docs / shards <= _DOCS_PER_SHARD
+    assert pack_shard_count(10**9) > pack_shard_count(10**7) > pack_shard_count(10**5)
 
 
 def test_tfidf_top_terms_ranking(spark):

@@ -56,6 +56,24 @@ def test_salted_agg_matches_plain(spark):
     assert salted == plain
 
 
+def test_salt_invariant_under_repartition(spark):
+    """The salt must be a pure function of row content: identical values
+    per row no matter how Spark packs partitions (stage retries and split
+    repacking change layout-derived ids like monotonically_increasing_id)."""
+    from kafka_streams_example_spark.operators.skew import with_salt
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "event_type", "value"
+    )
+    base = {r["event_id"]: r["__salt"] for r in with_salt(ev, buckets=16).collect()}
+    repart = {
+        r["event_id"]: r["__salt"]
+        for r in with_salt(ev.repartition(7), buckets=16).collect()
+    }
+    assert base == repart
+    assert len(set(base.values())) > 1  # actually spreads rows
+
+
 def test_salted_join_matches_plain(spark):
     sf = "/root/testdata/sf0.001"
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
