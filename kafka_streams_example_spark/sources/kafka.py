@@ -22,6 +22,34 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def parse_kafka_records(
+    raw: DataFrame, schema: T.StructType, include_key: bool = False
+) -> DataFrame:
+    """The S1 deserialization projection, factored out of the source so it
+    is testable without a broker: (timestamp, key, value) records → ``ts``
+    + typed value columns. ``raw`` is any DataFrame (batch or streaming,
+    Kafka or fixture-file) with the Kafka source's column contract
+    (reference: JsonPojoDeserializer.java:40-52 → one from_json)."""
+    parsed = raw.select(
+        F.col("timestamp").alias("ts"),
+        F.col("key").cast("string").alias("kafka_key"),
+        F.from_json(F.col("value").cast("string"), schema).alias("v"),
+    ).select("ts", "kafka_key", "v.*")
+    return parsed if include_key else parsed.drop("kafka_key")
+
+
+def serialize_for_kafka(df: DataFrame, key_col: str | None = None) -> DataFrame:
+    """The S2 serialization projection, factored out of the sink for
+    broker-free testing: all non-key columns → one JSON ``value`` string,
+    optional ``key`` (reference: SolarConsumer.java:184-188 — key = panel
+    name, value = joined aggregate as JSON via JsonPojoSerializer)."""
+    cols = [c for c in df.columns if c != key_col]
+    return df.select(
+        *([F.col(key_col).cast("string").alias("key")] if key_col else []),
+        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
+    )
+
+
 def read_kafka_stream(
     spark: SparkSession,
     bootstrap_servers: str,
@@ -42,12 +70,7 @@ def read_kafka_stream(
         .option("startingOffsets", starting_offsets)
         .load()
     )
-    parsed = raw.select(
-        F.col("timestamp").alias("ts"),
-        F.col("key").cast("string").alias("kafka_key"),
-        F.from_json(F.col("value").cast("string"), schema).alias("v"),
-    ).select("ts", "kafka_key", "v.*")
-    return parsed if include_key else parsed.drop("kafka_key")
+    return parse_kafka_records(raw, schema, include_key)
 
 
 def write_kafka_stream(
@@ -57,14 +80,9 @@ def write_kafka_stream(
     key_col: str | None = None,
     checkpoint: str | None = None,
 ):
-    """Streaming Kafka sink: all non-key columns serialize to a JSON value
-    (reference: SolarConsumer.java:184-188 — key = panel name, value =
-    joined aggregate as JSON). Returns the started StreamingQuery."""
-    cols = [c for c in df.columns if c != key_col]
-    out = df.select(
-        *( [F.col(key_col).cast("string").alias("key")] if key_col else [] ),
-        F.to_json(F.struct(*[F.col(c) for c in cols])).alias("value"),
-    )
+    """Streaming Kafka sink (serialization in serialize_for_kafka).
+    Returns the started StreamingQuery."""
+    out = serialize_for_kafka(df, key_col)
     writer = (
         out.writeStream.format("kafka")
         .option("kafka.bootstrap.servers", bootstrap_servers)

@@ -115,6 +115,55 @@ def stream_chained_window_aggregates(
     )
 
 
+def dedup_stream_within_watermark(
+    stream_df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = WATERMARK,
+) -> DataFrame:
+    """At-least-once-source dedup with BOUNDED state:
+    ``dropDuplicatesWithinWatermark`` keeps a key's dedup entry only until
+    the watermark passes it, unlike ``dropDuplicates`` on a stream, whose
+    state grows forever (the 100×-scale killer for high-cardinality keys
+    like event ids). Put this directly after the source when the upstream
+    (e.g. a Kafka producer with retries) can emit duplicates.
+    """
+    return stream_df.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
+def bounded_state_configs(ttl_minutes: int = 60) -> dict[str, str]:
+    """Recommended session configs that keep streaming state bounded at
+    scale — apply via ``spark.conf.set`` (or builder .config) BEFORE
+    starting queries:
+
+    - RocksDB state store: state lives off-heap/on-disk per task instead
+      of on the JVM heap, so state size is bounded by disk, not memory
+      (required for transformWithState, recommended beyond ~1M keys).
+    - changelog checkpointing: incremental state checkpoints (delta of
+      changes) instead of full RocksDB snapshot uploads per batch.
+
+    State TTL itself is NOT a session config: for transformWithState
+    processors pass ``ttlDurationMs`` (``ttl_minutes`` here) per state
+    variable in ``handle.getValueState``; watermarks remain the primary
+    state bound for window aggregates, stream-stream joins and
+    dropDuplicatesWithinWatermark. ``ttl_minutes`` is returned under the
+    non-Spark key ``engine.recommended.stateTTL.ms`` for callers wiring
+    TWS processors.
+    """
+    return {
+        "spark.sql.streaming.stateStore.providerClass": (
+            "org.apache.spark.sql.execution.streaming."
+            "state.RocksDBStateStoreProvider"
+        ),
+        "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled": (
+            "true"
+        ),
+        "engine.recommended.stateTTL.ms": str(ttl_minutes * 60 * 1000),
+    }
+
+
 def stream_module_aggregates_changelog(
     stream_df: DataFrame,
     ts_col: str = "ts",

@@ -85,6 +85,80 @@ def test_salted_join_matches_plain(spark):
     assert salted == plain
 
 
+def _stage_shuffle_snapshot(spark) -> dict:
+    """(stageId, attempt) → shuffle write bytes, from the live
+    AppStatusStore — the same numbers the Spark UI shows."""
+    sc = spark.sparkContext
+    store = sc._jsc.sc().statusStore()
+    jvm = spark._jvm
+    empty = jvm.java.util.ArrayList()
+    darr = sc._gateway.new_array(jvm.double, 0)
+    out = {}
+    it = store.stageList(empty, False, False, darr, empty).iterator()
+    while it.hasNext():
+        s = it.next()
+        out[(s.stageId(), s.attemptId())] = s.shuffleWriteBytes()
+    return out
+
+
+def _run_counting_shuffle(spark, df) -> tuple[int, int]:
+    """Execute df, return (row_count, shuffle bytes written by its stages)."""
+    before = set(_stage_shuffle_snapshot(spark))
+    n = df.count()
+    after = _stage_shuffle_snapshot(spark)
+    return n, sum(v for k, v in after.items() if k not in before)
+
+
+def _synth_docs(spark, n: int, words_per_doc: int = 40, word_len_salt: str = ""):
+    """Deterministic synthetic corpus, pure JVM expressions: ~word_len_salt
+    lets tests fatten the text without changing the shingle structure."""
+    words = F.transform(
+        F.sequence(F.lit(1), F.lit(words_per_doc)),
+        lambda i: F.concat(
+            F.lit("w" + word_len_salt),
+            F.pmod(F.xxhash64(F.col("id") * 1000 + i), F.lit(50)).cast("string"),
+        ),
+    )
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"), F.array_join(words, " ").alias("text")
+    )
+
+
+def test_minhash_shuffle_is_hash_sized_and_linear(spark):
+    """The 100TB claims of the MinHash-LSH path, measured, not asserted
+    from the plan shape alone:
+
+    1. raw text never shuffles — bytes shuffled stay well under the corpus
+       text volume even when docs are fattened 10× (only ids, band hashes
+       and shingle-hash arrays move);
+    2. shuffle volume grows ~linearly with the corpus (a quadratic
+       candidate blow-up would show ~16× bytes at 4× docs).
+    """
+    from kafka_streams_example_spark.operators.dedup import minhash_pairs
+
+    # fat docs: ~30-char words → ~1.3KB of text per doc
+    fat = _synth_docs(spark, 1500, word_len_salt="x" * 28)
+    text_bytes = fat.select(F.sum(F.octet_length("text"))).collect()[0][0]
+    _, wr_fat = _run_counting_shuffle(spark, minhash_pairs(fat))
+    assert wr_fat > 0  # the band join does shuffle...
+    assert wr_fat < 0.5 * text_bytes, (
+        f"shuffled {wr_fat}B vs {text_bytes}B of text — text is leaking "
+        "into the shuffle"
+    )
+
+    n_small, wr_small = _run_counting_shuffle(
+        spark, minhash_pairs(_synth_docs(spark, 1500))
+    )
+    n_big, wr_big = _run_counting_shuffle(
+        spark, minhash_pairs(_synth_docs(spark, 6000))
+    )
+    assert n_small >= 0 and n_big >= 0
+    assert wr_big < 6 * wr_small, (
+        f"4x docs produced {wr_big / max(wr_small, 1):.1f}x shuffle bytes — "
+        "super-linear growth"
+    )
+
+
 def test_connected_components_chain_and_islands(spark):
     edges = spark.createDataFrame(
         [(1, 2), (2, 3), (3, 4),        # chain → component 1

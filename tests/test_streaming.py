@@ -9,6 +9,7 @@ import os
 
 import pytest
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_streams_example_spark.plans import solar
 from kafka_streams_example_spark.schemas import SOLAR_MODULE_DATA
@@ -712,3 +713,109 @@ def test_stream_stream_left_outer_join_emits_nulls(spark, tmp_path):
     assert (100, 500) in got          # matched pair
     assert (200, None) in got         # unmatched left emitted with NULL right
     assert (999, 998) in got
+
+
+def test_kafka_parse_serialize_wire_bytes_exact(spark):
+    """Broker-free byte-for-byte check of the ACTUAL kafka.py projections:
+    parse_kafka_records over recorded wire bytes must yield the typed rows,
+    and serialize_for_kafka / anomalies_wire_format must emit the
+    reference's exact JSON value layout (SolarConsumer.java:184-188,
+    SolarModuleAggregatorJoiner.java:21-22 field names). The projections
+    are plain expressions, so batch and streaming share them verbatim."""
+    from kafka_streams_example_spark.schemas import SOLAR_MODULE_DATA_WIRE
+    from kafka_streams_example_spark.sources.kafka import (
+        parse_kafka_records,
+        serialize_for_kafka,
+    )
+
+    # ---- source side: recorded producer bytes → typed columns ----
+    wire_value = b'{"panel":"p1","name":"m2","power":12.5}'
+    raw = spark.createDataFrame(
+        [("2024-01-01 00:00:07", bytearray(b"p1"), bytearray(wire_value))],
+        "timestamp STRING, key BINARY, value BINARY",
+    ).withColumn("timestamp", F.col("timestamp").cast("timestamp"))
+    got = parse_kafka_records(raw, SOLAR_MODULE_DATA_WIRE, include_key=True).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.kafka_key, r.panel, r.name, r.power) == ("p1", "p1", "m2", 12.5)
+    assert r.ts.second == 7
+
+    # ---- sink side: row → the reference's exact JSON value bytes ----
+    out = spark.createDataFrame(
+        [("m2", "p1", 2, 25.0, 12.5, 3, 75.5, 25.2, 12.3, 4.1, 2.02)],
+        "module STRING, panel STRING, cnt LONG, sum_power DOUBLE, "
+        "avg_power DOUBLE, panel_cnt LONG, panel_sum DOUBLE, panel_avg DOUBLE, "
+        "squares_sum DOUBLE, variance DOUBLE, deviance DOUBLE",
+    )
+    wire = solar.anomalies_wire_format(out).collect()[0]
+    assert wire.key == "p1"
+    assert wire.value == (
+        '{"moduleName":"m2","panelName":"p1","count":2,"sumPower":25.0,'
+        '"avgPower":12.5,"solarPanelAggregator":{"panelName":"p1","count":3,'
+        '"sumPower":75.5,"avgPower":25.2,"squaresSum":12.3,"variance":4.1,'
+        '"deviance":2.02}}'
+    )
+
+    # generic sink projection: one JSON value column (+ optional key),
+    # and parse(serialize(x)) is the identity on the typed fields
+    typed = spark.createDataFrame(
+        [("p9", "m1", 7.25)], "panel STRING, name STRING, power DOUBLE"
+    )
+    ser = serialize_for_kafka(typed, key_col="panel")
+    row = ser.collect()[0]
+    assert ser.columns == ["key", "value"]
+    assert row.key == "p9"
+    assert row.value == '{"name":"m1","power":7.25}'
+    back = parse_kafka_records(
+        ser.withColumn("timestamp", F.lit("2024-01-01 00:00:00").cast("timestamp")),
+        T.StructType(
+            [
+                T.StructField("name", T.StringType()),
+                T.StructField("power", T.DoubleType()),
+            ]
+        ),
+        include_key=True,
+    ).collect()[0]
+    assert (back.kafka_key, back.name, back.power) == ("p9", "m1", 7.25)
+
+
+def test_bounded_state_knobs(spark, tmp_path):
+    """dedup_stream_within_watermark drops cross-batch duplicates with
+    watermark-bounded state, and bounded_state_configs names real Spark
+    configs (accepted by spark.conf.set)."""
+    from kafka_streams_example_spark.streaming.solar_stream import (
+        bounded_state_configs,
+        dedup_stream_within_watermark,
+    )
+
+    cfg = bounded_state_configs(ttl_minutes=30)
+    assert cfg["spark.sql.streaming.stateStore.providerClass"].endswith(
+        "RocksDBStateStoreProvider"
+    )
+    assert cfg["engine.recommended.stateTTL.ms"] == str(30 * 60 * 1000)
+
+    src = tmp_path / "dedup_knob_in"
+    os.makedirs(src)
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": "2024-01-01 00:00:01", "event_id": 1, "v": 1.0},
+            {"ts": "2024-01-01 00:00:02", "event_id": 1, "v": 1.0},
+            {"ts": "2024-01-01 00:00:03", "event_id": 2, "v": 2.0},
+        ],
+    )
+    stream = spark.readStream.schema("ts TIMESTAMP, event_id LONG, v DOUBLE").json(
+        str(src)
+    )
+    q = (
+        dedup_stream_within_watermark(stream, ["event_id"], watermark="1 minute")
+        .writeStream.format("memory")
+        .queryName("dedup_knob_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_knob"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_knob_stream").collect()[0]
+    assert (n.c, n.n) == (2, 2)
