@@ -168,15 +168,24 @@ def ivf_assign(
             dot(F.col(vec_col), F.col("c_vec"), dim) / (F.col("nrm") * F.col("c_nrm")),
         )
     )
-    w = Window.partitionBy(id_col).orderBy(
-        F.col("c_score").desc(), F.col("centroid_id").asc()
-    )
-    out_cols = [id_col, vec_col, "centroid_id"] + (["nrm"] if keep_norm else [])
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(*out_cols)
-    )
+    # argmax via max_by on (score, -centroid_id) — lexicographic struct max
+    # = best score, ties to the LOWEST centroid id. The broadcast join
+    # keeps all k candidate rows of a vector in its original partition, so
+    # the hash aggregate's map-side combine collapses them to ONE row per
+    # vector BEFORE the shuffle — a k× shuffle reduction vs the former
+    # row_number window, which shuffled every (vector, centroid) row.
+    best = F.max_by(
+        F.struct(F.col(vec_col).alias("v"), F.col("centroid_id").alias("cid"),
+                 F.col("nrm").alias("nrm")),
+        F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("neg")),
+    ).alias("b")
+    out = scored.groupBy(id_col).agg(best)
+    cols = [
+        F.col(id_col),
+        F.col("b.v").alias(vec_col),
+        F.col("b.cid").alias("centroid_id"),
+    ] + ([F.col("b.nrm").alias("nrm")] if keep_norm else [])
+    return out.select(*cols)
 
 
 def ivf_topk(
@@ -264,13 +273,21 @@ def kmeans_lloyd(
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    w = Window.partitionBy("id").orderBy(F.col("cos").desc(), F.col("cid"))
     for _ in range(iterations):
+        # argmax via max_by (see ivf_assign): map-side combine collapses
+        # the k broadcast-join candidates to one row per vector before any
+        # shuffle — the former row_number window shuffled k rows per vector
         best = (
             vecs.join(F.broadcast(cent))
             .withColumn("cos", cosine(F.col("v"), F.col("cv"), dim))
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
+            .groupBy("id")
+            .agg(
+                F.max_by(
+                    F.struct(F.col("cid"), F.col("v")),
+                    F.struct(F.col("cos"), (-F.col("cid")).alias("neg")),
+                ).alias("b")
+            )
+            .select(F.col("b.cid").alias("cid"), F.col("b.v").alias("v"))
         )
         cent = (
             best.select("cid", F.posexplode("v").alias("pos", "val"))
