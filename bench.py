@@ -129,6 +129,10 @@ HEADLINE = [
     "bitmap_exact_distinct",
     "udtf_word_windows",
     "chunk_dedup_ratio",
+    "q20_excess_supply",
+    "domain_mixture_weights",
+    "curriculum_quality_bins",
+    "preference_pairs",
 ]
 
 

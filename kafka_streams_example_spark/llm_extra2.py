@@ -596,3 +596,166 @@ def chunk_dedup_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# domain_mixture_weights — sampling weights for corpus domain re-balancing
+# --------------------------------------------------------------------------
+
+
+@register(
+    "domain_mixture_weights",
+    """
+WITH g AS (SELECT lang, source, count(*) AS n FROM documents GROUP BY 1, 2),
+s AS (SELECT CAST(sum(n) AS DOUBLE) AS total, CAST(count(*) AS DOUBLE) AS n_groups
+      FROM g)
+SELECT lang, source, n,
+       round(n / s.total, 6) AS corpus_share,
+       round(s.total / (s.n_groups * n), 6) AS sample_weight
+FROM g, s
+""",
+)
+def domain_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture re-balancing weights: per (lang, source) domain, its
+    corpus share and the multiplicative sampling weight that would equalize
+    domains (uniform target share / actual share) — the knob a training-
+    data pipeline turns to up/down-sample domains before packing.
+
+    One groupBy on the (tiny) domain key plus a broadcast of the 1-row
+    total — the corpus itself is touched once; weights join back onto docs
+    via a broadcast when the sampler applies them."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    g = docs.groupBy("lang", "source").agg(F.count("*").alias("n"))
+    s = g.agg(
+        F.sum("n").cast("double").alias("total"),
+        F.count("*").cast("double").alias("n_groups"),
+    )
+    return g.join(F.broadcast(s)).select(
+        "lang",
+        "source",
+        "n",
+        F.round(F.col("n") / F.col("total"), 6).alias("corpus_share"),
+        F.round(F.col("total") / (F.col("n_groups") * F.col("n")), 6).alias(
+            "sample_weight"
+        ),
+    )
+
+
+# --------------------------------------------------------------------------
+# curriculum_quality_bins — per-language difficulty deciles
+# --------------------------------------------------------------------------
+
+
+@register(
+    "curriculum_quality_bins",
+    f"""
+WITH t AS (
+    SELECT doc_id, lang, len({_TOKS}) AS n_tokens, length(text) AS n_chars
+    FROM documents
+),
+b AS (
+    SELECT *, ntile(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS bin
+    FROM t
+)
+SELECT lang, bin,
+       count(*) AS n_docs,
+       min(n_tokens) AS min_tokens,
+       max(n_tokens) AS max_tokens,
+       round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+FROM b
+GROUP BY 1, 2
+""",
+)
+def curriculum_quality_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: per-language token-length deciles (ntile with a
+    deterministic doc_id tiebreak) with per-bin stats — the
+    easy-to-hard example ordering used by curriculum schedules.
+
+    The decile window partitions by lang, so sort state is bounded per
+    language, not global; at 100 TB swap the exact ntile for
+    approx_percentile thresholds (same output contract) if a single
+    language outgrows a partition sort."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+        F.length("text").alias("n_chars"),
+    )
+    w = Window.partitionBy("lang").orderBy("n_tokens", "doc_id")
+    return (
+        t.withColumn("bin", F.ntile(10).over(w))
+        .groupBy("lang", "bin")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("n_tokens").alias("min_tokens"),
+            F.max("n_tokens").alias("max_tokens"),
+            F.round(F.avg(F.col("n_chars").cast("double")), 6).alias("avg_chars"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# preference_pairs — RLHF-style chosen/rejected example assembly
+# --------------------------------------------------------------------------
+
+
+@register(
+    "preference_pairs",
+    """
+WITH e AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           event_id, value
+    FROM events
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY value DESC, event_id) AS rb,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY value ASC, event_id) AS rw
+    FROM e
+)
+SELECT b.user_id, b.day,
+       b.event_id AS chosen_id, w.event_id AS rejected_id,
+       round(b.value - w.value, 6) AS margin
+FROM (SELECT * FROM r WHERE rb = 1) b
+JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, day)
+WHERE b.value > w.value
+""",
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (the RLHF/DPO dataset shape): per
+    (user, day) group, the highest-value event becomes `chosen` and the
+    lowest-value `rejected` (deterministic event_id tiebreaks), emitted
+    with the value margin; single-event days produce no pair.
+
+    Spark plan: ONE map-side-combinable aggregation — max_by/min_by on
+    (value, ±event_id) struct orderings — instead of the oracle's two
+    ranking windows + self-join: one shuffle on the pair key, constant
+    state per group, no sort. The oracle's window form is the same
+    result by construction."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+    g = (
+        ev.select("user_id", day, "event_id", "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by(
+                F.struct(F.col("event_id"), F.col("value")),
+                F.struct(F.col("value"), (-F.col("event_id")).alias("neg")),
+            ).alias("b"),
+            F.min_by(
+                F.struct(F.col("event_id"), F.col("value")),
+                F.struct(F.col("value"), F.col("event_id")),
+            ).alias("w"),
+        )
+    )
+    return g.filter(F.col("b.value") > F.col("w.value")).select(
+        "user_id",
+        "day",
+        F.col("b.event_id").alias("chosen_id"),
+        F.col("w.event_id").alias("rejected_id"),
+        F.round(F.col("b.value") - F.col("w.value"), 6).alias("margin"),
+    )

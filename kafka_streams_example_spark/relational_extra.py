@@ -826,3 +826,69 @@ def bitmap_exact_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return partial.groupBy("event_type").agg(
         F.sum(F.bitmap_count(F.col("bm"))).alias("n_users")
     )
+
+
+@register(
+    "q20_excess_supply",
+    """
+WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+sup AS (
+    SELECT l_suppkey, l_partkey,
+           sum(l_quantity) AS total_qty,
+           sum(CASE WHEN year(l_shipdate) = 1996 THEN l_quantity ELSE 0 END)
+               AS qty_1996
+    FROM lineitem JOIN pp ON l_partkey = p_partkey
+    GROUP BY 1, 2
+),
+excess AS (SELECT DISTINCT l_suppkey FROM sup WHERE total_qty > 2 * qty_1996)
+SELECT s.s_name, round(s.s_acctbal, 2) AS acctbal
+FROM excess e
+JOIN supplier s ON e.l_suppkey = s.s_suppkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+WHERE n.n_name IN ('NATION_1', 'NATION_2', 'NATION_3')
+""",
+)
+def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (no partsupp table → lifetime shipped quantity
+    stands in for availability): suppliers of 'small%' parts whose 1996
+    shipments of a part used less than half its lifetime supply, limited
+    to three nations — the nested-aggregate + semi-join pattern
+    (reference has no relational layer; TPC-H spec Q20 is the public
+    model).
+
+    Plan shape: the part-prefix filter is a broadcast semi-join into the
+    lineitem scan, the per-(supplier, part) aggregate is one map-side-
+    combinable shuffle with conditional sums (no second scan for the
+    year-scoped quantity), and supplier/nation are broadcast dimension
+    joins. Quantities are integral doubles, so the sums — and the strict
+    comparison — are order-independent and exact across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    pp = load_table(spark, sf_dir, "part").filter(
+        F.col("p_name").like("small%")
+    ).select("p_partkey")
+    sup = (
+        li.join(F.broadcast(pp), li.l_partkey == pp.p_partkey, "left_semi")
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(
+            F.sum("l_quantity").alias("total_qty"),
+            F.sum(
+                F.when(F.year("l_shipdate") == 1996, F.col("l_quantity")).otherwise(
+                    0.0
+                )
+            ).alias("qty_1996"),
+        )
+    )
+    excess = (
+        sup.filter(F.col("total_qty") > 2 * F.col("qty_1996"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    s = load_table(spark, sf_dir, "supplier")
+    n = load_table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_1", "NATION_2", "NATION_3")
+    )
+    return (
+        excess.join(F.broadcast(s), excess.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
+    )
