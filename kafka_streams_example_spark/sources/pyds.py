@@ -30,7 +30,12 @@ def make_solar_sim_datasource():
     by value — see module docstring)."""
     import datetime as dt
 
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        DataSourceStreamReader,
+        InputPartition,
+    )
     from pyspark.sql.types import StructType
 
     epoch = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
@@ -64,9 +69,63 @@ def make_solar_sim_datasource():
                 power = round((h >> 16) % 10_000 / 100.0, 2)
                 yield (ts, f"P{panel}", f"M{module}", power)
 
+    class RangePartition(InputPartition):
+        def __init__(self, start: int, end: int):
+            self.start, self.end = start, end
+
+    class SolarSimStreamReader(DataSourceStreamReader):
+        """Micro-batch flavor: offsets are global row counters; each
+        ``latestOffset`` call admits one batch of ``rows_per_batch`` rows
+        (capped at ``max_rows`` so ``processAllAvailable`` terminates in
+        tests). Rows derive from the GLOBAL index with the same splitmix64
+        scheme as the batch reader at partition 0, so a drained stream
+        equals `spark.read.format("solar_sim")` with partitions=1 — the
+        one-program-two-modes property, and replay after a restart is
+        byte-identical (offsets fully determine the data)."""
+
+        def __init__(self, options: dict):
+            self.rows_per_batch = int(options.get("rows_per_batch", 100))
+            self.n_partitions = int(options.get("partitions", 2))
+            self.max_rows = int(options.get("max_rows", 1000))
+            self.seed = int(options.get("seed", 42))
+            self.n_panels = int(options.get("panels", 5))
+            self.n_modules = int(options.get("modules", 4))
+            self._pos = 0
+
+        def initialOffset(self) -> dict:
+            return {"row": 0}
+
+        def latestOffset(self) -> dict:
+            self._pos = min(self.max_rows, self._pos + self.rows_per_batch)
+            return {"row": self._pos}
+
+        def partitions(self, start: dict, end: dict):
+            s, e = start["row"], end["row"]
+            if e <= s:
+                return [RangePartition(s, s)]
+            step = -(-(e - s) // self.n_partitions)
+            return [
+                RangePartition(lo, min(lo + step, e))
+                for lo in range(s, e, step)
+            ]
+
+        def read(self, partition):
+            base = self.seed * 1_000_003
+            for i in range(partition.start, partition.end):
+                h = mix64(base + i)
+                panel = h % self.n_panels
+                module = (h >> 8) % self.n_modules
+                ts = epoch + dt.timedelta(seconds=i)
+                power = round((h >> 16) % 10_000 / 100.0, 2)
+                yield (ts, f"P{panel}", f"M{module}", power)
+
+        def commit(self, end: dict) -> None:
+            pass
+
     class SolarSimDataSource(DataSource):
         """spark.read.format("solar_sim") after
-        ``spark.dataSource.register(SolarSimDataSource)``."""
+        ``spark.dataSource.register(SolarSimDataSource)``; also a
+        streaming source via spark.readStream.format("solar_sim")."""
 
         _mix64 = staticmethod(mix64)
         _epoch = epoch
@@ -80,6 +139,9 @@ def make_solar_sim_datasource():
 
         def reader(self, schema: StructType) -> DataSourceReader:
             return SolarSimReader(self.options)
+
+        def streamReader(self, schema: StructType) -> DataSourceStreamReader:
+            return SolarSimStreamReader(self.options)
 
     return SolarSimDataSource
 

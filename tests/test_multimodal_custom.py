@@ -376,3 +376,43 @@ def test_variant_extract_matches_json_path(spark):
         assert r.k == k
         assert r.k_even == (1 if k % 2 == 0 else 0)
         assert r.has_missing == 0
+
+
+def test_python_datasource_streaming_matches_batch(spark, tmp_path):
+    """sources/pyds.py streaming flavor: draining the micro-batch stream
+    (row-counter offsets, capped) yields exactly the batch read of the
+    same generator — the one-program-two-modes property for the Python
+    DataSource extension point."""
+    from kafka_streams_example_spark.sources.pyds import SolarSimDataSource
+
+    spark.dataSource.register(SolarSimDataSource)
+    q = (
+        spark.readStream.format("solar_sim")
+        .option("rows_per_batch", "40")
+        .option("partitions", "3")
+        .option("max_rows", "130")
+        .load()
+        .writeStream.format("memory")
+        .queryName("solar_sim_stream")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "ck_pyds"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        tuple(r)
+        for r in spark.sql(
+            "SELECT ts, panel, name, power FROM solar_sim_stream"
+        ).collect()
+    }
+    batch = {
+        tuple(r)
+        for r in spark.read.format("solar_sim")
+        .option("partitions", "1")
+        .option("rows_per_partition", "130")
+        .load()
+        .collect()
+    }
+    assert len(got) == 130
+    assert got == batch
