@@ -534,14 +534,25 @@ def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataF
     """Arrow-batched numpy-matmul flavor of the exact brute-force cosine
     top-k (query set = vec_id < 8). Emits only per-batch local top-k, so
     the final shuffle is queries x partitions x k rows regardless of
-    corpus size. Rows-only driver check (BLAS sum order is not the
-    sequential fold); ranking equality with the JVM-fold query is
-    asserted exactly in tests."""
+    corpus size. Shares similarity_cosine_topk's oracle: ranking ties are
+    broken by id, raw-score differences vs the sequential fold sit below
+    float-sum reassociation noise (~1e-15), and the 6-decimal rounding
+    removes them — equality with the JVM-fold query is ALSO asserted
+    rank-by-rank in tests."""
     from kafka_streams_example_spark.operators import similarity as sim
     from kafka_streams_example_spark.sources.files import load_table
 
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+def _register_vectorized_oracle() -> None:
+    from kafka_streams_example_spark.registry import ORACLES
+
+    ORACLES["similarity_cosine_topk_vectorized"] = ORACLES["similarity_cosine_topk"]
+
+
+_register_vectorized_oracle()
 
 
 @register(
