@@ -133,6 +133,7 @@ HEADLINE = [
     "domain_mixture_weights",
     "curriculum_quality_bins",
     "preference_pairs",
+    "substring_span_dupes",
 ]
 
 

@@ -759,3 +759,89 @@ def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("w.event_id").alias("rejected_id"),
         F.round(F.col("b.value") - F.col("w.value"), 6).alias("margin"),
     )
+
+
+# --------------------------------------------------------------------------
+# substring_span_dupes — exact-substring dedup signal (token-span level)
+# --------------------------------------------------------------------------
+
+_SPAN_W = 16  # tokens per span
+_SPAN_S = 8  # span stride (overlapping: catches dups at any alignment % 8)
+
+
+@register(
+    "substring_span_dupes",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+sp AS (
+    SELECT doc_id,
+           md5(array_to_string(toks[(i * {_SPAN_S} + 1):(i * {_SPAN_S} + {_SPAN_W})], ' ')) AS h
+    FROM t,
+         unnest(generate_series(0, CAST(floor(greatest(len(toks) - {_SPAN_W}, 0) / {_SPAN_S}) AS BIGINT))) AS u(i)
+    WHERE len(toks) >= {_SPAN_W}
+),
+freq AS (SELECT h, count(*) AS n_occ FROM sp GROUP BY 1)
+SELECT sp.doc_id,
+       count(*) AS n_spans,
+       count(*) FILTER (WHERE freq.n_occ > 1) AS n_dup_spans,
+       round(count(*) FILTER (WHERE freq.n_occ > 1)
+             / CAST(count(*) AS DOUBLE), 6) AS dup_ratio
+FROM sp JOIN freq USING (h)
+GROUP BY 1
+""",
+)
+def substring_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring duplication signal at token-span granularity (the
+    train-data dedup tier between whole-doc fingerprints and char-segment
+    hashes): overlapping 16-token spans every 8 tokens, hashed; a span is
+    duplicated if its hash occurs anywhere else in the corpus. Reports
+    per-doc span counts and the duplicated-span ratio — the signal
+    suffix-array exact-substring dedup thresholds on, at 1/stride the
+    cost, and the overlap guarantees any ≥23-token verbatim repeat is
+    caught regardless of alignment.
+
+    Scale shape (identical to chunk_dedup_ratio): after the explode, only
+    16-byte hashes move — one map-side-combinable frequency groupBy, one
+    hash equi-join back, one per-doc groupBy. Text stays in the scan
+    stage."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks"))
+    n_spans = F.floor(
+        F.greatest(F.size("toks") - F.lit(_SPAN_W), F.lit(0)) / F.lit(_SPAN_S)
+    ).cast("long")
+    sp = (
+        toks.filter(F.size("toks") >= _SPAN_W)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_spans)).alias("i"),
+            "toks",
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(
+                    F.array_join(
+                        F.slice(
+                            F.col("toks"),
+                            (F.col("i") * _SPAN_S + 1).cast("int"),
+                            _SPAN_W,
+                        ),
+                        " ",
+                    ),
+                    "utf-8",
+                )
+            ).alias("h"),
+        )
+    )
+    freq = sp.groupBy("h").agg(F.count("*").alias("n_occ"))
+    return (
+        sp.join(freq, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_spans"),
+            F.count(F.when(F.col("n_occ") > 1, 1)).alias("n_dup_spans"),
+            F.round(
+                F.count(F.when(F.col("n_occ") > 1, 1)) / F.count("*"), 6
+            ).alias("dup_ratio"),
+        )
+    )
