@@ -787,7 +787,11 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _load_parallel(spark, sf_dir, "events").withColumn(
         "fv", F.floor("value").cast("long")
     )
-    return salted_agg(ev, ["event_type"], {"fv": "sum_fv"}, buckets=16)
+    # salt from the unique row key: perfect spread, no hashing of the
+    # wide props payload (with_salt defaults to all columns otherwise)
+    return salted_agg(
+        ev, ["event_type"], {"fv": "sum_fv"}, buckets=16, salt_cols=["event_id"]
+    )
 
 
 @register(

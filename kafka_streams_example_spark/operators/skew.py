@@ -42,11 +42,14 @@ def salted_agg(
     keys: list[str],
     sum_cols: dict[str, str],
     buckets: int = 16,
+    salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Two-phase skew-safe aggregation: sum/count per (keys, salt), then
     combine per keys. ``sum_cols`` maps input column → output alias; a
-    row count lands in ``cnt``."""
-    salted = with_salt(df, buckets)
+    row count lands in ``cnt``. Pass a cheap unique key in ``salt_cols``
+    (e.g. the row's primary key) so the salt hash does not churn through
+    wide payload columns."""
+    salted = with_salt(df, buckets, salt_cols=salt_cols)
     partial = salted.groupBy(*keys, "__salt").agg(
         F.count("*").alias("__cnt"),
         *[F.sum(c).alias(f"__s_{c}") for c in sum_cols],

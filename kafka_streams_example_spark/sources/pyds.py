@@ -149,3 +149,93 @@ def make_solar_sim_datasource():
 SolarSimDataSource = make_solar_sim_datasource()
 _mix64 = SolarSimDataSource._mix64
 _EPOCH = SolarSimDataSource._epoch
+
+
+def make_jsonl_sink_datasource():
+    """Build the jsonl_sink streaming DataSource (Spark 4 Python
+    DataSourceStreamWriter) — the write-side counterpart of the generator
+    above, completing the Python extension surface: batch read + stream
+    read + stream write.
+
+    Commit protocol (the part that matters): executors stage each
+    partition to a temp file and return it in the WriterCommitMessage;
+    the DRIVER renames staged files into place and drops a per-batch
+    marker only after every task succeeded — so readers never observe a
+    half-written batch, and a replayed batch id overwrites its own files
+    idempotently (exactly-once per batch on a posix FS; swap the rename
+    for an object-store committer at scale). Classes are function-local
+    for cloudpickle-by-value (see module docstring)."""
+    import json
+    import os
+    import uuid
+    from dataclasses import dataclass
+
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    @dataclass
+    class FileCommit(WriterCommitMessage):
+        staged: str
+        rows: int
+
+    class JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options: dict):
+            self.path = options.get("path")
+            if not self.path:
+                raise ValueError("jsonl_sink requires the 'path' option")
+
+        def write(self, iterator):
+            staging = os.path.join(self.path, "_staging")
+            os.makedirs(staging, exist_ok=True)
+            name = os.path.join(staging, f"part-{uuid.uuid4().hex}.jsonl")
+            n = 0
+            with open(name, "w") as f:
+                for row in iterator:
+                    f.write(json.dumps(row.asDict(), default=str) + "\n")
+                    n += 1
+            return FileCommit(staged=name, rows=n)
+
+        def commit(self, messages, batchId: int) -> None:
+            os.makedirs(os.path.join(self.path, "_commits"), exist_ok=True)
+            final = []
+            for i, m in enumerate(messages):
+                if m is None:
+                    continue
+                if m.rows == 0:
+                    if os.path.exists(m.staged):
+                        os.remove(m.staged)
+                    continue
+                dst = os.path.join(
+                    self.path, f"batch-{batchId:05d}-part-{i:04d}.jsonl"
+                )
+                os.replace(m.staged, dst)
+                final.append(os.path.basename(dst))
+            with open(os.path.join(self.path, "_commits", str(batchId)), "w") as f:
+                json.dump({"batch": batchId, "files": sorted(final)}, f)
+
+        def abort(self, messages, batchId: int) -> None:
+            for m in messages:
+                if m is not None and os.path.exists(m.staged):
+                    os.remove(m.staged)
+
+    class JsonlSinkDataSource(DataSource):
+        """df.writeStream.format("jsonl_sink").option("path", dir) after
+        ``spark.dataSource.register(JsonlSinkDataSource)``."""
+
+        @classmethod
+        def name(cls) -> str:
+            return "jsonl_sink"
+
+        def schema(self) -> str:  # write-side: schema comes from the df
+            return "value string"
+
+        def streamWriter(self, schema, overwrite: bool):
+            return JsonlStreamWriter(self.options)
+
+    return JsonlSinkDataSource
+
+
+JsonlSinkDataSource = make_jsonl_sink_datasource()

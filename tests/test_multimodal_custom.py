@@ -416,3 +416,60 @@ def test_python_datasource_streaming_matches_batch(spark, tmp_path):
     }
     assert len(got) == 130
     assert got == batch
+
+
+def test_python_datasource_stream_sink_commit_protocol(spark, tmp_path):
+    """sources/pyds.py jsonl_sink: the Python DataSourceStreamWriter's
+    rename-on-commit protocol — committed batches carry a marker listing
+    exactly the visible files, no staging stragglers survive, and the
+    sink's union equals the drained source."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.sources.pyds import (
+        JsonlSinkDataSource,
+        SolarSimDataSource,
+    )
+
+    spark.dataSource.register(SolarSimDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_out")
+    q = (
+        spark.readStream.format("solar_sim")
+        .option("rows_per_batch", "50")
+        .option("partitions", "2")
+        .option("max_rows", "120")
+        .load()
+        .writeStream.format("jsonl_sink")
+        .option("path", out)
+        .option("checkpointLocation", str(tmp_path / "ck_sink"))
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    markers = sorted(glob.glob(_os.path.join(out, "_commits", "*")))
+    assert markers, "no committed batches"
+    listed = set()
+    for m in markers:
+        with open(m) as f:
+            listed |= set(_json.load(f)["files"])
+    visible = {
+        _os.path.basename(p)
+        for p in glob.glob(_os.path.join(out, "batch-*.jsonl"))
+    }
+    assert visible == listed  # markers describe exactly the visible files
+    assert glob.glob(_os.path.join(out, "_staging", "*")) == []
+
+    rows = []
+    for p in glob.glob(_os.path.join(out, "batch-*.jsonl")):
+        with open(p) as f:
+            rows.extend(_json.loads(line) for line in f)
+    assert len(rows) == 120
+    batch = spark.read.format("solar_sim").option("partitions", "1").option(
+        "rows_per_partition", "120"
+    ).load().collect()
+    assert {(r["panel"], r["name"], r["power"]) for r in rows} == {
+        (r.panel, r.name, r.power) for r in batch
+    }
