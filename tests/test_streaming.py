@@ -819,3 +819,61 @@ def test_bounded_state_knobs(spark, tmp_path):
     q.stop()
     n = spark.sql("SELECT count(DISTINCT event_id) c, count(*) n FROM dedup_knob_stream").collect()[0]
     assert (n.c, n.n) == (2, 2)
+
+
+def test_observation_metrics_free_of_extra_jobs(spark):
+    """Engine observability surface: df.observe() collects named metrics
+    as a side effect of the action itself — no second pass over the data
+    (the way a production pipeline counts rows/sums without .count())."""
+    from pyspark.sql import Observation
+
+    obs = Observation("ingest_stats")
+    ev = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .observe(
+            obs,
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.floor("value").cast("long")).alias("sum_fv"),
+        )
+    )
+    expected_n = ev.count()  # the observed action
+    got = obs.get
+    assert got["n_rows"] == expected_n
+    direct = spark.read.parquet("/root/testdata/sf0.001/events.parquet").agg(
+        F.sum(F.floor("value").cast("long"))
+    ).collect()[0][0]
+    assert got["sum_fv"] == direct
+
+
+def test_state_store_reader_inspects_streaming_state(spark, tmp_path):
+    """Spark 4 state data source: streaming-aggregation state is readable
+    as a batch DataFrame from the checkpoint — the ops path for state
+    audits/debugging at scale (no need to replay the stream)."""
+    src = tmp_path / "ssr_in"
+    os.makedirs(src)
+    write_jsonl(
+        str(src / "b0.json"),
+        [
+            {"ts": f"2024-01-01 00:00:{i % 60:02d}", "k": f"g{i % 3}", "v": 1.0}
+            for i in range(20)
+        ],
+    )
+    ck = str(tmp_path / "ssr_ck")
+    stream = spark.readStream.schema("ts TIMESTAMP, k STRING, v DOUBLE").json(
+        str(src)
+    )
+    q = (
+        stream.withWatermark("ts", "1 minute")
+        .groupBy("k")
+        .agg(F.sum("v").alias("s"))
+        .writeStream.format("memory")
+        .queryName("ssr_q")
+        .outputMode("update")
+        .option("checkpointLocation", ck)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+    state = spark.read.format("statestore").load(ck)
+    got = {r["key"]["k"]: r["value"]["sum"] for r in state.collect()}
+    assert got == {"g0": 7.0, "g1": 7.0, "g2": 6.0}
