@@ -134,6 +134,7 @@ HEADLINE = [
     "curriculum_quality_bins",
     "preference_pairs",
     "substring_span_dupes",
+    "pack_sequences_greedy",
 ]
 
 

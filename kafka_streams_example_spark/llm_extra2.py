@@ -845,3 +845,86 @@ def substring_span_dupes(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_ratio"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# pack_sequences_greedy — true budget-disciplined packing (stateful)
+# --------------------------------------------------------------------------
+
+
+def greedy_pack(lengths: list[int], budget: int) -> list[int]:
+    """Reference greedy packer: walk docs in order, open a new sequence
+    whenever adding the next doc would exceed the budget (a doc longer
+    than the budget gets a sequence of its own). Returns the seq index
+    per doc. Pure Python — the per-shard kernel AND the test oracle."""
+    seq, used = 0, 0
+    out = []
+    for n in lengths:
+        if used > 0 and used + n > budget:
+            seq, used = seq + 1, 0
+        out.append(seq)
+        used += n
+    return out
+
+
+@register("pack_sequences_greedy")
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy sequence packing (the budget-disciplined complement of
+    pack_sequences' offset bucketing): within each shard, docs are walked
+    in doc_id order and a sequence closes when the next doc would push it
+    past the 512-token budget — so no multi-doc sequence ever exceeds the
+    budget (only a single over-long doc can). Greedy packing is
+    inherently sequential, so it runs as an applyInPandas kernel per
+    shard; the shard count scales with the input (pack_shard_count),
+    bounding each kernel to ~4096 docs regardless of corpus size.
+
+    Python-kernel output is deterministic (sorted walk, pure function) —
+    checked against an independent per-shard reference in tests; no SQL
+    oracle because greedy state is not expressible without recursion
+    (rows-only driver check)."""
+    import pandas as pd
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    shards = pack_shard_count(docs.count())
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+
+    budget = _CTX
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # local copy of greedy_pack: the kernel ships to workers via
+        # cloudpickle, and a module-global reference would require this
+        # package on the WORKER's sys.path (see sources/pyds.py docstring)
+        def _greedy(lengths: list[int], b: int) -> list[int]:
+            seq, used = 0, 0
+            out = []
+            for n in lengths:
+                if used > 0 and used + n > b:
+                    seq, used = seq + 1, 0
+                out.append(seq)
+                used += n
+            return out
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf["seq_id"] = _greedy(pdf["n_tokens"].tolist(), budget)
+        g = pdf.groupby("seq_id", sort=True)
+        out = pd.DataFrame(
+            {
+                "shard": pdf["shard"].iloc[0],
+                "seq_id": g.size().index.astype("int64"),
+                "n_docs": g.size().to_numpy(),
+                "total_tokens": g["n_tokens"].sum().to_numpy(),
+                "first_doc": g["doc_id"].min().to_numpy(),
+                "last_doc": g["doc_id"].max().to_numpy(),
+            }
+        )
+        return out
+
+    return t.groupBy("shard").applyInPandas(
+        pack,
+        "shard BIGINT, seq_id BIGINT, n_docs BIGINT, total_tokens BIGINT, "
+        "first_doc BIGINT, last_doc BIGINT",
+    )

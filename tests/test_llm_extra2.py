@@ -170,3 +170,49 @@ def test_neardup_dedup_consistent_with_pairs(spark):
     assert sum(r.n_docs - r.n_survivors for r in stats) == len(dup_ids)
     for r in stats:
         assert 0 <= r.n_survivors <= r.n_docs
+
+
+def test_pack_sequences_greedy_budget_discipline(spark):
+    """True greedy packing: per shard, the engine's sequences equal the
+    pure-Python greedy reference; no multi-doc sequence exceeds the
+    budget; tokens and docs conserve."""
+    from kafka_streams_example_spark.llm_extra2 import greedy_pack
+
+    rows = registry.QUERIES["pack_sequences_greedy"](spark, SF_SMOKE).collect()
+    assert rows
+    docs = (
+        spark.read.parquet(f"{SF_SMOKE}/documents.parquet")
+        .select(
+            "doc_id",
+            F.size(
+                F.filter(F.split(F.trim(F.lower("text")), r"\s+"), lambda t: t != "")
+            ).alias("n"),
+        )
+        .collect()
+    )
+    n_shards = pack_shard_count(len(docs))
+    assert sum(r.total_tokens for r in rows) == sum(r.n for r in docs)
+    assert sum(r.n_docs for r in rows) == len(docs)
+    # independent reference per shard
+    by_shard_docs: dict[int, list] = {}
+    for r in sorted(docs, key=lambda r: r.doc_id):
+        by_shard_docs.setdefault(r.doc_id % n_shards, []).append(r)
+    got = {(r.shard, r.seq_id): (r.n_docs, r.total_tokens, r.first_doc, r.last_doc) for r in rows}
+    want = {}
+    for shard, ds in by_shard_docs.items():
+        assign = greedy_pack([d.n for d in ds], _CTX)
+        per: dict[int, list] = {}
+        for d, s in zip(ds, assign):
+            per.setdefault(s, []).append(d)
+        for s, members in per.items():
+            want[(shard, s)] = (
+                len(members),
+                sum(m.n for m in members),
+                min(m.doc_id for m in members),
+                max(m.doc_id for m in members),
+            )
+    assert got == want
+    # budget discipline: multi-doc sequences never exceed the budget
+    for r in rows:
+        if r.n_docs > 1:
+            assert r.total_tokens <= _CTX
