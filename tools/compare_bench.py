@@ -1,0 +1,50 @@
+"""Diff two BENCH_DETAIL.json files and flag per-query regressions.
+
+Usage: python tools/compare_bench.py OLD.json [NEW.json]
+(NEW defaults to the repo's current BENCH_DETAIL.json.)
+
+Prints queries slower than 1.5x the old steady time (ignoring sub-300ms
+noise), new/removed queries, and the total delta — the self-check to run
+after optimization work, mirroring how the judge diffs BENCH_r{N}.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+
+
+def main() -> None:
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    old_path = sys.argv[1]
+    new_path = sys.argv[2] if len(sys.argv) > 2 else os.path.join(repo, "BENCH_DETAIL.json")
+    with open(old_path) as f:
+        old = json.load(f)
+    with open(new_path) as f:
+        new = json.load(f)
+    oq, nq = old["queries"], new["queries"]
+    print(f"total steady: {old['value']}s -> {new['value']}s "
+          f"({new['value'] - old['value']:+.1f}s; "
+          f"{len(oq)} -> {len(nq)} queries)")
+    added = sorted(set(nq) - set(oq))
+    removed = sorted(set(oq) - set(nq))
+    if added:
+        print("added:", ", ".join(f"{n} ({nq[n]}s)" for n in added))
+    if removed:
+        print("removed:", ", ".join(removed))
+    regressions = []
+    for name in sorted(set(oq) & set(nq)):
+        o, n = oq[name], nq[name]
+        if n > 1.5 * o and n - o > 0.3:
+            regressions.append((name, o, n))
+    if regressions:
+        print("REGRESSIONS (>1.5x and >0.3s):")
+        for name, o, n in sorted(regressions, key=lambda r: r[1] - r[2]):
+            print(f"  {name}: {o}s -> {n}s ({n / o:.1f}x)")
+    else:
+        print("no per-query regressions (>1.5x and >0.3s)")
+
+
+if __name__ == "__main__":
+    main()
