@@ -135,6 +135,7 @@ HEADLINE = [
     "preference_pairs",
     "substring_span_dupes",
     "pack_sequences_greedy",
+    "winnowing_fingerprints",
 ]
 
 

@@ -928,3 +928,107 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         "shard BIGINT, seq_id BIGINT, n_docs BIGINT, total_tokens BIGINT, "
         "first_doc BIGINT, last_doc BIGINT",
     )
+
+
+# --------------------------------------------------------------------------
+# winnowing_fingerprints — rolling-hash document fingerprints (MOSS)
+# --------------------------------------------------------------------------
+
+_WIN_K = 8  # chars per gram (rolling-hash width)
+_WIN_W = 4  # winnowing window (grams per min-selection window)
+_WIN_B = 256  # polynomial base
+_WIN_P = (1 << 31) - 1  # Mersenne modulus — keeps every term in int64/ANSI
+_WIN_POWS = [pow(_WIN_B, _WIN_K - 1 - j, _WIN_P) for j in range(_WIN_K)]
+
+
+def _win_gram_sql(s: str, i: str) -> str:
+    terms = " + ".join(
+        f"(CAST(ascii(substr({s}, {i} + {j}, 1)) AS BIGINT) * {_WIN_POWS[j]}) % {_WIN_P}"
+        for j in range(_WIN_K)
+    )
+    return f"(({terms}) % {_WIN_P})"
+
+
+@register(
+    "winnowing_fingerprints",
+    f"""
+WITH nrm AS (
+    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+    FROM documents
+),
+g AS (
+    SELECT doc_id,
+           list_transform(generate_series(1, greatest(length(s) - {_WIN_K - 1}, 0)),
+                          i -> {_win_gram_sql('s', 'i')}) AS gh
+    FROM nrm
+),
+fp AS (
+    SELECT doc_id, gh,
+           list_sort(list_distinct(
+               list_transform(generate_series(1, greatest(len(gh) - {_WIN_W - 1}, 0)),
+                              i -> list_aggregate(gh[i:i + {_WIN_W - 1}], 'min')))) AS f
+    FROM g
+)
+SELECT doc_id,
+       CAST(len(gh) AS INT) AS n_grams,
+       CAST(len(f) AS INT) AS n_fps,
+       md5(array_to_string(f, ',')) AS fp_digest
+FROM fp
+""",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprints via winnowing (Schleimer/
+    Wilkerson/Aiken's MOSS scheme — public algorithm): polynomial Rabin
+    hashes of all 8-char grams of the normalized text, then the minimum
+    hash of each 4-gram window, deduplicated — the fingerprint set any
+    two documents sharing a ≥11-char verbatim run must overlap on.
+
+    Declarative form: each gram hash is computed position-wise (same
+    values the O(1)-per-step rolling recurrence yields — a mod-P
+    polynomial is position-independent), so the scan parallelizes per
+    row instead of carrying sequential state; per-term mod keeps every
+    intermediate below 2^41, safe under ANSI int64. Emits per-doc gram/
+    fingerprint counts plus an md5 digest of the sorted fingerprint set
+    (join key for corpus-level plagiarism/reuse detection).
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    staged = docs.select("doc_id", norm.alias("s")).withColumn(
+        "codes", F.transform(F.split(F.col("s"), ""), lambda ch: F.ascii(ch))
+    )
+
+    def gram_hash(i):
+        # int64 arithmetic: ascii codes are 32-bit, and int*int would
+        # overflow under ANSI at pow values near 2^31
+        acc = None
+        for j in range(_WIN_K):
+            term = (
+                F.element_at(F.col("codes"), i + j).cast("long")
+                * F.lit(_WIN_POWS[j]).cast("long")
+            ) % F.lit(_WIN_P).cast("long")
+            acc = term if acc is None else acc + term
+        return acc % F.lit(_WIN_P).cast("long")
+
+    grams = F.transform(
+        F.sequence(
+            F.lit(1), F.greatest(F.length("s") - (_WIN_K - 1), F.lit(0))
+        ),
+        gram_hash,
+    )
+    staged = staged.withColumn("gh", grams)
+    fps = F.array_sort(
+        F.array_distinct(
+            F.transform(
+                F.sequence(
+                    F.lit(1), F.greatest(F.size("gh") - (_WIN_W - 1), F.lit(0))
+                ),
+                lambda i: F.array_min(F.slice(F.col("gh"), i, _WIN_W)),
+            )
+        )
+    )
+    return staged.withColumn("f", fps).select(
+        "doc_id",
+        F.size("gh").cast("int").alias("n_grams"),
+        F.size("f").cast("int").alias("n_fps"),
+        F.md5(F.encode(F.array_join(F.col("f"), ","), "utf-8")).alias("fp_digest"),
+    )

@@ -216,3 +216,41 @@ def test_pack_sequences_greedy_budget_discipline(spark):
     for r in rows:
         if r.n_docs > 1:
             assert r.total_tokens <= _CTX
+
+
+def test_winnowing_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a verbatim character run of
+    length >= k + w - 1 (11 chars here) must share at least one
+    fingerprint; disjoint-content docs should not collide."""
+    from kafka_streams_example_spark.llm_extra2 import _WIN_K, _WIN_P, _WIN_POWS, _WIN_W
+
+    assert _WIN_K + _WIN_W - 1 == 11
+    shared = "identical shared passage of text"
+    rows = spark.createDataFrame(
+        [
+            (1, "alpha beta " + shared + " gamma delta"),
+            (2, "omega psi chi " + shared + " phi upsilon"),
+            (3, "qqq www eee rrr ttt yyy uuu iii ooo ppp"),
+        ],
+        "doc_id long, text string",
+    )
+    rows.createOrReplaceTempView("win_docs")
+
+    # reuse the registry plan on this tiny frame by recomputing fingerprint
+    # SETS (not just the digest) with the same constants
+    def fps(text: str) -> set:
+        import re
+
+        s = re.sub(r"\s+", " ", text.lower()).strip()
+        gh = [
+            sum(ord(s[i + j]) * _WIN_POWS[j] % _WIN_P for j in range(_WIN_K)) % _WIN_P
+            for i in range(len(s) - _WIN_K + 1)
+        ]
+        return {min(gh[i : i + _WIN_W]) for i in range(len(gh) - _WIN_W + 1)}
+
+    f1, f2, f3 = (fps(r.text) for r in rows.orderBy("doc_id").collect())
+    assert f1 & f2, "docs sharing an 11+ char run must share a fingerprint"
+    assert not (f1 & f3) and not (f2 & f3)
+    # (the engine's values are pinned against the independent DuckDB
+    # oracle in test_oracle_parity; this reference pins the guarantee the
+    # constants were chosen for)
