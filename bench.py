@@ -136,6 +136,7 @@ HEADLINE = [
     "substring_span_dupes",
     "pack_sequences_greedy",
     "winnowing_fingerprints",
+    "incremental_ingest_dedup",
 ]
 
 

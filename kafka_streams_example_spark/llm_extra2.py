@@ -1032,3 +1032,69 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("f").cast("int").alias("n_fps"),
         F.md5(F.encode(F.array_join(F.col("f"), ","), "utf-8")).alias("fp_digest"),
     )
+
+
+# --------------------------------------------------------------------------
+# incremental_ingest_dedup — new-batch dedup against the existing corpus
+# --------------------------------------------------------------------------
+
+_INGEST_SPLIT = 400  # doc_id >= split = the "incoming" batch
+
+
+@register(
+    "incremental_ingest_dedup",
+    f"""
+WITH idx AS (
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id < {_INGEST_SPLIT}
+),
+incoming AS (
+    SELECT doc_id, lang,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    FROM documents WHERE doc_id >= {_INGEST_SPLIT}
+)
+SELECT i.lang,
+       count(*) AS n_incoming,
+       count(*) FILTER (WHERE x.fp IS NOT NULL) AS n_dup_vs_index,
+       count(*) FILTER (WHERE x.fp IS NULL) AS n_new
+FROM incoming i
+LEFT JOIN (SELECT DISTINCT fp FROM idx) x ON i.fp = x.fp
+GROUP BY 1
+""",
+)
+def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingestion dedup — the production shape where a new
+    batch is checked against the EXISTING corpus index instead of
+    re-deduplicating the world: incoming docs (doc_id >= split stands in
+    for the day's crawl) probe the historical fingerprint index and are
+    classified duplicate-vs-new per language.
+
+    Scale shape: the index side carries only 16-byte fingerprints (at
+    100 TB it is the persisted fingerprint table, bucketed by fp, not a
+    rescan of the corpus); the probe is a fp-keyed join that AQE turns
+    into a broadcast when the daily batch is small, and the incoming
+    text never shuffles — fingerprints are computed in the scan stage.
+    The same split extends to the MinHash index for near-dup probes
+    (operators/dedup.py:minhash_pairs on incoming ∪ candidate bands).
+    """
+    from kafka_streams_example_spark.functions.hashing import fingerprint_md5
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    idx = (
+        docs.filter(F.col("doc_id") < _INGEST_SPLIT)
+        .select(fingerprint_md5(F.col("text")).alias("fp"))
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    incoming = docs.filter(F.col("doc_id") >= _INGEST_SPLIT).select(
+        "doc_id", "lang", fingerprint_md5(F.col("text")).alias("fp")
+    )
+    return (
+        incoming.join(idx, "fp", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_incoming"),
+            F.count(F.when(F.col("hit").isNotNull(), 1)).alias("n_dup_vs_index"),
+            F.count(F.when(F.col("hit").isNull(), 1)).alias("n_new"),
+        )
+    )
