@@ -137,6 +137,7 @@ HEADLINE = [
     "pack_sequences_greedy",
     "winnowing_fingerprints",
     "incremental_ingest_dedup",
+    "zipf_law_fit",
 ]
 
 

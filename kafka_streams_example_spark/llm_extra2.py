@@ -1098,3 +1098,56 @@ def incremental_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("hit").isNull(), 1)).alias("n_new"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# zipf_law_fit — corpus token-frequency power-law diagnostics
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 500  # fit over the top-N ranks (the power-law regime)
+
+
+@register(
+    "zipf_law_fit",
+    f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+freq AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+ranked AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(f), ln(r)), 5) AS zipf_slope,
+       round(regr_intercept(ln(f), ln(r)), 5) AS zipf_intercept,
+       round(regr_r2(ln(f), ln(r)), 5) AS fit_r2
+FROM ranked
+WHERE r <= {_ZIPF_TOP}
+""",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostics for a training corpus: OLS fit of
+    ln(frequency) against ln(rank) over the top-500 token ranks via the
+    regr_slope / regr_intercept / regr_r2 aggregate family — natural text
+    sits near slope -1; a corpus drifting far off is a synthetic-data /
+    boilerplate red flag.
+
+    The ranking window is VOCABULARY-sized (the token groupBy with
+    map-side combine collapses the corpus first), so the single-partition
+    sort it implies is over ~1e5-1e6 rows at any corpus scale — bounded,
+    unlike a corpus-wide global window. Tie-broken by term for
+    deterministic ranks on both engines."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term")))
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    lf, lr = F.log(F.col("f")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 5).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 5).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 5).alias("fit_r2"),
+    )
