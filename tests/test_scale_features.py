@@ -291,3 +291,41 @@ def test_avro_roundtrip_when_available(spark, tmp_path):
     avro_path = str(tmp_path / "ev_avro")
     fsrc.write_avro(ev, avro_path)
     assert fsrc.read_avro(spark, avro_path).count() == ev.count()
+
+
+def test_schema_evolution_merge_on_read(spark, tmp_path):
+    """Schema drift across ingest days (a new column appears later) must
+    unify on read with mergeSchema: old files yield NULLs for the new
+    column, values survive for both generations."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").limit(50)
+    day1 = str(tmp_path / "evo" / "day=1")
+    day2 = str(tmp_path / "evo" / "day=2")
+    ev.select("event_id", "value").write.parquet(day1)
+    ev.select(
+        "event_id", "value", F.lit("v2").alias("pipeline_version")
+    ).write.parquet(day2)
+    merged = spark.read.option("mergeSchema", "true").parquet(
+        str(tmp_path / "evo")
+    )
+    assert set(merged.columns) == {"event_id", "value", "pipeline_version", "day"}
+    assert merged.count() == 100
+    per_day = {
+        r["day"]: r["n_null"]
+        for r in merged.groupBy("day")
+        .agg(F.count(F.when(F.col("pipeline_version").isNull(), 1)).alias("n_null"))
+        .collect()
+    }
+    assert per_day == {1: 50, 2: 0}
+
+
+def test_parameterized_sql(spark):
+    """Named-parameter SQL (Spark 4): parameters bind as literals — no
+    string interpolation, so injection-safe and plan-cacheable."""
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev.createOrReplaceTempView("events_p")
+    got = spark.sql(
+        "SELECT count(*) AS n FROM events_p WHERE event_type = :et AND value > :lo",
+        args={"et": "click", "lo": 50.0},
+    ).collect()[0]["n"]
+    want = ev.filter((F.col("event_type") == "click") & (F.col("value") > 50.0)).count()
+    assert got == want
