@@ -138,6 +138,7 @@ HEADLINE = [
     "winnowing_fingerprints",
     "incremental_ingest_dedup",
     "zipf_law_fit",
+    "label_mean_embeddings",
 ]
 
 

@@ -1151,3 +1151,47 @@ def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.regr_intercept(lf, lr), 5).alias("zipf_intercept"),
         F.round(F.regr_r2(lf, lr), 5).alias("fit_r2"),
     )
+
+
+# --------------------------------------------------------------------------
+# label_mean_embeddings — element-wise vector pooling per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "label_mean_embeddings",
+    """
+WITH e AS (
+    SELECT label, i AS dim_pos, CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT label,
+       CAST(dim_pos AS INT) AS dim_pos,
+       round(avg(val), 6) AS mean_val,
+       count(*) AS n_vectors
+FROM e
+GROUP BY 1, 2
+""",
+)
+def label_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean pooling of embeddings per label — the pooling
+    step behind chunk-embeddings→document-embedding and per-class
+    centroids (classifier prototypes, clustering seeds). Emitted in long
+    form (label, dim, mean) so the oracle is engine-portable; callers
+    reassemble vectors with the sort-collect idiom in
+    operators/similarity.py:kmeans_lloyd.
+
+    Scale shape: posexplode multiplies rows by dim, but the groupBy on
+    (label, dim) combines map-side, so the shuffle is |labels| x dim
+    rows — independent of corpus size (the same k x dim bound as the
+    k-means update step)."""
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim_pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
