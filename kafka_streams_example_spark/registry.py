@@ -633,14 +633,68 @@ def events_variant_extract(spark, sf_dir):
     )
 
 
-@register("pyds_solar_sim_agg")
+def _pyds_oracle_sql() -> str:
+    """Reconstruct the solar_sim generator IN SQL: splitmix64 via
+    split-multiply modular arithmetic (a 64x64→mod-2^64 product computed
+    in 32-bit halves so no intermediate exceeds INT128), then the same
+    30s-window aggregation — the Python DataSource path gets a full
+    value oracle with no backing table."""
+    m64, m32 = 1 << 64, 1 << 32
+    epoch0 = 1704067200  # 2024-01-01T00:00:00Z
+    seed, rows, parts = 42, 2000, 4
+
+    def modmul(a: str, const: int) -> str:
+        return (
+            f"CAST(((CAST({a} % {m32} AS HUGEINT) * {const})"
+            f" + ((CAST({a} // {m32} AS HUGEINT) * {const}) % {m32}) * {m32})"
+            f" % {m64} AS UBIGINT)"
+        )
+
+    return f"""
+WITH idx AS (
+    SELECT p.p, i.i
+    FROM (SELECT unnest(generate_series(0, {parts - 1})) AS p) p,
+         (SELECT unnest(generate_series(0, {rows - 1})) AS i) i
+),
+s0 AS (SELECT p, i, {seed} * 1000003 + p * 1000000 + i AS n FROM idx),
+s1 AS (SELECT p, i,
+              CAST((CAST(n AS HUGEINT) + 11400714819323198485) % {m64} AS UBIGINT) AS x1
+       FROM s0),
+s1b AS (SELECT p, i, xor(x1, x1 >> 30) AS y1 FROM s1),
+s2 AS (SELECT p, i, {modmul('y1', 0xBF58476D1CE4E5B9)} AS x2 FROM s1b),
+s2b AS (SELECT p, i, xor(x2, x2 >> 27) AS y2 FROM s2),
+s3 AS (SELECT p, i, {modmul('y2', 0x94D049BB133111EB)} AS x3 FROM s2b),
+gen AS (
+    SELECT CAST({epoch0} + p * {rows} + i AS BIGINT) AS es,
+           'P' || CAST(hv % 5 AS VARCHAR) AS panel,
+           'M' || CAST((hv >> 8) % 4 AS VARCHAR) AS module,
+           round(CAST((hv >> 16) % 10000 AS DOUBLE) / 100.0, 2) AS power
+    FROM (SELECT p, i, xor(x3, x3 >> 31) AS hv FROM s3)
+)
+SELECT CAST(floor(es / 30) * 30 AS BIGINT) AS w_start,
+       CAST(floor(es / 30) * 30 + 30 AS BIGINT) AS w_end,
+       panel, module,
+       count(*) AS cnt,
+       round(sum(power), 6) AS sum_power
+FROM gen
+GROUP BY 1, 2, 3, 4
+"""
+
+
+@register("pyds_solar_sim_agg", _pyds_oracle_sql())
 def pyds_solar_sim_agg(spark, sf_dir):
     """The solar module aggregation fed from a custom Python DataSource
     (Spark 4 extension point, sources/pyds.py) instead of Kafka/files —
-    a deterministic partitioned telemetry generator. No oracle table
-    backs a generated source → rows-only driver check; the exact output
-    is pinned against a pandas recomputation in
-    tests/test_multimodal_custom.py."""
+    a deterministic partitioned telemetry generator. The oracle
+    RECONSTRUCTS the generator in DuckDB SQL (splitmix64 in modular
+    arithmetic — see _pyds_oracle_sql), so even this no-backing-table
+    source is value-checked; the exact output is additionally pinned
+    against a pandas recomputation in tests/test_multimodal_custom.py.
+    sum_power is rounded to 6dp on both sides (windows straddling a
+    generator-partition boundary merge float partials in
+    engine-dependent order), and the HALF_UP avg — whose 1dp ties sit
+    exactly on re-derived float noise — is omitted here: that semantic
+    is oracle-proven on the events table by solar_module_agg."""
     from kafka_streams_example_spark.sources.pyds import SolarSimDataSource
 
     spark.dataSource.register(SolarSimDataSource)
@@ -650,7 +704,15 @@ def pyds_solar_sim_agg(spark, sf_dir):
         .option("rows_per_partition", "2000")
         .load()
     )
-    return solar.with_window_epoch(solar.module_aggregates(raw))
+    out = solar.with_window_epoch(solar.module_aggregates(raw))
+    return out.select(
+        "w_start",
+        "w_end",
+        "panel",
+        "module",
+        "cnt",
+        F.round("sum_power", 6).alias("sum_power"),
+    )
 
 
 @register(
