@@ -110,6 +110,25 @@ def write_partitioned(
     df.write.mode("overwrite").partitionBy(*partition_cols).format(fmt).save(path)
 
 
+def write_range_sorted(
+    df: DataFrame, path: str, col: str, num_partitions: int = 8
+) -> None:
+    """Range-partitioned, sorted-within-partition parquet layout: each
+    output file holds a DISJOINT value range of ``col``, so its footer
+    min/max statistics let readers skip whole files/row-groups for range
+    predicates — the sort-based data-skipping complement to directory
+    partitioning (use for high-cardinality ordering keys like event
+    time, where Hive partitioning would explode into small files).
+    The range exchange samples split points, so files are also
+    size-balanced — no manual bucket math."""
+    (
+        df.repartitionByRange(num_partitions, col)
+        .sortWithinPartitions(col)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def read_json_stream_dir(spark: SparkSession, path: str, schema) -> DataFrame:
     """File-based streaming source (newline-JSON dir) — broker-free stand-in
     for the Kafka source in tests; same downstream program either way."""

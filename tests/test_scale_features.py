@@ -329,3 +329,43 @@ def test_parameterized_sql(spark):
     ).collect()[0]["n"]
     want = ev.filter((F.col("event_type") == "click") & (F.col("value") > 50.0)).count()
     assert got == want
+
+
+def test_range_sorted_write_gives_disjoint_file_stats(spark, tmp_path):
+    """write_range_sorted must produce files whose parquet footer min/max
+    ranges on the sort column are pairwise disjoint — the physical
+    property file/row-group skipping relies on. Verified by reading the
+    actual footers with pyarrow, not by trusting the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from kafka_streams_example_spark.sources.files import write_range_sorted
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        "event_id", "value"
+    )
+    out = str(tmp_path / "range_sorted")
+    write_range_sorted(ev, out, "event_id", num_partitions=6)
+    ranges = []
+    for f in glob.glob(out + "/part-*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        col_idx = next(
+            i for i in range(len(md.schema))
+            if md.schema.column(i).name == "event_id"
+        )
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        if mins:
+            ranges.append((min(mins), max(maxs)))
+    assert len(ranges) >= 4  # range exchange actually split the data
+    ranges.sort()
+    for (lo_a, hi_a), (lo_b, hi_b) in zip(ranges, ranges[1:]):
+        assert hi_a < lo_b, f"overlapping file ranges {(lo_a, hi_a)} {(lo_b, hi_b)}"
+    # and a range predicate is pushed to the scan for skipping
+    df = spark.read.parquet(out).filter(F.col("event_id") < 100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan
