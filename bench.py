@@ -139,6 +139,7 @@ HEADLINE = [
     "incremental_ingest_dedup",
     "zipf_law_fit",
     "label_mean_embeddings",
+    "neardup_simhash_pairs",
 ]
 
 

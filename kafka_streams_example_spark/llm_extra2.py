@@ -1195,3 +1195,114 @@ def label_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count("*").alias("n_vectors"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# neardup_simhash_pairs — Hamming-distance near-dup via SimHash banding
+# --------------------------------------------------------------------------
+
+_SH_BANDS = 4  # 60-bit fingerprint → 4 bands x 15 bits
+_SH_BITS = 15
+_SH_HAM = 6  # max Hamming distance to report
+
+
+@register(
+    "neardup_simhash_pairs",
+    f"""
+WITH d AS (
+    SELECT doc_id, {{ngrams}} AS ng
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+h AS (
+    SELECT doc_id,
+           list_transform(ng, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT)) AS hs
+    FROM nz
+),
+votes AS (
+    SELECT doc_id, j, sum(CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END) AS v
+    FROM h, unnest(hs) AS u(x), unnest(generate_series(0, 59)) AS b(j)
+    GROUP BY 1, 2
+),
+fp AS (
+    SELECT doc_id,
+           sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END) AS f
+    FROM votes GROUP BY 1
+),
+banded AS (
+    SELECT doc_id, f, b.b AS band, (f >> ({_SH_BITS} * b.b)) & {(1 << _SH_BITS) - 1} AS bv
+    FROM fp, unnest(generate_series(0, {_SH_BANDS - 1})) AS b(b)
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.f AS fa, r.f AS fb
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bv = r.bv AND l.doc_id < r.doc_id
+)
+SELECT id_a, id_b, CAST(bit_count(xor(fa, fb)) AS INT) AS hamming
+FROM cand
+WHERE bit_count(xor(fa, fb)) <= {_SH_HAM}
+""".format(
+        ngrams=_NGRAMS3
+    ),
+)
+def neardup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs — the Hamming-distance dedup tier: 60-bit
+    per-bit-majority fingerprints over 3-gram shingles, banded into 4x15
+    bits; pairs sharing any band verify by bit_count(xor) <= 6. A pair
+    within Hamming distance d must agree on some band when d < bands
+    (pigeonhole), so banding is lossless for d <= 3 here and a cheap
+    high-recall filter above that.
+
+    The scale shape mirrors minhash_pairs: only (id, band value) rides
+    the self-equi-join shuffle, the fingerprint is 8 bytes per doc, and
+    the verify is one xor+popcount per candidate — no shingle sets move
+    after fingerprinting. Seeded md5-derived shingle hashes make the
+    fingerprints — and therefore the pair set — engine-exact."""
+    from kafka_streams_example_spark.operators.dedup import simhash64
+    from kafka_streams_example_spark.operators.text import word_ngrams
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    fp = (
+        docs.select("doc_id", word_ngrams(F.col("text"), 3).alias("ng"))
+        .filter(F.size("ng") > 0)
+        .select("doc_id", simhash64(F.col("ng")).alias("f"))
+    )
+    # band slices unrolled with LITERAL shift widths: shiftright takes a
+    # Python int, and a float-pow division would corrupt low bits once the
+    # fingerprint exceeds 2^53
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("f"), b * _SH_BITS)
+                .bitwiseAND(F.lit((1 << _SH_BITS) - 1))
+                .alias("bv"),
+            )
+            for b in range(_SH_BANDS)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", "f", F.explode(band_structs).alias("bk")
+    ).select("doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("id_a"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.f").alias("fa"),
+            F.col("r.f").alias("fb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb"))).cast("int")
+    return (
+        cand.withColumn("hamming", ham)
+        .filter(F.col("hamming") <= _SH_HAM)
+        .select("id_a", "id_b", "hamming")
+    )
