@@ -13,7 +13,9 @@ def test_bench_emits_single_json_line_quickly():
     """Run bench.py against the smoke SF with a trimmed headline list via
     env override is not supported — instead just validate the contract on
     sf0.001 (fast enough end-to-end)."""
-    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001", SPARK_GRAFT_CPUS="4")
+    detail = "/tmp/bench_detail_test.json"
+    env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
+               SPARK_GRAFT_CPUS="4", SPARK_GRAFT_BENCH_DETAIL=detail)
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True, text=True, timeout=900, env=env,
@@ -28,11 +30,11 @@ def test_bench_emits_single_json_line_quickly():
     assert d["sf"] == 0.001
     assert 1 <= len(d["queries"]) <= 15 and d["n_queries"] >= 100
     assert all(isinstance(v, float) for v in d["queries"].values())
-    with open("/root/repo/BENCH_DETAIL.json") as fh:
-        detail = json.load(fh)
-    assert detail["n_queries"] == d["n_queries"]
-    assert len(detail["queries"]) == detail["n_queries"]
-    assert set(d["queries"]) <= set(detail["queries"])
+    with open(detail) as fh:
+        det = json.load(fh)
+    assert det["n_queries"] == d["n_queries"]
+    assert len(det["queries"]) == det["n_queries"]
+    assert set(d["queries"]) <= set(det["queries"])
 
 
 def test_queries_rotation_prefers_unchecked():
