@@ -31,27 +31,63 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["solar_anomalies"](spark, "/root/testdata/sf0.001")
 
 
-def _rotated(names: list[str]) -> list[str]:
-    """Order queries least-recently-driver-checked first.
+def _row_is_green(name: str, row: dict) -> bool:
+    """A recorded CORRECTNESS row counts as 'checked' only when it passed.
 
-    The driver verifies a bounded prefix of ``queries()`` per round
-    (CORRECTNESS_r01.json covered the first 50 registrations). Sorting by
-    how many prior CORRECTNESS_r*.json rounds already recorded a row for
-    each query (stable within equal counts) rotates the checked window
-    across rounds until every query has a driver-green row.
+    Full-oracle queries need rows+schema+hash all true with no error. A
+    query with no DuckDB oracle registered (declared rows-only) passes its
+    weaker check when the driver recorded a row count without a hard error.
+    Anything else — hash mismatch, exception, or a ``no_oracle`` row for a
+    query that HAS since gained an oracle — is NOT green and must rotate to
+    the front of the verification window, not out of it.
     """
-    counts = dict.fromkeys(names, 0)
+    if name in registry.ORACLES:
+        return (
+            row.get("err") is None
+            and row.get("rows_match") is True
+            and row.get("schema_match") is True
+            and row.get("hash_match") is True
+        )
+    return row.get("err") in (None, "no_oracle") and row.get("spark_rows") is not None
+
+
+def _rotated(names: list[str]) -> list[str]:
+    """Order queries so the driver's bounded per-round window (first ~50
+    registrations) verifies the most urgent queries first:
+
+    1. queries with a recorded-but-NOT-green row (mismatch / error / stale
+       ``no_oracle`` row for a query that now has an oracle) — re-verified
+       before anything else so defects can't rotate out of the window;
+    2. queries never recorded in any CORRECTNESS_r*.json;
+    3. green queries, least-often-verified first.
+
+    Stable registration order within each group.
+    """
+    green_counts = dict.fromkeys(names, 0)
+    not_green = set()
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
                 seen = json.load(fh)
         except (OSError, ValueError):
             continue
-        for n in seen:
-            if n in counts:
-                counts[n] += 1
+        for n, row in seen.items():
+            if n not in green_counts or not isinstance(row, dict):
+                continue
+            if _row_is_green(n, row):
+                green_counts[n] += 1
+            else:
+                not_green.add(n)
     order = {n: i for i, n in enumerate(names)}
-    return sorted(names, key=lambda n: (counts[n], order[n]))
+
+    def group(n: str) -> int:
+        if n in not_green and green_counts[n] == 0:
+            return 0
+        if green_counts[n] == 0:
+            return 1
+        return 2
+
+    return sorted(names, key=lambda n: (group(n), green_counts[n], order[n]))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

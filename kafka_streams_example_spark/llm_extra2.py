@@ -64,7 +64,7 @@ _STRIDE = 150  # stride => 50-char overlap between consecutive chunks
 SELECT doc_id,
        CAST(i AS INT) AS chunk_id,
        CAST(i * {_STRIDE} + 1 AS BIGINT) AS chunk_start,
-       length(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS chunk_len,
+       CAST(length(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS INT) AS chunk_len,
        md5(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
 FROM documents, unnest(generate_series(0, CAST(floor((length(text) - 1) / {_STRIDE}) AS BIGINT))) AS u(i)
 WHERE length(text) > 0
@@ -150,7 +150,7 @@ c AS (
 SELECT shard,
        CAST(floor(cum_before / {_CTX}) AS BIGINT) AS seq_id,
        count(*) AS n_docs,
-       sum(n_tokens) AS total_tokens,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,  -- HUGEINT→float64 in pandas otherwise
        min(doc_id) AS first_doc,
        max(doc_id) AS last_doc
 FROM c
@@ -222,7 +222,7 @@ scored AS (
            round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
     FROM tf JOIN df USING (term) CROSS JOIN n
 )
-SELECT doc_id, term, tf, df, tfidf, rnk
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
 FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
                                    ORDER BY tfidf DESC, term) AS rnk
       FROM scored)
@@ -277,7 +277,7 @@ SELECT CAST(least(greatest(floor((value - {_H_LO}) / {(_H_HI - _H_LO) / _H_NB}),
        count(*) AS n,
        round(min(value), 2) AS min_v,
        round(max(value), 2) AS max_v,
-       round(sum(CAST(value AS DECIMAL(18,4))), 2) AS sum_v
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_v
 FROM events
 GROUP BY 1, 2
 """,
@@ -304,8 +304,8 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("value"), 2).alias("min_v"),
             F.round(F.max("value"), 2).alias("max_v"),
             F.round(F.sum(F.col("value").cast("decimal(18,4)")), 2)
-            .cast("decimal(38,2)")
-            .alias("sum_v"),
+            .cast("double")  # decimal math inside, double out: exact 2dp value,
+            .alias("sum_v"),  # pandas-dtype-identical to the DuckDB oracle
         )
     )
 
@@ -379,7 +379,7 @@ def ewma_trailing_signal(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT event_id,
        regexp_replace(props, '[0-9]+', '<NUM>', 'g') AS scrubbed,
-       len(regexp_extract_all(props, '[0-9]+')) AS n_redactions
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS INT) AS n_redactions
 FROM events
 """,
 )
@@ -657,10 +657,10 @@ b AS (
     SELECT *, ntile(10) OVER (PARTITION BY lang ORDER BY n_tokens, doc_id) AS bin
     FROM t
 )
-SELECT lang, bin,
+SELECT lang, CAST(bin AS INT) AS bin,
        count(*) AS n_docs,
-       min(n_tokens) AS min_tokens,
-       max(n_tokens) AS max_tokens,
+       CAST(min(n_tokens) AS INT) AS min_tokens,
+       CAST(max(n_tokens) AS INT) AS max_tokens,
        round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
 FROM b
 GROUP BY 1, 2

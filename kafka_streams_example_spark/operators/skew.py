@@ -15,6 +15,20 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def _hashable(dt: T.DataType) -> bool:
+    """xxhash64 rejects MapType (and anything nesting one) — Spark's hash
+    expressions are undefined over unordered maps. Variant is likewise
+    unhashable."""
+    if isinstance(dt, T.MapType) or dt.typeName() == "variant":
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_hashable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _hashable(dt.elementType)
+    return True
 
 
 def with_salt(
@@ -24,14 +38,26 @@ def with_salt(
     salt_cols: list[str] | None = None,
 ) -> DataFrame:
     """Deterministic CONTENT-keyed row salt in [0, buckets): xxhash64 over
-    ``salt_cols`` (default: every column). Content hashing — not
-    monotonically_increasing_id, not rand() — is the only salt that
-    survives stage retries and repartitioning unchanged: partition-layout-
-    derived ids change when Spark repacks splits, and a changed salt on
-    retry double-counts rows in any non-idempotent downstream sink.
-    Identical rows share a salt, which only matters if one exact row
-    dominates; pass a unique key in ``salt_cols`` to spread those too."""
-    cols = salt_cols if salt_cols is not None else df.columns
+    ``salt_cols`` (default: every hashABLE column — MapType/Variant columns
+    are skipped, since Spark's hash expressions reject them). Content
+    hashing — not monotonically_increasing_id, not rand() — is the only
+    salt that survives stage retries and repartitioning unchanged:
+    partition-layout-derived ids change when Spark repacks splits, and a
+    changed salt on retry double-counts rows in any non-idempotent
+    downstream sink. Identical rows share a salt, which only matters if one
+    exact row dominates; pass a unique key in ``salt_cols`` to spread those
+    too (REQUIRED when every column is map-typed — there is nothing
+    deterministic to hash, and we refuse to fall back to layout-dependent
+    ids silently)."""
+    if salt_cols is not None:
+        cols = salt_cols
+    else:
+        cols = [f.name for f in df.schema.fields if _hashable(f.dataType)]
+        if not cols:
+            raise ValueError(
+                "with_salt: no hashable columns (all map/variant-typed); "
+                "pass salt_cols= with a hashable key column"
+            )
     return df.withColumn(
         col_name, F.pmod(F.xxhash64(*[F.col(c) for c in cols]), F.lit(buckets))
     )
@@ -71,9 +97,7 @@ def salted_broadcastable_join(
     join on (key, salt). Prefer broadcast(small) when it fits; prefer AQE
     skew-join for SMJ; this is the fallback for the in-between."""
     # content-keyed salt (see with_salt): invariant under retries/repartition
-    big_s = big.withColumn(
-        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(buckets))
-    )
+    big_s = with_salt(big, buckets)
     small_s = small.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(buckets - 1)))
     )

@@ -998,12 +998,19 @@ def _md5_byte_sql(hex_col: str, i: int) -> str:
 @register(
     "multimodal_byte_features",
     f"""
-WITH b AS (
-    SELECT doc_id, ascii(substr(text, CAST(i AS INT), 1)) AS byte
-    FROM documents, unnest(generate_series(1, length(text))) AS u(i)
+WITH h AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1)
+              + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i   AS INT), 1)) - 1) AS byte
+    FROM h, unnest(generate_series(1, n)) AS u(i)
 ),
 cnt AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
-tot AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS n FROM documents),
+tot AS (SELECT doc_id, n FROM h),
 ag AS (
     SELECT cnt.doc_id,
            -sum((cnt.c / CAST(t.n AS DOUBLE)) * log2(cnt.c / CAST(t.n AS DOUBLE))) AS e,
@@ -1020,10 +1027,11 @@ FROM tot t LEFT JOIN ag USING (doc_id)
 def multimodal_byte_features(spark, sf_dir):
     """Arrow-batched mapInPandas feature extraction over binary payloads
     (byte entropy, mean byte) — REAL numpy computation standing in for any
-    media embed/score pass. The payload is the UTF-8 text bytes (ASCII in
-    the testdata), so the byte histogram reproduces in SQL via ascii() and
-    the Python path gets a full value oracle; rounded to 6dp on both
-    sides to collapse float-summation-order noise (+0.0 kills -0.0)."""
+    media embed/score pass. The payload is the UTF-8 text bytes; the oracle
+    histograms the SAME bytes (hex(encode(text)) parsed pairwise), so it is
+    exact for non-ASCII text too, not just code points ≤ 127. Rounded to 6dp
+    on both sides to collapse float-summation-order noise (+0.0 kills
+    -0.0)."""
     docs = mm.with_binary_payload(_load_parallel(spark, sf_dir, "documents"))
     feats = mm.byte_features(docs)
     return feats.select(

@@ -81,7 +81,16 @@ def make_solar_sim_datasource():
         scheme as the batch reader at partition 0, so a drained stream
         equals `spark.read.format("solar_sim")` with partitions=1 — the
         one-program-two-modes property, and replay after a restart is
-        byte-identical (offsets fully determine the data)."""
+        byte-identical (offsets fully determine the data).
+
+        Restart safety: a recreated reader starts with ``_pos = 0``, but
+        Spark's ``PythonMicroBatchStream`` implements
+        ``AcceptsLatestSeenOffset`` and replays the checkpointed offset to
+        Python as a degenerate ``partitions(o, o)`` call before the first
+        ``latestOffset`` (and replays any pending batch as
+        ``partitions(start, end)``) — so both hooks, plus ``commit``,
+        advance the high-water mark and ``latestOffset`` can never move
+        backwards past a committed offset after a checkpoint restart."""
 
         def __init__(self, options: dict):
             self.rows_per_batch = int(options.get("rows_per_batch", 100))
@@ -96,11 +105,14 @@ def make_solar_sim_datasource():
             return {"row": 0}
 
         def latestOffset(self) -> dict:
-            self._pos = min(self.max_rows, self._pos + self.rows_per_batch)
+            # max() keeps a checkpoint-restored _pos that already exceeds
+            # this run's max_rows option from regressing.
+            self._pos = max(self._pos, min(self.max_rows, self._pos + self.rows_per_batch))
             return {"row": self._pos}
 
         def partitions(self, start: dict, end: dict):
             s, e = start["row"], end["row"]
+            self._pos = max(self._pos, s, e)  # checkpoint-restore high-water
             if e <= s:
                 return [RangePartition(s, s)]
             step = -(-(e - s) // self.n_partitions)
@@ -120,7 +132,7 @@ def make_solar_sim_datasource():
                 yield (ts, f"P{panel}", f"M{module}", power)
 
         def commit(self, end: dict) -> None:
-            pass
+            self._pos = max(self._pos, end["row"])
 
     class SolarSimDataSource(DataSource):
         """spark.read.format("solar_sim") after
@@ -213,6 +225,18 @@ def make_jsonl_sink_datasource():
                 )
                 os.replace(m.staged, dst)
                 final.append(os.path.basename(dst))
+            # Idempotent replay: a retried batch may have FEWER partitions
+            # than the failed attempt — remove that attempt's leftover
+            # batch-NNNNN-part-*.jsonl files so glob readers can't
+            # double-count rows beyond what the marker lists.
+            import glob as _glob
+
+            keep = set(final)
+            for stale in _glob.glob(
+                os.path.join(self.path, f"batch-{batchId:05d}-part-*.jsonl")
+            ):
+                if os.path.basename(stale) not in keep:
+                    os.remove(stale)
             with open(os.path.join(self.path, "_commits", str(batchId)), "w") as f:
                 json.dump({"batch": batchId, "files": sorted(final)}, f)
 

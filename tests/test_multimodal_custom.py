@@ -39,6 +39,50 @@ def test_byte_features_real_values(spark, bin_docs):
     assert rows[1].byte_entropy == pytest.approx(expected)
 
 
+def test_byte_features_oracle_is_byte_exact_for_non_ascii(spark, tmp_path):
+    """The DuckDB oracle for multimodal_byte_features must histogram UTF-8
+    BYTES, not code points — é is 2 bytes, 你 is 3, 🎉 is 4 (ADVICE r02).
+    Runs the registered oracle SQL over a non-ASCII documents table and
+    compares it with the Spark mapInPandas path value-for-value."""
+    import duckdb
+
+    from kafka_streams_example_spark import registry
+
+    texts = [(1, "héllo wörld"), (2, "你好世界"), (3, "a🎉b"), (4, ""), (5, "plain")]
+    docs = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    path = os.path.join(str(tmp_path), "documents.parquet")
+    docs.write.parquet(path)
+
+    # Run the registered Spark query body directly over the fixture frame.
+    feats = mm.byte_features(mm.with_binary_payload(docs))
+    spark_pdf = (
+        feats.select(
+            "doc_id",
+            "n_bytes",
+            F.round(F.col("byte_entropy") + F.lit(0.0), 6).alias("byte_entropy"),
+            F.round(F.col("mean_byte") + F.lit(0.0), 6).alias("mean_byte"),
+        )
+        .toPandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    duck_pdf = (
+        con.execute(registry.ORACLES["multimodal_byte_features"])
+        .fetchdf()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    con.close()
+
+    assert list(spark_pdf.n_bytes) == list(duck_pdf.n_bytes) == [11 + 2, 12, 6, 0, 5]
+    for col in ("byte_entropy", "mean_byte"):
+        for a, b in zip(spark_pdf[col], duck_pdf[col]):
+            assert float(a) == pytest.approx(float(b), abs=1e-6), col
+
+
 def test_decode_fake_deterministic(spark, bin_docs):
     a = {r.doc_id: (r.width, r.height, r.channels) for r in mm.decode_images(bin_docs, fake=True).collect()}
     b = {r.doc_id: (r.width, r.height, r.channels) for r in mm.decode_images(bin_docs, fake=True).collect()}
@@ -473,3 +517,101 @@ def test_python_datasource_stream_sink_commit_protocol(spark, tmp_path):
     assert {(r["panel"], r["name"], r["power"]) for r in rows} == {
         (r.panel, r.name, r.power) for r in batch
     }
+
+
+def test_python_datasource_stream_restart_continues_from_checkpoint(spark, tmp_path):
+    """ADVICE r02: a checkpoint-restarted SolarSimStreamReader must not
+    regress its offset (the recreated reader's in-memory counter restarts
+    at 0; Spark replays the checkpointed offset via AcceptsLatestSeenOffset
+    → partitions(o, o), which the reader now uses as its high-water). Run 1
+    drains 80 rows; run 2 reuses the checkpoint with a higher cap and must
+    emit rows 80..160 exactly once — no duplicates, no gaps, no
+    offset-moved-backwards failure."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.sources.pyds import (
+        JsonlSinkDataSource,
+        SolarSimDataSource,
+    )
+
+    spark.dataSource.register(SolarSimDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+    out = str(tmp_path / "jsonl_restart")
+    ck = str(tmp_path / "ck_restart")
+
+    def run(max_rows: int):
+        q = (
+            spark.readStream.format("solar_sim")
+            .option("rows_per_batch", "40")
+            .option("partitions", "2")
+            .option("max_rows", str(max_rows))
+            .load()
+            .writeStream.format("jsonl_sink")
+            .option("path", out)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run(80)
+    run(160)
+
+    rows = []
+    for p in glob.glob(_os.path.join(out, "batch-*.jsonl")):
+        with open(p) as f:
+            rows.extend(_json.loads(line) for line in f)
+    assert len(rows) == 160, f"expected exactly-once 160 rows, got {len(rows)}"
+    batch = (
+        spark.read.format("solar_sim")
+        .option("partitions", "1")
+        .option("rows_per_partition", "160")
+        .load()
+        .collect()
+    )
+    assert {(r["ts"], r["panel"], r["name"], r["power"]) for r in rows} == {
+        (str(r.ts), r.panel, r.name, r.power) for r in batch
+    }
+
+
+def test_jsonl_commit_replay_with_fewer_partitions_cleans_stale_parts(tmp_path):
+    """ADVICE r02: a replayed batch with FEWER partitions than the failed
+    attempt must remove the earlier attempt's surviving part files, or
+    glob readers double-count."""
+    import glob
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.sources.pyds import make_jsonl_sink_datasource
+
+    ds_cls = make_jsonl_sink_datasource()
+    ds = ds_cls(options={"path": str(tmp_path / "out")})
+    writer = ds.streamWriter(None, False)
+
+    class Row:
+        def __init__(self, v):
+            self.v = v
+
+        def asDict(self):
+            return {"v": self.v}
+
+    # attempt 1: three partitions land for batch 0
+    msgs1 = [writer.write(iter([Row(i)])) for i in range(3)]
+    writer.commit(msgs1, 0)
+    assert len(glob.glob(_os.path.join(str(tmp_path / "out"), "batch-00000-*.jsonl"))) == 3
+
+    # replayed attempt: same batch id, only two partitions
+    msgs2 = [writer.write(iter([Row(10 + i)])) for i in range(2)]
+    writer.commit(msgs2, 0)
+    visible = sorted(glob.glob(_os.path.join(str(tmp_path / "out"), "batch-00000-*.jsonl")))
+    assert len(visible) == 2, f"stale part survived: {visible}"
+    with open(_os.path.join(str(tmp_path / "out"), "_commits", "0")) as f:
+        marker = _json.load(f)
+    assert sorted(_os.path.basename(p) for p in visible) == marker["files"]
+    rows = []
+    for p in visible:
+        with open(p) as f:
+            rows.extend(_json.loads(line) for line in f)
+    assert sorted(r["v"] for r in rows) == [10, 11]

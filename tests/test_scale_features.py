@@ -74,6 +74,32 @@ def test_salt_invariant_under_repartition(spark):
     assert len(set(base.values())) > 1  # actually spreads rows
 
 
+def test_with_salt_skips_unhashable_map_columns(spark):
+    """ADVICE r02: xxhash64 rejects MapType — the default salt must hash
+    only hashable columns, still work on map-bearing schemas, and demand
+    salt_cols when NOTHING is hashable instead of failing analysis."""
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.operators.skew import with_salt
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1}), (2, {"b": 2})], "id LONG, m MAP<STRING, INT>"
+    )
+    salts = {r.id: r["__salt"] for r in with_salt(df, buckets=4).collect()}
+    assert set(salts) == {1, 2}
+    # pure function of the hashable content → invariant under repartition
+    again = {r.id: r["__salt"] for r in with_salt(df.repartition(3), buckets=4).collect()}
+    assert salts == again
+
+    only_map = df.select("m")
+    with _pytest.raises(ValueError, match="salt_cols"):
+        with_salt(only_map)
+
+    # explicit salt_cols may still name the map-adjacent hashable key
+    ok = with_salt(df.select("m", "id"), salt_cols=["id"]).collect()
+    assert len(ok) == 2
+
+
 def test_salted_join_matches_plain(spark):
     sf = "/root/testdata/sf0.001"
     li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_quantity")
