@@ -49,6 +49,7 @@ from pyspark.sql import functions as F
 from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+from kafka_streams_example_spark.sources.files import table_row_count
 
 # --------------------------------------------------------------------------
 # doc_chunking
@@ -173,7 +174,8 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the cluster instead of serializing on a single global prefix sum.
     """
     docs = _load_parallel(spark, sf_dir, "documents")
-    shards = pack_shard_count(docs.count())
+    # footer-metadata count: zero Spark jobs, same value as count(*)
+    shards = pack_shard_count(table_row_count(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % shards).alias("shard"),
@@ -239,7 +241,8 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     token-keyed groupBys with map-side partial aggregation.
     """
     docs = _load_parallel(spark, sf_dir, "documents")
-    n_docs = docs.count()  # scalar dimension (cheap count over metadata)
+    # scalar dimension from parquet footers — no Spark count job
+    n_docs = table_row_count(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
     )
@@ -885,7 +888,8 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     docs = _load_parallel(spark, sf_dir, "documents")
-    shards = pack_shard_count(docs.count())
+    # footer-metadata count: zero Spark jobs, same value as count(*)
+    shards = pack_shard_count(table_row_count(spark, sf_dir, "documents"))
     t = docs.select(
         "doc_id",
         (F.col("doc_id") % shards).alias("shard"),

@@ -44,6 +44,12 @@ def connected_components(
             .groupBy("u")
             .agg(F.min("component").alias("nbr_component"))
         )
+        # The changed flag is derived INSIDE the update projection (a label
+        # only changes when a strictly smaller neighbor min arrives), so
+        # convergence needs no second join against the old labels. The
+        # checkpoint is LAZY: the sum(changed) action below both
+        # materializes this round's labels (cutting lineage) and computes
+        # the convergence count — one Spark job per iteration total.
         new_labels = (
             labels.join(neighbor_min, labels.id == neighbor_min.u, "left")
             .select(
@@ -51,18 +57,17 @@ def connected_components(
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                F.coalesce(
+                    F.col("nbr_component") < F.col("component"), F.lit(False)
+                ).alias("__changed"),
             )
+            .localCheckpoint(eager=False)
         )
-        new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(
+            F.sum(F.col("__changed").cast("long")).alias("n")
+        ).first()["n"]
+        labels = new_labels.drop("__changed")
+        if not changed:
             break
     return labels
 

@@ -236,13 +236,45 @@ def ivf_topk(
             "score",
             dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
         )
+        .select("q_id", id_col, "score")
     )
+    # Local top-k BEFORE the global rank window (the cosine_topk_vectorized
+    # trick): each Arrow batch emits at most queries×k rows, so the window
+    # shuffle is bounded by queries × partitions × k — independent of how
+    # many candidates the probed cells hold. Scores pass through Arrow as
+    # bit-exact float64 and both stages use the same (score desc, id asc)
+    # total order, so the global result is unchanged.
+    scored = _local_topk_per_batch(scored, k, c_col=id_col)
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
         .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
     )
+
+
+def _local_topk_per_batch(
+    scored: DataFrame, k: int, c_col: str, q_col: str = "q_id", s_col: str = "score"
+) -> DataFrame:
+    """Arrow-batched local top-k pruning on a (q_id, candidate, score)
+    frame: per batch, keep the k best candidates per query under the
+    (score desc, candidate asc) total order. A superset of the global
+    top-k survives (top-k of a union is contained in the union of per-part
+    top-ks), so a downstream global rank sees identical winners while the
+    shuffle carries ≤ queries×partitions×k rows instead of every
+    candidate."""
+
+    def prune(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                yield pdf
+                continue
+            pdf = pdf.sort_values(
+                [q_col, s_col, c_col], ascending=[True, False, True], kind="mergesort"
+            )
+            yield pdf.groupby(q_col, sort=False).head(k)
+
+    return scored.mapInPandas(prune, scored.schema)
 
 
 def kmeans_lloyd(
@@ -267,10 +299,29 @@ def kmeans_lloyd(
     Determinism across engines: centroids are rounded to 6 decimals each
     iteration, so both engines assign against identical doubles; the mean
     itself is order-dependent only below ~1e-14.
+
+    Init: the k ids with the smallest MINSTD spread hash
+    h = (id % 2147483647) * 48271 % 2147483647 (deterministic, SQL-exact
+    in both engines, and a pseudo-random sample of the corpus — first-k
+    ids can seed near-duplicate centroids when ids correlate with
+    content). Distributed top-k (orderBy+limit → TakeOrdered), never a
+    full sort.
     """
-    cent = emb.filter(F.col(id_col) < k).select(
-        F.col(id_col).cast("int").alias("cid"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+    h = ((F.col(id_col) % F.lit(2147483647)) * F.lit(48271)) % F.lit(2147483647)
+    seeds = (
+        emb.select(
+            F.col(id_col).alias("sid"),
+            h.alias("h"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        )
+        .orderBy("h", "sid")
+        .limit(k)
+    )
+    cent = seeds.select(
+        (F.row_number().over(Window.orderBy("h", "sid")) - 1)
+        .cast("int")
+        .alias("cid"),
+        "cv",
     )
     vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
     for _ in range(iterations):

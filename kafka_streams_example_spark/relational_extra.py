@@ -708,11 +708,17 @@ def _duck_kmeans_sql(k: int = 8, dim: int = 64, iterations: int = 2) -> str:
     from kafka_streams_example_spark.registry import _duck_cosine
 
     cos0 = _duck_cosine("e.embedding", "c.cv", dim)
+    # Seeded-sample init mirroring kmeans_lloyd: k smallest MINSTD hashes
+    # h = (id % 2147483647) * 48271 % 2147483647, cid = rank within them.
     sql = f"""
 WITH cent0 AS (
-    SELECT CAST(vec_id AS INT) AS cid,
-           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
-    FROM embeddings WHERE vec_id < {k})"""
+    SELECT CAST(row_number() OVER (ORDER BY h, vec_id) - 1 AS INT) AS cid, cv
+    FROM (SELECT vec_id,
+                 (vec_id % 2147483647) * 48271 % 2147483647 AS h,
+                 list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+          FROM embeddings
+          ORDER BY h, vec_id
+          LIMIT {k}))"""
     prev = "cent0"
     for it in range(1, iterations + 1):
         sql += f""",

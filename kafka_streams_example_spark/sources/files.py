@@ -56,6 +56,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
+    """Exact row count of a testdata table from parquet FOOTER metadata —
+    driver-side, zero Spark jobs. Operators that size themselves from the
+    input (packing shard counts, IDF denominators) need n_rows before the
+    query runs; a ``df.count()`` action launches a cluster-wide scan job
+    per invocation, which on a 100 TB filtered input is a full pass.
+    Footer ``num_rows`` is the same number ``count(*)`` returns for the
+    unfiltered table (so count-based oracles stay exact). Falls back to
+    ``df.count()`` for non-parquet or unreadable inputs."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        )
+        if files:
+            return sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    except Exception:
+        pass
+    return load_table(spark, sf_dir, name).count()
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register each table as a temp view for spark.sql() queries."""
     for name in tables:
