@@ -37,25 +37,45 @@ def test_bench_emits_single_json_line_quickly():
     assert set(d["queries"]) <= set(det["queries"])
 
 
-def test_queries_rotation_prefers_unchecked():
-    """queries() must order never-driver-checked queries before ones that
-    already have a CORRECTNESS_r*.json row, so the driver's bounded checked
-    window rotates across rounds."""
+def test_queries_rotation_prefers_unverified():
+    """queries() must order queries WITHOUT a genuinely green driver row
+    (recorded-but-not-green first — mismatches/errors/stale no_oracle —
+    then never-checked) before queries that already passed, so the
+    driver's bounded verification window re-checks defects and covers new
+    queries before re-confirming green ones (ADVICE r02)."""
     sys.path.insert(0, "/root/repo")
-    import __spark_entry__ as e
-
-    checked: set[str] = set()
     import glob
 
+    import __spark_entry__ as e
+    from kafka_streams_example_spark import registry
+
+    green: dict[str, int] = {}
+    recorded: set[str] = set()
     for path in glob.glob("/root/repo/CORRECTNESS_r*.json"):
         with open(path) as fh:
-            checked |= set(json.load(fh))
+            rows = json.load(fh)
+        for n, row in rows.items():
+            recorded.add(n)
+            if e._row_is_green(n, row):
+                green[n] = green.get(n, 0) + 1
     names = list(e.queries())
-    if not checked or checked >= set(names):
-        return  # nothing to rotate (round 1, or everything already checked)
-    n_unchecked = len([n for n in names if n not in checked])
-    assert all(n not in checked for n in names[:n_unchecked])
+    unverified = [n for n in names if n not in green]
+    if not recorded or not unverified:
+        return  # round 1, or everything already green
+    # every query lacking a green row precedes every green query
+    assert all(n not in green for n in names[: len(unverified)])
+    # within the unverified prefix, recorded-not-green come before
+    # never-recorded
+    prefix = names[: len(unverified)]
+    first_never = next((i for i, n in enumerate(prefix) if n not in recorded), None)
+    if first_never is not None:
+        assert all(n not in recorded for n in prefix[first_never:])
     assert set(e.oracle_sql()) <= set(names)
+    # a recorded hash-mismatch must NOT count as green
+    assert not e._row_is_green(
+        next(iter(registry.ORACLES)),
+        {"rows_match": True, "schema_match": True, "hash_match": False, "err": None},
+    )
 
 
 def test_entry_contract_shape():

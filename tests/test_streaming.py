@@ -877,3 +877,79 @@ def test_state_store_reader_inspects_streaming_state(spark, tmp_path):
     state = spark.read.format("statestore").load(ck)
     got = {r["key"]["k"]: r["value"]["sum"] for r in state.collect()}
     assert got == {"g0": 7.0, "g1": 7.0, "g2": 6.0}
+
+
+def test_chained_streaming_state_soak_bounded(spark, tmp_path):
+    """VERDICT r02 #7 — state soak: the chained solar topology (two
+    stateful window aggregations, A1→A2) run over 24 micro-batches of
+    advancing event time with bounded_state_configs + RocksDB must show
+    PLATEAUING state — the watermark expires old windows, so total state
+    rows stay bounded by (windows within the watermark horizon × keys),
+    not by how many windows the stream has ever seen."""
+    from kafka_streams_example_spark.streaming.solar_stream import (
+        bounded_state_configs,
+        stream_chained_window_aggregates,
+    )
+
+    src = tmp_path / "soak_in"
+    os.makedirs(src)
+    n_batches = 24
+    # one file per 30s window: 2 panels × 2 modules × 3 records
+    for b in range(n_batches):
+        t0 = b * 30
+        rows = [
+            {
+                "ts": f"2024-01-01 {t0 // 3600:02d}:{(t0 // 60) % 60:02d}:{t0 % 60 + i:02d}",
+                "panel": p,
+                "name": m,
+                "power": 10.0 + i,
+            }
+            for p in ("p1", "p2")
+            for m in ("m1", "m2")
+            for i in range(3)
+        ]
+        write_jsonl(str(src / f"b{b:03d}.json"), rows)
+
+    cfgs = {k: v for k, v in bounded_state_configs().items() if k.startswith("spark.")}
+    old = {k: spark.conf.get(k, None) for k in cfgs}
+    for k, v in cfgs.items():
+        spark.conf.set(k, v)
+    ck = str(tmp_path / "soak_ck")
+    try:
+        stream = spark.readStream.schema(
+            "ts TIMESTAMP, panel STRING, name STRING, power DOUBLE"
+        ).option("maxFilesPerTrigger", "1").json(str(src))
+        agg = stream_chained_window_aggregates(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("soak_q")
+            .outputMode("append")
+            .option("checkpointLocation", ck)
+            .start()
+        )
+        q.processAllAvailable()
+        progresses = [p for p in q.recentProgress if p["stateOperators"]]
+        q.stop()
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+    assert len(progresses) >= 20, f"soak ran only {len(progresses)} batches"
+    totals = [
+        sum(op["numRowsTotal"] for op in p["stateOperators"]) for p in progresses
+    ]
+    # Plateau: the high-water of the last 5 batches must not exceed the
+    # high-water of the mid-run batches — growth stopped once the
+    # watermark began expiring windows.
+    assert max(totals[-5:]) <= max(totals[5:15]), f"state still growing: {totals}"
+    # Bound: ≤ ~3 live windows × (4 module keys + 2 panel keys) + slack —
+    # nowhere near the 24×6 rows an unexpired run would hold.
+    assert totals[-1] <= 40, f"final state too large: {totals[-1]} rows ({totals})"
+
+    # The state data source must agree with the progress metrics: only
+    # unexpired windows remain in the module-agg operator's store.
+    state = spark.read.format("statestore").load(ck)
+    assert state.count() <= 40
