@@ -2349,3 +2349,7 @@ from kafka_streams_example_spark import llm_extra  # noqa: E402,F401
 # Third tranche (chunking, packing, TF-IDF, histogram, EWMA, PII scrub,
 # end-to-end near-dup dedup) — same self-registration pattern.
 from kafka_streams_example_spark import llm_extra2  # noqa: E402,F401
+
+# Fourth tranche (survivorship, deterministic splits, sketch-accuracy
+# audit, power iteration, time-weighted averages, vocabulary coverage).
+from kafka_streams_example_spark import llm_extra3  # noqa: E402,F401

@@ -1,0 +1,146 @@
+"""Semantic tests for the round-3 tranche (llm_extra3) — oracle parity is
+covered by test_oracle_parity; these pin the operator semantics on
+hand-checkable fixtures."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def test_survivorship_elects_richest_then_lowest_id(spark, tmp_path):
+    from kafka_streams_example_spark.llm_extra3 import dedup_survivorship
+
+    docs = spark.createDataFrame(
+        [
+            (1, "same text", "en", "web", 9),
+            (5, "same text", "de", "book", 9),   # tie on chars → keep id 1
+            (3, "same text", "en", "web", 12),   # richest → keeper
+            (7, "unique", "fr", "web", 6),
+        ],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = {r.first_seen: r for r in dedup_survivorship(spark, str(tmp_path)).collect()}
+    g = rows[1]
+    assert g.keep_id == 3 and g.n_dups == 3 and g.max_chars == 12
+    assert g.n_langs == 2 and g.n_sources == 2
+    assert rows[7].keep_id == 7 and rows[7].n_dups == 1
+
+
+def test_train_eval_split_is_layout_and_growth_stable(spark, tmp_path):
+    """Split membership must be a pure function of doc_id: identical under
+    repartitioning, and adding documents never moves an existing one."""
+    from kafka_streams_example_spark.llm_extra3 import _SPLIT_SALT
+
+    def assign(df):
+        bucket = (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 100
+        )
+        split = (
+            F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+        )
+        return {r.doc_id: r.s for r in df.select("doc_id", split.alias("s")).collect()}
+
+    small = spark.range(200).select(F.col("id").alias("doc_id"))
+    a = assign(small)
+    b = assign(small.repartition(7))
+    assert a == b
+    grown = spark.range(400).select(F.col("id").alias("doc_id"))
+    c = assign(grown)
+    assert all(c[k] == v for k, v in a.items())
+    # rough 80/10/10 proportions on 400 ids
+    from collections import Counter
+
+    cnt = Counter(c.values())
+    assert 0.7 < cnt["train"] / 400 < 0.9
+    assert cnt["valid"] > 0 and cnt["test"] > 0
+
+
+def test_minhash_estimate_exact_for_identical_docs(spark, tmp_path):
+    from kafka_streams_example_spark.llm_extra3 import minhash_jaccard_estimate
+
+    text = "the quick brown fox jumps over the lazy dog again and again"
+    docs = spark.createDataFrame(
+        [(1, text, "en", "web", len(text)), (2, text, "en", "web", len(text)),
+         (9, "completely different words entirely here now", "en", "web", 44)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = minhash_jaccard_estimate(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (1, 2)
+    # identical shingle sets → exact == est == 1, error 0
+    assert r.exact_jaccard == 1.0 and r.est_jaccard == 1.0 and r.abs_err == 0.0
+
+
+def test_power_iteration_finds_dominant_direction(spark, tmp_path):
+    """Corpus concentrated on axis 0 (with small noise on axis 1) → the
+    top component must be ~±e0 and unit-norm."""
+    import numpy as np
+
+    from kafka_streams_example_spark.llm_extra3 import power_iteration_top_component
+
+    rng = np.random.RandomState(7)
+    rows = []
+    for i in range(300):
+        v = np.zeros(64)
+        v[0] = rng.normal(0, 10.0)
+        v[1] = rng.normal(0, 0.5)
+        rows.append((i, [float(x) for x in v]))
+    spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    comp = {r.dim_pos: r.component for r in power_iteration_top_component(spark, str(tmp_path)).collect()}
+    assert len(comp) == 64
+    nrm = math.sqrt(sum(c * c for c in comp.values()))
+    assert nrm == pytest.approx(1.0, abs=1e-4)
+    assert abs(comp[1]) > 0.99  # dim_pos is 1-based: axis 0 → pos 1
+    assert all(abs(comp[p]) < 0.05 for p in comp if p != 1)
+
+
+def test_time_weighted_average_hand_computed(spark, tmp_path):
+    from kafka_streams_example_spark.llm_extra3 import time_weighted_average
+
+    rows = [
+        # user 1: value 10 holds 10s, value 20 holds 30s → (100+600)/40 = 17.5
+        (1, "2024-01-01 00:00:00", 1, "e", 10.0, ""),
+        (2, "2024-01-01 00:00:10", 1, "e", 20.0, ""),
+        (3, "2024-01-01 00:00:40", 1, "e", 99.0, ""),  # last obs: no weight
+        # user 2: single event → plain mean fallback
+        (4, "2024-01-01 00:00:00", 2, "e", 7.0, ""),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id LONG, ts STRING, user_id LONG, event_type STRING, value DOUBLE, props STRING"
+    ).withColumn("ts", F.to_timestamp("ts"))
+    df.write.parquet(str(tmp_path / "events.parquet"))
+    got = {r.user_id: r for r in time_weighted_average(spark, str(tmp_path)).collect()}
+    assert got[1].twa_value == pytest.approx(17.5)
+    assert got[1].span_us == 40_000_000 and got[1].n_events == 3
+    assert got[2].twa_value == pytest.approx(7.0) and got[2].span_us == 0
+
+
+def test_vocab_coverage_zero_oov_when_vocab_covers_corpus(spark, tmp_path):
+    from kafka_streams_example_spark.llm_extra3 import vocab_coverage_oov
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta", "en", "w", 10), (2, "beta gamma", "en", "w", 10)],
+        "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG",
+    )
+    docs.write.parquet(str(tmp_path / "documents.parquet"))
+    rows = vocab_coverage_oov(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.total_tokens == 4 and r.total_oov == 0 and r.avg_oov_ratio == 0.0
