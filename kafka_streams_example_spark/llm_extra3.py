@@ -514,3 +514,61 @@ def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_oov_ratio"
         ),
     )
+
+
+# --------------------------------------------------------------------------
+# ann_recall_at_k — index-quality evaluation (IVF vs exact)
+# --------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    """Composes the two already-proven oracles (exact brute-force top-10
+    and IVF top-10) and computes per-query overlap — the oracle inherits
+    their bit-exactness, so recall itself is exact."""
+    from kafka_streams_example_spark import registry
+
+    exact_sql = registry.ORACLES["similarity_cosine_topk"]
+    ivf_sql = registry.ORACLES["similarity_ivf_topk"]
+    return f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({exact_sql}) x),
+approx AS (SELECT q_id, vec_id FROM ({ivf_sql}) a),
+base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1),
+hits AS (SELECT a.q_id, count(*) AS n_hits
+         FROM approx a JOIN exact e USING (q_id, vec_id) GROUP BY 1)
+SELECT b.q_id, b.n_exact,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+FROM base b LEFT JOIN hits h USING (q_id)
+"""
+
+
+@register("ann_recall_at_k", _ann_recall_sql())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@10 of the IVF index against the
+    exact brute-force top-10, per query — the acceptance gate before an
+    approximate index replaces exact search in a retrieval pipeline.
+    Same parameters as the registered similarity_ivf_topk (16 cells,
+    nprobe=4, queries = vec_id < 8).
+
+    Both sides reuse the existing operators, so the eval costs one exact
+    pass over the query set (queries are a sample — exact search over a
+    sample is the standard recall protocol) plus the IVF path being
+    measured; the overlap join is per-query×k rows, trivially small."""
+    from kafka_streams_example_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    approx = sim.ivf_topk(
+        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64
+    ).select("q_id", "vec_id")
+    base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+    )
