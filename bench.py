@@ -140,6 +140,14 @@ HEADLINE = [
     "zipf_law_fit",
     "label_mean_embeddings",
     "neardup_simhash_pairs",
+    "dedup_survivorship",
+    "train_eval_split",
+    "minhash_jaccard_estimate",
+    "power_iteration_top_component",
+    "time_weighted_average",
+    "vocab_coverage_oov",
+    "ann_recall_at_k",
+    "contamination_blast_radius",
 ]
 
 
