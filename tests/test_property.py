@@ -271,3 +271,145 @@ def test_chunking_tiles_and_packing_conserves(spark, docs_txt):
     )
     assert sum(r.tot for r in packed) == sum(r.n for r in toks)
     assert sum(r.n_docs for r in packed) == len(docs_txt)
+
+
+# --------------------------------------------------------------------------
+# Round-3 tranche properties
+# --------------------------------------------------------------------------
+
+_twa_event = st.tuples(
+    st.integers(min_value=0, max_value=3600),            # second offset
+    st.integers(min_value=1, max_value=3),               # user
+    # quarter values: exactly representable, sums can't flake
+    st.integers(min_value=0, max_value=400).map(lambda v: v / 4.0),
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_twa_event, min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1])))
+def test_time_weighted_average_matches_python_reference(spark, events):
+    """TWA must equal the brute-force piecewise-constant integral computed
+    independently in Python (last obs weightless; zero-span → plain mean)."""
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra3 import time_weighted_average
+
+    # place ts by offset via timestamp arithmetic (hypothesis gives seconds)
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec), uid, "e", val, "")
+            for i, (sec, uid, val) in enumerate(events)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/events.parquet")
+        got = {r.user_id: r.twa_value for r in time_weighted_average(spark, td).collect()}
+
+    for uid, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        t = g["ts"].astype("int64").to_numpy() // 1000  # ns → us
+        v = g["value"].to_numpy()
+        if t[-1] == t[0]:
+            expect = float(v.mean())
+        else:
+            span = float(t[-1] - t[0])
+            expect = float(sum(v[i] * ((t[i + 1] - t[i]) / span) for i in range(len(t) - 1)))
+        assert got[uid] == pytest.approx(expect, abs=1.5e-6), uid
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 14), st.integers(0, 14)).filter(lambda e: e[0] != e[1]),
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_blast_radius_matches_python_bfs(spark, edges):
+    """The recursive-CTE hop-capped closure must equal an independent
+    Python BFS (≤3 hops, min distance) on random graphs."""
+    from collections import deque
+
+    from pyspark.sql import functions as F
+
+    pairs = spark.createDataFrame(
+        [(min(u, v), max(u, v)) for u, v in edges], "id_a LONG, id_b LONG"
+    ).dropDuplicates()
+    pairs.createOrReplaceTempView("__blast_edges")
+    got = {
+        (r.seed, r.doc_id): r.hops
+        for r in spark.sql(
+            """
+            WITH RECURSIVE
+            und AS (SELECT id_a AS u, id_b AS v FROM __blast_edges
+                    UNION SELECT id_b, id_a FROM __blast_edges),
+            reach(seed, id, hops) AS (
+                SELECT u, u, 0 FROM (SELECT DISTINCT u FROM und) s
+                UNION ALL
+                SELECT r.seed, e.v, r.hops + 1
+                FROM reach r JOIN und e ON e.u = r.id
+                WHERE r.hops < 3
+            )
+            SELECT seed, id AS doc_id, CAST(min(hops) AS INT) AS hops
+            FROM reach WHERE seed <> id GROUP BY 1, 2
+            """
+        ).collect()
+    }
+
+    adj: dict[int, set[int]] = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    expect = {}
+    for seed in adj:
+        dist = {seed: 0}
+        q = deque([seed])
+        while q:
+            cur = q.popleft()
+            if dist[cur] >= 3:
+                continue
+            for nxt in adj.get(cur, ()):
+                if nxt not in dist:
+                    dist[nxt] = dist[cur] + 1
+                    q.append(nxt)
+        for node, d in dist.items():
+            if node != seed:
+                expect[(seed, node)] = d
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 7), st.integers(0, 999),
+                  st.floats(0, 1, allow_nan=False, width=32)),
+        min_size=1,
+        max_size=120,
+    )
+)
+def test_local_topk_superset_preserves_global_topk(spark, rows):
+    """_local_topk_per_batch must never drop a row that belongs to the
+    global top-k under (score desc, id asc) — on any random frame and any
+    partitioning."""
+    from pyspark.sql import Window
+
+    from kafka_streams_example_spark.operators.similarity import _local_topk_per_batch
+
+    df = spark.createDataFrame(
+        [(q, float(s), c) for q, c, s in rows], "q_id LONG, score DOUBLE, vec_id LONG"
+    ).repartition(3)
+    k = 5
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+
+    def topk(frame):
+        return {
+            (r.q_id, r.vec_id, r.rnk)
+            for r in frame.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= k)
+            .collect()
+        }
+
+    assert topk(_local_topk_per_batch(df, k, c_col="vec_id")) == topk(df)
