@@ -389,6 +389,15 @@ def cosine_topk_vectorized(
 
     spark = corpus.sparkSession
     qpd = queries.select(id_col, vec_col).toPandas()
+    out_schema = "q_id long, c_id long, score double"
+    if len(qpd) == 0:
+        # empty query set: np.array([]) is 1-D and axis-1 math would throw
+        return spark.createDataFrame([], out_schema).select(
+            "q_id",
+            F.col("c_id").alias("vec_id"),
+            F.lit(0).cast("int").alias("rnk"),
+            F.col("score"),
+        ).limit(0)
     Q = np.array([np.asarray(v, dtype=np.float64) for v in qpd[vec_col]])
     Qn = Q / np.linalg.norm(Q, axis=1, keepdims=True)
     q_ids = qpd[id_col].to_numpy()
@@ -397,6 +406,9 @@ def cosine_topk_vectorized(
     def score_batches(it):
         Qn, q_ids = bq.value
         for pdf in it:
+            if len(pdf) == 0:  # empty Arrow batch: skip the 1-D-array trap
+                yield pd.DataFrame({"q_id": [], "c_id": [], "score": []})
+                continue
             C = np.array([np.asarray(v, dtype=np.float64) for v in pdf[vec_col]])
             Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
             S = Cn @ Qn.T  # (batch, n_queries)

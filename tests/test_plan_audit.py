@@ -148,3 +148,32 @@ def test_aqe_skew_join_splits_hot_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+@pytest.fixture(scope="module")
+def empty_sf_dir(spark, tmp_path_factory):
+    """All testdata tables with their real (load_table-normalized) schemas
+    and zero rows."""
+    from kafka_streams_example_spark.schemas import ALL_TABLES
+    from kafka_streams_example_spark.sources.files import load_table
+
+    out = str(tmp_path_factory.mktemp("sf_empty"))
+    for t in ALL_TABLES:
+        load_table(spark, "/root/testdata/sf0.001", t).limit(0).write.mode(
+            "overwrite"
+        ).parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def test_every_query_survives_empty_input(spark, empty_sf_dir):
+    """Robustness sweep: all registered queries must run (not crash) on
+    zero-row tables — empty aggregation states, empty windows, empty
+    numpy batches, zero-row recursions, division guards. Caught a real
+    bug in cosine_topk_vectorized (1-D np.array on an empty query set)."""
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            fn(spark, empty_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
