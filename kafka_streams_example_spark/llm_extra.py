@@ -675,7 +675,9 @@ def sft_next_event_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 WITH counts AS (
     SELECT user_id, event_type, count(*) AS cnt
-    FROM events GROUP BY user_id, event_type
+    FROM events
+    WHERE event_type IS NOT NULL  -- map keys cannot be NULL (engine constraint)
+    GROUP BY user_id, event_type
 ),
 per_user AS (
     SELECT user_id,
@@ -700,7 +702,13 @@ def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     event-type count, not event volume.
     """
     ev = _load_parallel(spark, sf_dir, "events")
-    counts = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    # NULL event types are excluded by contract: a map key can never be
+    # NULL (Spark raises NULL_MAP_KEY), and the oracle filters identically.
+    counts = (
+        ev.filter(F.col("event_type").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
     maps = counts.groupBy("user_id").agg(
         F.map_from_entries(
             F.sort_array(F.collect_list(F.struct("event_type", "cnt")))

@@ -104,6 +104,14 @@ def byte_features(
         for pdf in it:
             ents, means, sizes = [], [], []
             for b in pdf[bin_col]:
+                if b is None:
+                    # NULL payload: NULL size, zeroed features — matches
+                    # the SQL oracle (octet_length(NULL)=NULL; the entropy
+                    # coalesce yields 0.0 with no byte rows)
+                    sizes.append(None)
+                    ents.append(0.0)
+                    means.append(0.0)
+                    continue
                 arr = np.frombuffer(bytes(b), dtype=np.uint8)
                 sizes.append(len(arr))
                 if len(arr) == 0:
@@ -117,7 +125,7 @@ def byte_features(
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "n_bytes": pd.Series(sizes, dtype="int64"),
+                    "n_bytes": pd.Series(sizes, dtype="Int64"),
                     "byte_entropy": ents,
                     "mean_byte": means,
                 }
@@ -234,7 +242,13 @@ def byte_features_arrow(
             payloads = batch.column(1)
             ents, means, sizes = [], [], []
             for buf in payloads:
-                arr = np.frombuffer(buf.as_py(), dtype=np.uint8)
+                raw = buf.as_py()
+                if raw is None:  # NULL payload — same contract as pandas path
+                    sizes.append(None)
+                    ents.append(0.0)
+                    means.append(0.0)
+                    continue
+                arr = np.frombuffer(raw, dtype=np.uint8)
                 sizes.append(len(arr))
                 if len(arr) == 0:
                     ents.append(0.0)

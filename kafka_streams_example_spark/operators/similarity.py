@@ -388,7 +388,14 @@ def cosine_topk_vectorized(
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
     spark = corpus.sparkSession
-    qpd = queries.select(id_col, vec_col).toPandas()
+    # NULL embeddings can't be scored (and make np.array ragged) — exclude
+    # them on both the query and corpus sides, like the JVM fold path's
+    # NULL-propagating dot would rank them nowhere.
+    qpd = (
+        queries.filter(F.col(vec_col).isNotNull())
+        .select(id_col, vec_col)
+        .toPandas()
+    )
     out_schema = "q_id long, c_id long, score double"
     if len(qpd) == 0:
         # empty query set: np.array([]) is 1-D and axis-1 math would throw
@@ -427,7 +434,9 @@ def cosine_topk_vectorized(
             out = pd.DataFrame(rows)
             yield out[np.isfinite(out["score"])]
 
-    c = ensure_min_partitions(corpus.select(id_col, vec_col))
+    c = ensure_min_partitions(
+        corpus.filter(F.col(vec_col).isNotNull()).select(id_col, vec_col)
+    )
     partial = c.mapInPandas(score_batches, "q_id long, c_id long, score double")
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("c_id").asc())
     return (

@@ -177,3 +177,41 @@ def test_every_query_survives_empty_input(spark, empty_sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+@pytest.fixture(scope="module")
+def nullish_sf_dir(spark, tmp_path_factory):
+    """Testdata tables with every nullable payload column NULLed on a
+    third of the rows — text, lang, source, event_type, value, props,
+    embedding."""
+    from kafka_streams_example_spark.schemas import ALL_TABLES
+
+    nullable = {
+        "documents": ("doc_id", ["text", "lang", "source"]),
+        "events": ("event_id", ["event_type", "value", "props"]),
+        "embeddings": ("vec_id", ["embedding"]),
+    }
+    out = str(tmp_path_factory.mktemp("sf_nullish"))
+    for t in ALL_TABLES:
+        df = load_table(spark, "/root/testdata/sf0.001", t).limit(200)
+        key, cols = nullable.get(t, (None, []))
+        for c in cols:
+            df = df.withColumn(
+                c, F.when(F.col(key) % 3 == 0, None).otherwise(F.col(c))
+            )
+        df.write.mode("overwrite").parquet(f"{out}/{t}.parquet")
+    return out
+
+
+def test_every_query_survives_null_heavy_input(spark, nullish_sf_dir):
+    """Robustness sweep: NULL text/lang/source/event_type/value/props/
+    embedding must not crash any query. Caught three real bugs: NULL map
+    keys (map_functions_roundtrip), NULL payloads in the byte-features
+    kernels, ragged np.array on NULL embeddings (vectorized top-k)."""
+    failures = []
+    for name, fn in registry.QUERIES.items():
+        try:
+            fn(spark, nullish_sf_dir).count()
+        except Exception as ex:  # noqa: BLE001 — collecting all failures
+            failures.append(f"{name}: {str(ex).splitlines()[0][:120]}")
+    assert not failures, "\n".join(failures)
