@@ -20,6 +20,8 @@ def duck_connection(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     for name in ALL_TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
+        if os.path.isdir(path):  # Spark-written table dir → glob the parts
+            path = os.path.join(path, "*.parquet")
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{path}')")
     return con
 

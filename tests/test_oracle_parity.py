@@ -31,3 +31,53 @@ def test_oracle_parity(spark, duck, name):
 def test_rows_only_queries_run(spark, name):
     df = registry.QUERIES[name](spark, SF_CORRECT)
     assert df.count() >= 0
+
+
+@pytest.fixture(scope="module")
+def unicode_sf_dir(spark, tmp_path_factory):
+    """sf0.001 with non-ASCII words (2-4 byte UTF-8, several scripts,
+    an emoji) injected into half the documents."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_example_spark.schemas import ALL_TABLES
+    from kafka_streams_example_spark.sources.files import load_table
+
+    out = str(tmp_path_factory.mktemp("sf_unicode"))
+    docs = load_table(spark, SF_CORRECT, "documents")
+    uni = F.when(
+        F.col("doc_id") % 2 == 0,
+        F.concat(F.lit("héllo wörld 你好 мир καλημέρα 🎉 "), F.col("text")),
+    ).otherwise(F.col("text"))
+    docs.withColumn("text", uni).withColumn(
+        "n_chars", F.length("text").cast("long")
+    ).write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    for t in ALL_TABLES:
+        if t != "documents":
+            load_table(spark, SF_CORRECT, t).write.mode("overwrite").parquet(
+                f"{out}/{t}.parquet"
+            )
+    return out
+
+
+_TEXT_QUERIES = sorted(
+    n
+    for n, sql in registry.ORACLES.items()
+    if "documents" in sql or "text" in sql
+)
+
+
+@pytest.mark.parametrize("name", _TEXT_QUERIES)
+def test_oracle_parity_on_unicode_corpus(spark, unicode_sf_dir, name):
+    """Every text-touching oracle must stay value-exact when the corpus
+    contains multi-byte UTF-8 — the class of divergence the
+    multimodal_byte_features code-point bug (ADVICE r02) belonged to.
+    DuckDB views are rebuilt over the modified corpus."""
+    con = duck_connection(unicode_sf_dir)
+    try:
+        spark_pdf, duck_pdf = run_query_pair(
+            spark, con, registry.QUERIES[name], registry.ORACLES[name], unicode_sf_dir
+        )
+        problems = compare(spark_pdf, duck_pdf)
+        assert not problems, f"{name}: " + "; ".join(problems[:5])
+    finally:
+        con.close()
