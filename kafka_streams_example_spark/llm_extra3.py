@@ -663,3 +663,60 @@ def contamination_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
         """
     )
+
+
+# --------------------------------------------------------------------------
+# similarity_pair_histogram — dedup-threshold calibration curve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_pair_histogram",
+    f"""
+WITH d AS (
+    SELECT doc_id, lang, source, {_NGRAMS3} AS ng
+    FROM (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+pairs AS (
+    SELECT len(list_intersect(a.ng, b.ng))
+           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) AS jac
+    FROM nz a JOIN nz b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))
+          / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.2
+)
+SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bucket,
+       round(least(floor(jac * 10), 9) / 10.0, 1) AS bucket_lo,
+       count(*) AS n_pairs,
+       round(min(jac), 6) AS min_jac,
+       round(max(jac), 6) AS max_jac
+FROM pairs
+GROUP BY 1, 2
+""",
+)
+def similarity_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration: the similarity histogram of candidate
+    pairs (blocked 3-gram Jaccard ≥ 0.2, bucketed by 0.1) — the curve you
+    read before choosing the near-dup cutoff, instead of cargo-culting
+    0.8. One pair computation feeds every bucket; at 100 TB the pair
+    source swaps to the MinHash candidate path like every other consumer
+    of the pair generator."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    blk = F.concat(
+        F.base64(F.encode(F.col("lang"), "utf-8")),
+        F.lit("|"),
+        F.base64(F.encode(F.col("source"), "utf-8")),
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, block_key=blk, threshold=0.2)
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    return (
+        pairs.withColumn("bucket", bucket)
+        .withColumn("bucket_lo", F.round(F.col("bucket") / 10.0, 1))
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.min("jaccard"), 6).alias("min_jac"),
+            F.round(F.max("jaccard"), 6).alias("max_jac"),
+        )
+    )

@@ -615,3 +615,29 @@ def test_jsonl_commit_replay_with_fewer_partitions_cleans_stale_parts(tmp_path):
         with open(p) as f:
             rows.extend(_json.loads(line) for line in f)
     assert sorted(r["v"] for r in rows) == [10, 11]
+
+
+def test_jsonl_abort_cleans_staging(tmp_path):
+    """A failed batch's abort() must remove every staged file so a retry
+    (or a different query) never double-publishes stale partitions."""
+    import glob
+    import os as _os
+
+    from kafka_streams_example_spark.sources.pyds import make_jsonl_sink_datasource
+
+    ds = make_jsonl_sink_datasource()(options={"path": str(tmp_path / "out")})
+    writer = ds.streamWriter(None, False)
+
+    class Row:
+        def __init__(self, v):
+            self.v = v
+
+        def asDict(self):
+            return {"v": self.v}
+
+    msgs = [writer.write(iter([Row(i)])) for i in range(3)]
+    staged = glob.glob(_os.path.join(str(tmp_path / "out"), "_staging", "*"))
+    assert len(staged) == 3
+    writer.abort(msgs + [None], 0)  # None = task that never reported
+    assert glob.glob(_os.path.join(str(tmp_path / "out"), "_staging", "*")) == []
+    assert glob.glob(_os.path.join(str(tmp_path / "out"), "batch-*.jsonl")) == []
