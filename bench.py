@@ -148,6 +148,17 @@ HEADLINE = [
     "vocab_coverage_oov",
     "ann_recall_at_k",
     "contamination_blast_radius",
+    "similarity_pair_histogram",
+    "inverted_index_postings",
+    "token_pmi_pairs",
+    "cohort_retention",
+    "median_mad_outliers",
+    "scd2_user_state",
+    "winsorized_chars_by_source",
+    "deterministic_group_sample",
+    "order_window_overlaps",
+    "orders_column_profile",
+    "lateral_top_orders_per_segment",
 ]
 
 

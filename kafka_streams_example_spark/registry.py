@@ -2353,3 +2353,8 @@ from kafka_streams_example_spark import llm_extra2  # noqa: E402,F401
 # Fourth tranche (survivorship, deterministic splits, sketch-accuracy
 # audit, power iteration, time-weighted averages, vocabulary coverage).
 from kafka_streams_example_spark import llm_extra3  # noqa: E402,F401
+
+# Fifth tranche (inverted index, PMI collocations, cohort retention,
+# median/MAD outliers, SCD2 history, winsorized stats, deterministic
+# sampling, interval-overlap join, column profiling).
+from kafka_streams_example_spark import llm_extra4  # noqa: E402,F401
