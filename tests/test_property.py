@@ -413,3 +413,173 @@ def test_local_topk_superset_preserves_global_topk(spark, rows):
         }
 
     assert topk(_local_topk_per_batch(df, k, c_col="vec_id")) == topk(df)
+
+
+_scd_event = st.tuples(
+    st.integers(min_value=0, max_value=300),             # second offset
+    st.integers(min_value=1, max_value=3),               # user
+    st.sampled_from(["on", "off", "idle"]),              # state
+)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(st.lists(_scd_event, min_size=1, max_size=40, unique_by=lambda t: (t[0], t[1])))
+def test_scd2_partitions_timeline_and_matches_python_collapse(spark, events):
+    """SCD2 output must partition each user's event timeline: versions are
+    contiguous from 1, ranges chain exactly (valid_to == next valid_from,
+    last open), consecutive states differ, n_events conserves, and the
+    (state, n_events) run-length sequence equals a Python collapse."""
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra4 import scd2_user_state
+
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec), uid, s, 1.0, "")
+            for i, (sec, uid, s) in enumerate(events)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/events.parquet")
+        rows = scd2_user_state(spark, td).collect()
+
+    for uid, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        runs = []
+        for s in g["event_type"]:
+            if runs and runs[-1][0] == s:
+                runs[-1][1] += 1
+            else:
+                runs.append([s, 1])
+        got = sorted((r for r in rows if r.user_id == uid), key=lambda r: r.version)
+        assert [r.version for r in got] == list(range(1, len(runs) + 1))
+        assert [[r.state, r.n_events] for r in got] == runs
+        for a, b in zip(got, got[1:]):
+            assert a.valid_to == b.valid_from and a.state != b.state
+        assert got[-1].valid_to is None
+        assert sum(r.n_events for r in got) == len(g)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.integers(min_value=-200, max_value=200).map(lambda v: v / 4.0),
+        min_size=2,
+        max_size=60,
+    )
+)
+def test_median_mad_matches_python_reference(spark, values):
+    """Exact median and MAD must equal Python's statistics.median (midpoint
+    interpolation) on arbitrary value sets, and every flagged outlier must
+    actually breach the 3·1.4826·MAD fence."""
+    import statistics
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra4 import median_mad_outliers
+
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01"), 1, "a", v, "")
+            for i, v in enumerate(values)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/events.parquet")
+        (r,) = median_mad_outliers(spark, td).collect()
+
+    med = statistics.median(values)
+    adev = [abs(v - med) for v in values]
+    mad = statistics.median(adev)
+    assert r.med == pytest.approx(round(med, 6), abs=1e-9)
+    assert r.mad == pytest.approx(round(mad, 6), abs=1e-9)
+    assert r.n_outliers == sum(1 for d in adev if d > 3 * 1.4826 * mad)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 120)),  # (cust, day offset)
+        min_size=1,
+        max_size=25,
+    )
+)
+def test_order_window_overlaps_matches_bruteforce(spark, orders):
+    """Overlap pair counts must equal the O(n²) Python check on the same
+    30-day windows."""
+    import itertools
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra4 import order_window_overlaps
+
+    pdf = pd.DataFrame(
+        [
+            (k, cust, "O", 1.0, pd.Timestamp("2024-01-01") + pd.Timedelta(days=day), "LOW")
+            for k, (cust, day) in enumerate(orders)
+        ],
+        columns=[
+            "o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+            "o_orderdate", "o_orderpriority",
+        ],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/orders.parquet")
+        got = {r.custkey: r.n_overlapping_pairs
+               for r in order_window_overlaps(spark, td).collect()}
+
+    expect: dict[int, int] = {}
+    for cust, grp in pdf.groupby("o_custkey"):
+        n = 0
+        for (_, a), (_, b) in itertools.combinations(grp.iterrows(), 2):
+            sa, ea = a.o_orderdate, a.o_orderdate + pd.Timedelta(days=29)
+            sb, eb = b.o_orderdate, b.o_orderdate + pd.Timedelta(days=29)
+            if sa <= eb and sb <= ea:
+                n += 1
+        if n:
+            expect[cust] = n
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 5), st.integers(0, 6)),  # (user, week offset)
+        min_size=1,
+        max_size=30,
+    )
+)
+def test_cohort_retention_conserves_activity(spark, pairs):
+    """Retention cells must sum to the number of distinct (user, week)
+    pairs; week-0 retention is 1.0 in every cohort; every cell retention
+    is in (0, 1]."""
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra4 import cohort_retention
+
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01") + pd.Timedelta(weeks=wk, hours=1), uid,
+             "view", 1.0, "")
+            for i, (uid, wk) in enumerate(pairs)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/events.parquet")
+        rows = cohort_retention(spark, td).collect()
+
+    distinct_uw = len({(uid, wk) for uid, wk in pairs})
+    assert sum(r.n_active for r in rows) == distinct_uw
+    for r in rows:
+        assert 0.0 < r.retention <= 1.0
+        if r.week_offset == 0:
+            assert r.retention == 1.0
