@@ -159,6 +159,11 @@ HEADLINE = [
     "order_window_overlaps",
     "orders_column_profile",
     "lateral_top_orders_per_segment",
+    "bigram_lm_probs",
+    "cooccurrence_triangles",
+    "weighted_domain_sample",
+    "key_skew_report",
+    "robust_scaler_features",
 ]
 
 

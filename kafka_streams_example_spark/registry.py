@@ -2358,3 +2358,7 @@ from kafka_streams_example_spark import llm_extra3  # noqa: E402,F401
 # median/MAD outliers, SCD2 history, winsorized stats, deterministic
 # sampling, interval-overlap join, column profiling).
 from kafka_streams_example_spark import llm_extra4  # noqa: E402,F401
+
+# Sixth tranche (bigram LM, co-occurrence triangles, weighted sampling,
+# key-skew diagnosis, robust feature scaling).
+from kafka_streams_example_spark import llm_extra5  # noqa: E402,F401
