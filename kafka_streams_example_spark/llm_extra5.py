@@ -28,8 +28,9 @@ Scale notes (100 TB shapes):
   the only corpus-scale work is the same bounded pair count PMI uses;
 - the weighted sample is a distributed TakeOrdered (per-partition local
   top-k, tiny driver merge), not a global sort;
-- the skew report pre-aggregates (key, subkey) before any window, so the
-  window input is key-cardinality, not corpus-cardinality;
+- the skew report is one scan: (key, subkey) pre-aggregate, then the
+  hottest cell via struct-max inside the key-cardinality aggregate —
+  no window, no second scan;
 - robust scaling broadcasts lang-cardinality stats onto a map-only pass;
   fences are rounded BEFORE the division so both engines divide
   identical doubles.
@@ -37,7 +38,7 @@ Scale notes (100 TB shapes):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import text as tx
@@ -302,41 +303,27 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     decides whether a key needs salting BEFORE a 100 TB shuffle is
     launched (operators/skew.py is the mitigation this query justifies).
 
-    100 TB shape: one corpus shuffle into the (key, subkey) pre-aggregate
-    (map-side combined); every window/join after that runs on
-    key-cardinality rows, with the grand total as a 1-row broadcast."""
+    100 TB shape: ONE corpus scan — a single shuffle into the map-side
+    combined (key, subkey) pre-aggregate, then the hottest cell falls out
+    of a struct-max (cnt-then-subkey ordering, identical to the oracle's
+    rank) inside the same key-cardinality aggregate. No window, no
+    second scan, no join except the 1-row grand-total broadcast."""
     ev = _load_parallel(spark, sf_dir, "events")
     per_sub = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
     per_key = per_sub.groupBy("event_type").agg(
-        F.sum("cnt").alias("n_events"), F.count("*").alias("n_subkeys")
+        F.sum("cnt").alias("n_events"),
+        F.count("*").alias("n_subkeys"),
+        F.max(F.struct(F.col("cnt"), F.col("user_id"))).alias("hot"),
     )
     tot = per_key.agg(F.sum("n_events").alias("total"))
-    rn = F.row_number().over(
-        Window.partitionBy("event_type").orderBy(F.desc("cnt"), F.desc("user_id"))
-    )
-    hot = (
-        per_sub.withColumn("rn", rn)
-        .filter(F.col("rn") == 1)
-        .select(
-            "event_type",
-            F.col("user_id").alias("hottest_user"),
-            F.col("cnt").alias("hottest_user_events"),
-        )
-    )
-    return (
-        per_key.join(hot, "event_type")
-        .join(F.broadcast(tot))
-        .select(
-            "event_type",
-            F.col("n_events").cast("bigint").alias("n_events"),
-            F.col("n_subkeys").cast("bigint").alias("n_subkeys"),
-            F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
-            "hottest_user",
-            F.col("hottest_user_events").cast("bigint").alias("hottest_user_events"),
-            F.round(
-                F.col("hottest_user_events") * 1.0 / F.col("n_events"), 6
-            ).alias("hot_share"),
-        )
+    return per_key.join(F.broadcast(tot)).select(
+        "event_type",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        F.col("n_subkeys").cast("bigint").alias("n_subkeys"),
+        F.round(F.col("n_events") * 1.0 / F.col("total"), 6).alias("share"),
+        F.col("hot.user_id").alias("hottest_user"),
+        F.col("hot.cnt").cast("bigint").alias("hottest_user_events"),
+        F.round(F.col("hot.cnt") * 1.0 / F.col("n_events"), 6).alias("hot_share"),
     )
 
 
