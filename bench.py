@@ -164,6 +164,9 @@ HEADLINE = [
     "weighted_domain_sample",
     "key_skew_report",
     "robust_scaler_features",
+    "resample_fill_forward",
+    "dataset_mixture_resample",
+    "ngram_novelty_curve",
 ]
 
 

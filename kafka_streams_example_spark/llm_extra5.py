@@ -28,9 +28,9 @@ Scale notes (100 TB shapes):
   the only corpus-scale work is the same bounded pair count PMI uses;
 - the weighted sample is a distributed TakeOrdered (per-partition local
   top-k, tiny driver merge), not a global sort;
-- the skew report is one scan: (key, subkey) pre-aggregate, then the
-  hottest cell via struct-max inside the key-cardinality aggregate —
-  no window, no second scan;
+- the skew report is one scan: (key, subkey) pre-aggregate, hottest cell
+  via struct-max inside the key-cardinality aggregate, grand total via a
+  window over the aggregate's few rows — no second scan, no join;
 - robust scaling broadcasts lang-cardinality stats onto a map-only pass;
   fences are rounded BEFORE the division so both engines divide
   identical doubles.
@@ -304,10 +304,13 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     launched (operators/skew.py is the mitigation this query justifies).
 
     100 TB shape: ONE corpus scan — a single shuffle into the map-side
-    combined (key, subkey) pre-aggregate, then the hottest cell falls out
-    of a struct-max (cnt-then-subkey ordering, identical to the oracle's
-    rank) inside the same key-cardinality aggregate. No window, no
-    second scan, no join except the 1-row grand-total broadcast."""
+    combined (key, subkey) pre-aggregate; the hottest cell falls out of
+    a struct-max (cnt-then-subkey ordering, identical to the oracle's
+    rank) inside the same key-cardinality aggregate, and the grand total
+    is an unpartitioned window over those few aggregate rows — no second
+    scan, no join, no corpus-sized window."""
+    from pyspark.sql import Window
+
     ev = _load_parallel(spark, sf_dir, "events")
     per_sub = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("cnt"))
     per_key = per_sub.groupBy("event_type").agg(
@@ -315,8 +318,10 @@ def key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_subkeys"),
         F.max(F.struct(F.col("cnt"), F.col("user_id"))).alias("hot"),
     )
-    tot = per_key.agg(F.sum("n_events").alias("total"))
-    return per_key.join(F.broadcast(tot)).select(
+    per_key = per_key.withColumn(
+        "total", F.sum("n_events").over(Window.partitionBy())
+    )
+    return per_key.select(
         "event_type",
         F.col("n_events").cast("bigint").alias("n_events"),
         F.col("n_subkeys").cast("bigint").alias("n_subkeys"),

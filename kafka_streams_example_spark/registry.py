@@ -2362,3 +2362,6 @@ from kafka_streams_example_spark import llm_extra4  # noqa: E402,F401
 # Sixth tranche (bigram LM, co-occurrence triangles, weighted sampling,
 # key-skew diagnosis, robust feature scaling).
 from kafka_streams_example_spark import llm_extra5  # noqa: E402,F401
+
+# Seventh tranche (LOCF resampling, mixture re-balancing, novelty curve).
+from kafka_streams_example_spark import llm_extra6  # noqa: E402,F401

@@ -215,3 +215,22 @@ def test_every_query_survives_null_heavy_input(spark, nullish_sf_dir):
         except Exception as ex:  # noqa: BLE001 — collecting all failures
             failures.append(f"{name}: {str(ex).splitlines()[0][:120]}")
     assert not failures, "\n".join(failures)
+
+
+def test_key_skew_report_is_single_scan_no_join(spark):
+    """The skew report must read events ONCE: the hottest-subkey cell
+    comes from a struct-max inside the key-cardinality aggregate (not a
+    rank window over a second scan) and the grand total from a window
+    over the aggregate's few rows (not a re-scanned broadcast branch) —
+    the naive three-branch plan tripled the corpus work."""
+    plan = _plan(registry.QUERIES["key_skew_report"](spark, SF_SMOKE))
+    assert plan.count("Scan parquet") == 1, plan[:2000]
+    assert "Join" not in plan
+
+
+def test_weighted_sample_is_take_ordered_not_global_sort(spark):
+    """The weighted sample must plan TakeOrderedAndProject (per-partition
+    local top-k, k-row driver merge) — a global Sort before the limit
+    would shuffle the whole corpus."""
+    plan = _plan(registry.QUERIES["weighted_domain_sample"](spark, SF_SMOKE))
+    assert "TakeOrderedAndProject" in plan, plan[:2000]
