@@ -236,11 +236,14 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     this before trusting a 32-permutation sketch corpus-wide.
 
     Pair discovery reuses the prefix-filtered AllPairs path
-    (operators/dedup.py:ngram_jaccard_pairs — no in-block cross product);
-    the 32-long signatures are computed in one corpus scan and joined to
-    the pair list by id, so neither shingle sets nor text ride the pair
-    join. The signature permutations are the exact ones
-    minhash_signature(seed=42) uses, reproduced literally in the oracle."""
+    (operators/dedup.py:ngram_jaccard_pairs — no in-block cross product).
+    Signatures are computed in ONE corpus pass: the pair list is melted
+    to (pair, side, doc_id), signatures join it once on doc_id, and the
+    result is regrouped back to (sa, sb) — the corpus is never hashed
+    twice and signatures never shuffle on two different keys (the
+    two-join form re-executed the 32-permutation hashing per side). The
+    permutations are the exact ones minhash_signature(seed=42) uses,
+    reproduced literally in the oracle."""
     docs = _load_parallel(spark, sf_dir, "documents")
     blk = F.concat(
         F.base64(F.encode(F.col("lang"), "utf-8")),
@@ -248,6 +251,17 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.base64(F.encode(F.col("source"), "utf-8")),
     )
     pairs = dd.ngram_jaccard_pairs(docs, block_key=blk, threshold=0.3)
+    melt = pairs.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.explode(
+            F.array(
+                F.struct(F.lit("a").alias("side"), F.col("id_a").alias("doc_id")),
+                F.struct(F.lit("b").alias("side"), F.col("id_b").alias("doc_id")),
+            )
+        ).alias("s"),
+    ).select("id_a", "id_b", "jaccard", "s.side", "s.doc_id")
     sig = (
         docs.select("doc_id", tx.word_ngrams(F.col("text"), 3).alias("ng"))
         .filter(F.size("ng") > 0)
@@ -258,26 +272,26 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("sg"),
         )
     )
+    both = (
+        melt.join(sig, "doc_id")
+        .groupBy("id_a", "id_b", "jaccard")
+        .agg(
+            F.max(F.when(F.col("side") == "a", F.col("sg"))).alias("sa"),
+            F.max(F.when(F.col("side") == "b", F.col("sg"))).alias("sb"),
+        )
+    )
     est = F.size(
         F.filter(
             F.zip_with(F.col("sa"), F.col("sb"), lambda x, y: x == y),
             lambda m: m,
         )
     ) / F.lit(float(_MH_NUM))
-    return (
-        pairs.join(
-            sig.select(F.col("doc_id").alias("id_a"), F.col("sg").alias("sa")), "id_a"
-        )
-        .join(
-            sig.select(F.col("doc_id").alias("id_b"), F.col("sg").alias("sb")), "id_b"
-        )
-        .select(
-            "id_a",
-            "id_b",
-            F.col("jaccard").alias("exact_jaccard"),
-            F.round(est, 6).alias("est_jaccard"),
-            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
-        )
+    return both.select(
+        "id_a",
+        "id_b",
+        F.col("jaccard").alias("exact_jaccard"),
+        F.round(est, 6).alias("est_jaccard"),
+        F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
     )
 
 
