@@ -167,6 +167,11 @@ HEADLINE = [
     "resample_fill_forward",
     "dataset_mixture_resample",
     "ngram_novelty_curve",
+    "neardup_levenshtein_pairs",
+    "event_transition_matrix",
+    "seasonal_residual_anomalies",
+    "rolling_active_users",
+    "orders_rfm_segmentation",
 ]
 
 

@@ -2365,3 +2365,7 @@ from kafka_streams_example_spark import llm_extra5  # noqa: E402,F401
 
 # Seventh tranche (LOCF resampling, mixture re-balancing, novelty curve).
 from kafka_streams_example_spark import llm_extra6  # noqa: E402,F401
+
+# Eighth tranche (edit-distance near-dup, Markov transitions, seasonal
+# anomalies, DAU/WAU, RFM segmentation).
+from kafka_streams_example_spark import llm_extra7  # noqa: E402,F401
