@@ -583,3 +583,90 @@ def test_cohort_retention_conserves_activity(spark, pairs):
         assert 0.0 < r.retention <= 1.0
         if r.week_offset == 0:
             assert r.retention == 1.0
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.text(alphabet="abc ", min_size=0, max_size=30),
+        min_size=2,
+        max_size=20,
+    )
+)
+def test_banded_levenshtein_matches_bruteforce(spark, texts):
+    """The 3-band equi-join candidate generation must yield EXACTLY the
+    brute-force O(n²) pair set (banding is complete for the length
+    tolerance and each pair matches exactly once — no misses from band
+    boundaries, no duplicates from the probe explode)."""
+    import itertools
+    import tempfile
+
+    from kafka_streams_example_spark.llm_extra7 import (
+        _LEN_TOL,
+        _LEV_MAX,
+        neardup_levenshtein_pairs,
+    )
+
+    rows = [(i, t, "en", "w", len(t)) for i, t in enumerate(texts)]
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+        ).write.parquet(td + "/documents.parquet")
+        got = {(r.id_a, r.id_b): r.edit_dist
+               for r in neardup_levenshtein_pairs(spark, td).collect()}
+
+    def lev(a, b):
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    expect = {}
+    for (i, a), (j, b) in itertools.combinations(enumerate(texts), 2):
+        if abs(len(a) - len(b)) <= _LEN_TOL:
+            d = lev(a, b)
+            if d <= _LEV_MAX:
+                expect[(i, j)] = d
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.sampled_from(["a", "b", "c", "d"])),
+        min_size=2,
+        max_size=40,
+    )
+)
+def test_transition_matrix_is_row_stochastic_and_conserves(spark, events):
+    """Per-cur transition probabilities must sum to 1 and total
+    transition count must equal n_events - n_users (each user's chain
+    has len-1 edges)."""
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra7 import event_transition_matrix
+
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=i), uid, s, 1.0, "")
+            for i, (uid, s) in enumerate(events)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/events.parquet")
+        rows = event_transition_matrix(spark, td).collect()
+
+    n_users = pdf["user_id"].nunique()
+    assert sum(r.n for r in rows) == len(pdf) - n_users
+    by_cur: dict[str, float] = {}
+    for r in rows:
+        by_cur[r.cur] = by_cur.get(r.cur, 0.0) + r.p
+    for cur, total in by_cur.items():
+        assert total == pytest.approx(1.0, abs=2e-6), cur
