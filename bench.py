@@ -172,6 +172,10 @@ HEADLINE = [
     "seasonal_residual_anomalies",
     "rolling_active_users",
     "orders_rfm_segmentation",
+    "top_session_paths",
+    "funnel_time_bounded",
+    "pareto_revenue_concentration",
+    "basket_part_pairs_lift",
 ]
 
 

@@ -2369,3 +2369,6 @@ from kafka_streams_example_spark import llm_extra6  # noqa: E402,F401
 # Eighth tranche (edit-distance near-dup, Markov transitions, seasonal
 # anomalies, DAU/WAU, RFM segmentation).
 from kafka_streams_example_spark import llm_extra7  # noqa: E402,F401
+
+# Ninth tranche (session paths, bounded funnel, Pareto curve, basket lift).
+from kafka_streams_example_spark import llm_extra8  # noqa: E402,F401
