@@ -304,7 +304,10 @@ def basket_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Integer products stay < 2^53 so the lift division is exact on both
     engines."""
     li = _load_parallel(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
+    # consumed by the order-count, part-frequency AND basket branches;
+    # two longs per row (far smaller than the lineitem it replaces), so
+    # caching is scale-safe — same policy as ngram_jaccard_pairs' hash set
+    op = li.select("l_orderkey", "l_partkey").distinct().cache()
     n = op.agg(F.countDistinct("l_orderkey").alias("n_orders"))
     f = op.groupBy("l_partkey").agg(F.count("*").alias("n_f"))
     baskets = op.groupBy("l_orderkey").agg(
