@@ -176,6 +176,9 @@ HEADLINE = [
     "funnel_time_bounded",
     "pareto_revenue_concentration",
     "basket_part_pairs_lift",
+    "error_burst_detection",
+    "weekly_revenue_wow",
+    "ab_test_analysis",
 ]
 
 

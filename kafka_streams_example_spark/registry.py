@@ -2372,3 +2372,6 @@ from kafka_streams_example_spark import llm_extra7  # noqa: E402,F401
 
 # Ninth tranche (session paths, bounded funnel, Pareto curve, basket lift).
 from kafka_streams_example_spark import llm_extra8  # noqa: E402,F401
+
+# Tenth tranche (error bursts, WoW trend, A/B analysis).
+from kafka_streams_example_spark import llm_extra9  # noqa: E402,F401
