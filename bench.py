@@ -179,6 +179,8 @@ HEADLINE = [
     "error_burst_detection",
     "weekly_revenue_wow",
     "ab_test_analysis",
+    "sql_scalar_udf_revenue",
+    "pipe_syntax_shipmode_stats",
 ]
 
 

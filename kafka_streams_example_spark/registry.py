@@ -2375,3 +2375,6 @@ from kafka_streams_example_spark import llm_extra8  # noqa: E402,F401
 
 # Tenth tranche (error bursts, WoW trend, A/B analysis).
 from kafka_streams_example_spark import llm_extra9  # noqa: E402,F401
+
+# Spark 4 SQL-surface tranche (SQL scalar UDFs, pipe syntax).
+from kafka_streams_example_spark import sql_surface  # noqa: E402,F401

@@ -670,3 +670,111 @@ def test_transition_matrix_is_row_stochastic_and_conserves(spark, events):
         by_cur[r.cur] = by_cur.get(r.cur, 0.0) + r.p
     for cur, total in by_cur.items():
         assert total == pytest.approx(1.0, abs=2e-6), cur
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(1, 3), st.integers(0, 7200),
+                  st.sampled_from(["a", "b", "c"])),
+        min_size=1,
+        max_size=40,
+        unique_by=lambda t: (t[0], t[1]),
+    )
+)
+def test_session_paths_match_python_sessionizer(spark, events):
+    """Session paths must equal an independent Python sessionization
+    (30-min gap, first-3 truncation) — with the min-support filter
+    applied to both sides."""
+    import tempfile
+    from collections import Counter
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra8 import (
+        _PATH_MIN_SESSIONS,
+        _SESSION_GAP_MIN,
+        top_session_paths,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            (i, pd.Timestamp("2024-01-01") + pd.Timedelta(seconds=sec), uid, et, 1.0, "")
+            for i, (uid, sec, et) in enumerate(events)
+        ],
+        columns=["event_id", "ts", "user_id", "event_type", "value", "props"],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/events.parquet")
+        got = {r.path: r.n_sessions for r in top_session_paths(spark, td).collect()}
+
+    paths: Counter = Counter()
+    for _, grp in pdf.groupby("user_id"):
+        g = grp.sort_values(["ts", "event_id"])
+        cur: list[str] = []
+        prev = None
+        for _, row in g.iterrows():
+            if prev is not None and (row.ts - prev).total_seconds() > _SESSION_GAP_MIN * 60:
+                paths[">".join(cur[:3])] += 1
+                cur = []
+            cur.append(row.event_type)
+            prev = row.ts
+        if cur:
+            paths[">".join(cur[:3])] += 1
+    expect = {p: n for p, n in paths.items() if n >= _PATH_MIN_SESSIONS}
+    assert got == expect
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=[HealthCheck.too_slow])
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 6), st.integers(1, 5)),  # (order, part)
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_basket_lift_matches_bruteforce(spark, items):
+    """Pair counts and lift must equal the brute-force basket math
+    (dedup to distinct (order, part) first, min-support 3)."""
+    import itertools
+    import tempfile
+
+    import pandas as pd
+
+    from kafka_streams_example_spark.llm_extra8 import (
+        _BASKET_MIN_PAIRS,
+        basket_part_pairs_lift,
+    )
+
+    pdf = pd.DataFrame(
+        [
+            (o, p, 1, i, 1.0, 1.0, 0.0, 0.0, "N", "O", pd.Timestamp("2024-01-01"))
+            for i, (o, p) in enumerate(items)
+        ],
+        columns=[
+            "l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+            "l_extendedprice", "l_discount", "l_tax", "l_returnflag",
+            "l_linestatus", "l_shipdate",
+        ],
+    )
+    with tempfile.TemporaryDirectory() as td:
+        spark.createDataFrame(pdf).write.parquet(td + "/lineitem.parquet")
+        got = {(r.part_a, r.part_b): (r.pair_n, r.lift)
+               for r in basket_part_pairs_lift(spark, td).collect()}
+
+    baskets = {o: sorted(set(g["l_partkey"])) for o, g in pdf.groupby("l_orderkey")}
+    n_orders = len(baskets)
+    freq: dict[int, int] = {}
+    for parts in baskets.values():
+        for p in parts:
+            freq[p] = freq.get(p, 0) + 1
+    pair_n: dict[tuple, int] = {}
+    for parts in baskets.values():
+        for a, b in itertools.combinations(parts, 2):
+            pair_n[(a, b)] = pair_n.get((a, b), 0) + 1
+    expect = {
+        k: (n, round(n * n_orders / (freq[k[0]] * freq[k[1]]), 6))
+        for k, n in pair_n.items()
+        if n >= _BASKET_MIN_PAIRS
+    }
+    assert got == expect
