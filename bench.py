@@ -181,6 +181,10 @@ HEADLINE = [
     "ab_test_analysis",
     "sql_scalar_udf_revenue",
     "pipe_syntax_shipmode_stats",
+    "langid_confusion_matrix",
+    "filter_ablation_report",
+    "neardup_transitivity_audit",
+    "output_shard_balance",
 ]
 
 

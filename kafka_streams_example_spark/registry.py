@@ -2378,3 +2378,7 @@ from kafka_streams_example_spark import llm_extra9  # noqa: E402,F401
 
 # Spark 4 SQL-surface tranche (SQL scalar UDFs, pipe syntax).
 from kafka_streams_example_spark import sql_surface  # noqa: E402,F401
+
+# Eleventh tranche (lang-id confusion, filter ablation, transitivity
+# audit, shard balance).
+from kafka_streams_example_spark import llm_extra10  # noqa: E402,F401
