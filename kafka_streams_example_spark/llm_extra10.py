@@ -240,8 +240,13 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on the pair table (similarity graphs are sparse), never on the
     corpus."""
     docs = _load_parallel(spark, sf_dir, "documents")
-    e = dd.ngram_jaccard_pairs(docs, block_key=F.lit("all"), threshold=0.3).select(
-        "id_a", "id_b"
+    # the pair table feeds FOUR consumers (both und directions, the
+    # closure probe, the edge count); it is sparse (pairs, two longs) so
+    # caching it runs the expensive prefix-filtered generation once
+    e = (
+        dd.ngram_jaccard_pairs(docs, block_key=F.lit("all"), threshold=0.3)
+        .select("id_a", "id_b")
+        .cache()
     )
     und = e.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).union(
         e.select(F.col("id_b"), F.col("id_a"))

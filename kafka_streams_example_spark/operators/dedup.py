@@ -167,31 +167,48 @@ def minhash_pairs(
     )
 
 
-def ngram_jaccard_pairs(
+def _allpairs_candidates(docs: DataFrame, threshold: float) -> DataFrame:
+    """AllPairs candidate generation over prepared (id, blk, sz, hsh)
+    rows: explode each set's prefix (|X| - ceil(t|X|) + 1 leading
+    elements under the set's ordering), equi-join on (block, token) with
+    the size-ratio prune. Returns the (id_a, id_b) candidate superset —
+    factored out so tests can measure candidate counts per ordering."""
+    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = docs.select(
+        "id",
+        "blk",
+        "sz",
+        F.explode(F.slice(F.col("hsh"), F.lit(1), prefix_len)).alias("tok"),
+    )
+    return (
+        pref.alias("l")
+        .join(
+            pref.alias("r"),
+            (F.col("l.blk") == F.col("r.blk"))
+            & (F.col("l.tok") == F.col("r.tok"))
+            & (F.col("l.id") < F.col("r.id"))
+            # size-ratio prune at candidate time: J <= min/max < t fails
+            & (
+                F.least(F.col("l.sz"), F.col("r.sz"))
+                >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
+            ),
+        )
+        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def _allpairs_prepared(
     df: DataFrame,
     block_key: Column,
     text_col: str = "text",
     id_col: str = "doc_id",
     ngram: int = 3,
-    threshold: float = 0.5,
+    freq_order: bool = False,
 ) -> DataFrame:
-    """Exact near-dup pairs within blocking buckets, found with AllPairs
-    prefix filtering (Bayardo/Ma/Srikant, WWW'07 — public algorithm)
-    instead of the quadratic in-block self-join.
-
-    Shingle sets are sorted under one global order (their hash value);
-    a pair with J >= t MUST share an element inside both sets' prefixes
-    of length |X| - ceil(t*|X|) + 1, so exploding only the prefixes and
-    equi-joining on (block, token) yields a candidate superset at
-    ~token-frequency cost, not block-size-squared cost. Exact Jaccard
-    then verifies candidates — the result set is IDENTICAL to the brute
-    self-join (same SQL oracle), only the plan differs.
-
-    Shingles are hashed with Spark-native ``xxhash64`` (JVM codegen, no
-    md5 string churn): only equality matters for the verify, collisions
-    are ~|A|x|B|/2^64 per pair, and the oracle compares against
-    string-set Jaccard, so the hash never needs to be reproduced
-    elsewhere."""
+    """The shingle-set preparation stage of ngram_jaccard_pairs (shared
+    with tests): (id, blk, sz, hsh) with hsh sorted by hash value or,
+    with freq_order, by global document frequency (rarest first)."""
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
     docs = (
@@ -214,33 +231,67 @@ def ngram_jaccard_pairs(
             ).alias("hsh"),
         )
         .withColumn("sz", F.size("hsh"))
-        # consumed by candidate generation AND verify; hashes are far
-        # smaller than the text they replace, so caching is scale-safe
-        .cache()
     )
-    prefix_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
-    pref = docs.select(
-        "id",
-        "blk",
-        "sz",
-        F.explode(F.slice(F.col("hsh"), F.lit(1), prefix_len)).alias("tok"),
-    )
-    cand = (
-        pref.alias("l")
-        .join(
-            pref.alias("r"),
-            (F.col("l.blk") == F.col("r.blk"))
-            & (F.col("l.tok") == F.col("r.tok"))
-            & (F.col("l.id") < F.col("r.id"))
-            # size-ratio prune at candidate time: J <= min/max < t fails
-            & (
-                F.least(F.col("l.sz"), F.col("r.sz"))
-                >= F.lit(threshold) * F.greatest(F.col("l.sz"), F.col("r.sz"))
-            ),
+    if freq_order:
+        # Canonical AllPairs ordering: sort each shingle set by GLOBAL
+        # document frequency (rarest first, hash as tiebreak) so prefixes
+        # hold rare shingles and candidate pairs shrink by orders of
+        # magnitude on stopword-heavy corpora (shared boilerplate). A
+        # candidate-generation detail only — the verify is set-based, so
+        # the result set is identical under either ordering. Costs one
+        # extra shuffle of the (shingle-hash, id) stream plus a
+        # vocabulary broadcast; worth it exactly when shingle document
+        # frequency is skewed.
+        tokfreq = (
+            docs.select(F.explode("hsh").alias("tok"))
+            .groupBy("tok")
+            .agg(F.count("*").alias("tf"))
         )
-        .select(F.col("l.id").alias("id_a"), F.col("r.id").alias("id_b"))
-        .dropDuplicates(["id_a", "id_b"])
-    )
+        docs = (
+            docs.select("id", "blk", "sz", F.explode("hsh").alias("tok"))
+            .join(F.broadcast(tokfreq), "tok")
+            .groupBy("id", "blk", "sz")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("tf", "tok"))),
+                    lambda s: s["tok"],
+                ).alias("hsh")
+            )
+        )
+    return docs
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    block_key: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.5,
+    freq_order: bool = False,
+) -> DataFrame:
+    """Exact near-dup pairs within blocking buckets, found with AllPairs
+    prefix filtering (Bayardo/Ma/Srikant, WWW'07 — public algorithm)
+    instead of the quadratic in-block self-join.
+
+    Shingle sets are sorted under one global order (their hash value);
+    a pair with J >= t MUST share an element inside both sets' prefixes
+    of length |X| - ceil(t*|X|) + 1, so exploding only the prefixes and
+    equi-joining on (block, token) yields a candidate superset at
+    ~token-frequency cost, not block-size-squared cost. Exact Jaccard
+    then verifies candidates — the result set is IDENTICAL to the brute
+    self-join (same SQL oracle), only the plan differs.
+
+    Shingles are hashed with Spark-native ``xxhash64`` (JVM codegen, no
+    md5 string churn): only equality matters for the verify, collisions
+    are ~|A|x|B|/2^64 per pair, and the oracle compares against
+    string-set Jaccard, so the hash never needs to be reproduced
+    elsewhere."""
+    docs = _allpairs_prepared(df, block_key, text_col, id_col, ngram, freq_order)
+    # consumed by candidate generation AND verify; hashes are far
+    # smaller than the text they replace, so caching is scale-safe
+    docs = docs.cache()
+    cand = _allpairs_candidates(docs, threshold)
     sets = docs.select("id", "hsh")
     return (
         cand.join(sets.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")), "id_a")

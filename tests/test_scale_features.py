@@ -549,3 +549,47 @@ def test_range_sorted_write_gives_disjoint_file_stats(spark, tmp_path):
     df = spark.read.parquet(out).filter(F.col("event_id") < 100)
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters: [" in plan and "LessThan(event_id,100)" in plan
+
+
+def test_freq_ordered_allpairs_same_result_fewer_candidates(spark):
+    """Canonical AllPairs frequency ordering (rarest shingles in the
+    prefix) must produce the IDENTICAL verified pair set while generating
+    an order of magnitude fewer candidates on a boilerplate-heavy corpus
+    — the corpus class (shared ToS/header shingles) where hash-ordered
+    prefixes explode quadratically."""
+    from pyspark.sql import functions as F
+
+    from kafka_streams_example_spark.operators.dedup import (
+        _allpairs_candidates,
+        _allpairs_prepared,
+        ngram_jaccard_pairs,
+    )
+
+    boiler = "terms of service apply to all users of this site "
+    # unique tails LONGER than the prefix, so frequency ordering can fill
+    # every prefix with rare shingles (half the set at threshold 0.5)
+    tail = lambda i: " ".join(f"w{i}x{j}" for j in range(20))  # noqa: E731
+    rows = [(i, boiler + tail(i)) for i in range(200)]
+    # plant genuine near-dups so the result set is non-trivial
+    rows += [(1000 + i, boiler + tail(i) + " zz") for i in range(5)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    def pair_set(freq_order):
+        return {
+            (r.id_a, r.id_b, r.jaccard)
+            for r in ngram_jaccard_pairs(
+                docs, block_key=F.lit("all"), threshold=0.5, freq_order=freq_order
+            ).collect()
+        }
+
+    assert pair_set(True) == pair_set(False) and len(pair_set(True)) >= 5
+
+    def n_candidates(freq_order):
+        prepared = _allpairs_prepared(docs, F.lit("all"), freq_order=freq_order)
+        return _allpairs_candidates(prepared, 0.5).count()
+
+    n_hash, n_freq = n_candidates(False), n_candidates(True)
+    # hash ordering leaves the shared boilerplate shingles in most
+    # prefixes -> near-quadratic candidates; frequency ordering pushes
+    # them out of the prefix entirely
+    assert n_freq * 10 <= n_hash, (n_freq, n_hash)
