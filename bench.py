@@ -185,6 +185,9 @@ HEADLINE = [
     "filter_ablation_report",
     "neardup_transitivity_audit",
     "output_shard_balance",
+    "order_to_ship_latency",
+    "hourly_activity_heatmap",
+    "repeat_purchase_interval",
 ]
 
 

@@ -2382,3 +2382,6 @@ from kafka_streams_example_spark import sql_surface  # noqa: E402,F401
 # Eleventh tranche (lang-id confusion, filter ablation, transitivity
 # audit, shard balance).
 from kafka_streams_example_spark import llm_extra10  # noqa: E402,F401
+
+# Twelfth tranche (fulfillment latency, activity heatmap, purchase gaps).
+from kafka_streams_example_spark import llm_extra11  # noqa: E402,F401
