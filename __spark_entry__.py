@@ -64,7 +64,7 @@ def _rotated(names: list[str]) -> list[str]:
     Stable registration order within each group.
     """
     green_counts = dict.fromkeys(names, 0)
-    not_green = set()
+    last_green: dict[str, bool] = {}
     for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
         try:
             with open(path) as fh:
@@ -74,14 +74,19 @@ def _rotated(names: list[str]) -> list[str]:
         for n, row in seen.items():
             if n not in green_counts or not isinstance(row, dict):
                 continue
-            if _row_is_green(n, row):
+            ok = _row_is_green(n, row)
+            # rounds iterate in filename order, so this ends up holding
+            # each query's MOST RECENT recorded status
+            last_green[n] = ok
+            if ok:
                 green_counts[n] += 1
-            else:
-                not_green.add(n)
     order = {n: i for i, n in enumerate(names)}
 
     def group(n: str) -> int:
-        if n in not_green and green_counts[n] == 0:
+        # A query whose latest recorded row is non-green goes first —
+        # including a regression after earlier green rounds; being green
+        # once must not let a later mismatch rotate out of the window.
+        if last_green.get(n) is False:
             return 0
         if green_counts[n] == 0:
             return 1

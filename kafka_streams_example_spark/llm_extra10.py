@@ -37,6 +37,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.functions.hashing import fingerprint_md5, stable_long
 from kafka_streams_example_spark.registry import (
     _TOKS,
     _duck_lang_sql,
@@ -144,7 +145,7 @@ def filter_ablation_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     nonempty = F.length(F.trim(text)) > 0
     s_len = nonempty & (F.coalesce(F.col("n_chars"), F.lit(0)) >= _ABLATION_MIN_CHARS)
     s_toks = s_len & (F.size(tx.tokens(F.lower(text))) >= _ABLATION_MIN_TOKS)
-    fp = F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+    fp = fingerprint_md5(text)
     keeper = (
         F.row_number().over(Window.partitionBy(fp).orderBy("doc_id")) == 1
     )
@@ -321,15 +322,7 @@ def output_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-shard counters."""
     docs = _load_parallel(spark, sf_dir, "documents")
     shard = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SHARD_SALT))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        stable_long(F.concat(F.col("doc_id").cast("string"), F.lit(_SHARD_SALT)))
         % _N_SHARDS
     )
     per_shard = docs.groupBy(shard.alias("shard")).agg(

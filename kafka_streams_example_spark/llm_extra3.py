@@ -48,6 +48,7 @@ from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
 from kafka_streams_example_spark.sources.files import load_table
 
@@ -141,15 +142,7 @@ def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     adding examples never moves an existing example across splits."""
     docs = _load_parallel(spark, sf_dir, "documents")
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        stable_long(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT)))
         % 100
     )
     split = (
@@ -649,12 +642,17 @@ def contamination_blast_radius(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the whole pair-generation join once per hop (measured 8 s → 1 s at
     # sf0.1). The checkpointed edge list is pairs-sized — trivially small
     # next to the corpus that produced it.
+    # NULL-safe, collision-free block key (same construction as the
+    # sketch-audit query): concat_ws would merge NULL-bearing blocks and
+    # collide on '|'-containing values, diverging from the oracle's
+    # NULL-propagating equality join.
+    blk = F.concat(
+        F.base64(F.encode(F.col("lang"), "utf-8")),
+        F.lit("|"),
+        F.base64(F.encode(F.col("source"), "utf-8")),
+    )
     pairs = (
-        dd.ngram_jaccard_pairs(
-            docs,
-            block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
-            threshold=0.5,
-        )
+        dd.ngram_jaccard_pairs(docs, block_key=blk, threshold=0.5)
         .select("id_a", "id_b")
         .localCheckpoint(eager=True)
     )

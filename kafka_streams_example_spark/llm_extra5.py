@@ -42,6 +42,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
 
 # --------------------------------------------------------------------------
@@ -237,13 +238,7 @@ def weighted_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: map-only key computation + distributed TakeOrdered
     (per-partition local top-k, k-row driver merge) — no global sort."""
     docs = _load_parallel(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    h = F.conv(
-        F.substring(
-            F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_WS_SALT))), 1, 15
-        ),
-        16,
-        10,
-    ).cast("long")
+    h = stable_long(F.concat(F.col("doc_id").cast("string"), F.lit(_WS_SALT)))
     w = F.col("n_chars").cast("double")
     key = F.pow((h + F.lit(0.5)) / F.lit(_TWO60), F.lit(1.0) / w)
     return (

@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import _NGRAMS, _TOKS, _load_parallel, register
 
 # --------------------------------------------------------------------------
@@ -175,15 +176,7 @@ def dataset_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rates = stats.select("source", rate.alias("keep_rate"))
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
+        stable_long(F.concat(F.col("doc_id").cast("string"), F.lit(_MIX_SALT)))
         + F.lit(0.5)
     ) / F.lit(_TWO60_MIX)
     kept = F.when(u < F.col("keep_rate"), 1).otherwise(0)

@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import _load_parallel, register
 
 # --------------------------------------------------------------------------
@@ -206,14 +207,7 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     standard error yields NULL (nullif) on both engines."""
     ev = _load_parallel(spark, sf_dir, "events").filter(F.col("value").isNotNull())
     bucket = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(_AB_SALT))), 1, 15
-            ),
-            16,
-            10,
-        ).cast("long")
-        % 2
+        stable_long(F.concat(F.col("user_id").cast("string"), F.lit(_AB_SALT))) % 2
     )
     variant = F.when(bucket == 0, "A").otherwise("B")
     v = ev.groupBy(variant.alias("variant")).agg(

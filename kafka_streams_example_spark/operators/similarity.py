@@ -38,7 +38,11 @@ def norm(a: Column, dim: int) -> Column:
 
 
 def cosine(a: Column, b: Column, dim: int) -> Column:
-    return dot(a, b, dim) / (norm(a, dim) * norm(b, dim))
+    """Cosine similarity; a zero-norm side yields NULL (not a
+    divide-by-zero error under ANSI mode, not NaN) — matching DuckDB's
+    x/0 → NULL so oracle comparisons agree, and sorting LAST under any
+    score-descending rank."""
+    return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
 
 
 def cosine_topk(
@@ -71,7 +75,8 @@ def cosine_topk(
         c.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
+            dot(F.col("q_vec"), F.col(vec_col), dim)
+            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -125,7 +130,8 @@ def lsh_bucketed_topk(
         .filter(F.col(id_col) != F.col("q_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
+            dot(F.col("q_vec"), F.col(vec_col), dim)
+            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
         )
     )
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
@@ -165,7 +171,8 @@ def ivf_assign(
         .join(F.broadcast(c), F.lit(True))
         .withColumn(
             "c_score",
-            dot(F.col(vec_col), F.col("c_vec"), dim) / (F.col("nrm") * F.col("c_nrm")),
+            dot(F.col(vec_col), F.col("c_vec"), dim)
+            / F.nullif(F.col("nrm") * F.col("c_nrm"), F.lit(0.0)),
         )
     )
     # argmax via max_by on (score, -centroid_id) — lexicographic struct max
@@ -234,7 +241,8 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col("q_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col(vec_col), dim) / (F.col("q_nrm") * F.col("nrm")),
+            dot(F.col("q_vec"), F.col(vec_col), dim)
+            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
         )
         .select("q_id", id_col, "score")
     )
@@ -242,9 +250,14 @@ def ivf_topk(
     # trick): each Arrow batch emits at most queries×k rows, so the window
     # shuffle is bounded by queries × partitions × k — independent of how
     # many candidates the probed cells hold. Scores pass through Arrow as
-    # bit-exact float64 and both stages use the same (score desc, id asc)
-    # total order, so the global result is unchanged.
-    scored = _local_topk_per_batch(scored, k, c_col=id_col)
+    # bit-exact float64 and both stages use the same (score desc, id asc,
+    # NaN-first) total order, so the global result is unchanged. NULL
+    # scores (null embeddings) bypass the Arrow stage — float64 would
+    # collapse them into NaN and flip them from sorts-last to sorts-first
+    # — and rejoin for the window, which orders them last as before.
+    scored = _local_topk_per_batch(
+        scored.filter(F.col("score").isNotNull()), k, c_col=id_col
+    ).unionByName(scored.filter(F.col("score").isNull()))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))
@@ -262,7 +275,15 @@ def _local_topk_per_batch(
     top-k survives (top-k of a union is contained in the union of per-part
     top-ks), so a downstream global rank sees identical winners while the
     shuffle carries ≤ queries×partitions×k rows instead of every
-    candidate."""
+    candidate.
+
+    NaN discipline: Spark orders NaN ABOVE every double, so a desc window
+    ranks NaN first — the pandas sort must do the same (na_position
+    'first'), else a NaN-scored candidate (zero-norm vector) would be
+    pruned here yet win the downstream window. NULL scores must be routed
+    AROUND this stage by the caller: Arrow/pandas float64 collapses NULL
+    into NaN, which would silently promote nulls from sorts-last to
+    sorts-first."""
 
     def prune(batches):
         for pdf in batches:
@@ -270,7 +291,10 @@ def _local_topk_per_batch(
                 yield pdf
                 continue
             pdf = pdf.sort_values(
-                [q_col, s_col, c_col], ascending=[True, False, True], kind="mergesort"
+                [q_col, s_col, c_col],
+                ascending=[True, False, True],
+                kind="mergesort",
+                na_position="first",
             )
             yield pdf.groupby(q_col, sort=False).head(k)
 

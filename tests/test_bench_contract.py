@@ -87,3 +87,31 @@ def test_entry_contract_shape():
     assert len(qs) >= 50 and len(os_) >= 45
     assert all(callable(f) for f in qs.values())
     assert all(isinstance(s, str) and "SELECT" in s.upper() for s in os_.values())
+
+
+def test_rotation_regressed_query_returns_to_front(tmp_path, monkeypatch):
+    """A query green in an early round but non-green in the LATEST
+    recorded round (a regression) must classify into the front group —
+    prior greens must not rotate a live defect out of the window."""
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as e
+    from kafka_streams_example_spark import registry
+
+    oracle_q = next(iter(registry.ORACLES))
+    other = [n for n in registry.QUERIES if n != oracle_q][:3]
+    green_row = {"rows_match": True, "schema_match": True,
+                 "hash_match": True, "err": None}
+    bad_row = {"rows_match": True, "schema_match": True,
+               "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_r90.json").write_text(
+        json.dumps({oracle_q: green_row, other[0]: green_row})
+    )
+    (tmp_path / "CORRECTNESS_r91.json").write_text(
+        json.dumps({oracle_q: bad_row, other[0]: green_row})
+    )
+    monkeypatch.setattr(e, "_REPO", str(tmp_path))
+    names = e._rotated(list(registry.QUERIES))
+    # the regressed query leads; the still-green one trails every
+    # never-recorded query
+    assert names[0] == oracle_q
+    assert names.index(other[0]) > len(names) - 3

@@ -593,3 +593,53 @@ def test_freq_ordered_allpairs_same_result_fewer_candidates(spark):
     # prefixes -> near-quadratic candidates; frequency ordering pushes
     # them out of the prefix entirely
     assert n_freq * 10 <= n_hash, (n_freq, n_hash)
+
+
+def test_ivf_local_topk_nan_and_null_scores_match_unpruned_plan(spark):
+    """Unscoreable candidates must behave identically with and without
+    the Arrow prune: zero-norm vectors score NULL (nullif guard — under
+    ANSI mode a bare division would ERROR, and NaN would sort first),
+    NULL embeddings score NULL, and both bypass the float64 Arrow stage
+    (which would collapse NULL into NaN and flip them from sorts-last to
+    sorts-first) to rank LAST in the window — DuckDB x/0 → NULL
+    semantics on both paths."""
+    import kafka_streams_example_spark.operators.similarity as sim
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings").limit(40)
+    # plant a zero-norm vector (score NaN) and a NULL embedding (score NULL)
+    weird = spark.createDataFrame(
+        [(900, [0.0] * 64, 0), (901, None, 0)],
+        "vec_id LONG, embedding ARRAY<FLOAT>, label INT",
+    )
+    corpus = emb.unionByName(weird)
+    queries = emb.filter(F.col("vec_id") < 4)
+    cents = emb.filter(F.col("vec_id") < 4)
+
+    def run():
+        return sorted(
+            map(tuple, sim.ivf_topk(corpus, queries, cents, nprobe=4, k=50,
+                                    dim=64).collect()),
+            key=lambda t: (t[0], t[2]),
+        )
+
+    pruned = run()
+    orig = sim._local_topk_per_batch
+    sim._local_topk_per_batch = lambda df, k, c_col, **kw: df  # identity
+    try:
+        full = run()
+    finally:
+        sim._local_topk_per_batch = orig
+    assert pruned == full
+    # with k larger than any cell, the unscoreable candidates appear at
+    # the TAIL ranks of whichever queries probed their cell, never rank 1
+    weird_rows = [t for t in pruned if t[1] in (900, 901)]
+    assert weird_rows, "zero-norm/NULL candidates vanished entirely"
+    assert all(t[2] > 1 for t in weird_rows)
+    by_q: dict = {}
+    for t in pruned:
+        by_q.setdefault(t[0], []).append(t)
+    for q, rows_q in by_q.items():
+        max_rnk = max(t[2] for t in rows_q)
+        for t in rows_q:
+            if t[1] in (900, 901):
+                assert t[2] >= max_rnk - 1, t
