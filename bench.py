@@ -206,21 +206,27 @@ def main() -> None:
 
     spark.range(32).repartition(32).mapInPandas(_ident, "id LONG").count()
 
-    # Two runs per query: the first pays one-time Catalyst planning +
+    # Three runs per query: the first pays one-time Catalyst planning +
     # whole-stage-codegen JIT (~0.5-3s per novel plan — real for a one-shot
-    # query, pure noise for a resident engine). Report steady-state (min)
-    # per query; keep the cold total for reference.
+    # query, pure noise for a resident engine). Steady-state = min of the
+    # two post-warm runs, and the per-query run-to-run spread is recorded
+    # so a machine-state delta can never masquerade as (or mask) a plan
+    # regression in the committed record (VERDICT r03 "What's wrong" #1).
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    spread: dict[str, float] = {}
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     for name in HEADLINE:
         fn = registry.QUERIES[name]
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
+        steady_runs = runs[1:] if len(runs) > 1 else runs
         cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(min(steady_runs), 3)
+        spread[name] = round(max(steady_runs) - min(steady_runs), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -235,8 +241,10 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "cold": cold,
+        "spread": spread,
         "cold_total": round(sum(cold.values()), 3),
         "n_queries": len(timings),
+        "n_runs": n_runs,
         "sf": sf_val,
     }
     detail_path = os.environ.get(

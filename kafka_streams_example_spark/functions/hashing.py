@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 def normalize_text(c: Column) -> Column:
     """Canonical text form for fingerprinting: lowercase, collapse
     whitespace, trim."""
-    return F.trim(F.regexp_replace(F.lower(c), r"\s+", " "))
+    return F.trim(F.regexp_replace(F.lower(c), r"[ \t\n\x0B\f\r]+", " "))
 
 
 def fingerprint_md5(c: Column) -> Column:

@@ -204,7 +204,7 @@ _LANG_RATES: dict[str, int] = {"en": 20, "de": 40, "es": 60, "fr": 80, "zh": 100
     """
 SELECT doc_id, lang
 FROM documents
-WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100
+WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100
       < CASE lang WHEN 'en' THEN 20 WHEN 'de' THEN 40 WHEN 'es' THEN 60
                   WHEN 'fr' THEN 80 ELSE 100 END
 """,
@@ -558,7 +558,7 @@ _register_vectorized_oracle()
 @register(
     "bpe_pair_candidates",
     """
-WITH t AS (SELECT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s FROM documents),
+WITH t AS (SELECT regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS s FROM documents),
 p AS (
     SELECT unnest(list_transform(generate_series(1, greatest(length(s) - 1, 0)),
                                  i -> substr(s, i, 2))) AS pair
@@ -582,7 +582,7 @@ def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     TakeOrderedAndProject, not a global sort.
     """
     docs = _load_parallel(spark, sf_dir, "documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+", " ")
     stage = docs.select(norm.alias("s"))
     chars = F.split(F.col("s"), "")
     pairs = F.when(
@@ -812,9 +812,9 @@ scored AS (
                + 0.3 * (CASE WHEN len(toks) > 0 THEN
                      len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
                      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
-               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0 THEN
-                     length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
-                     / CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
+               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+                     length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+                     / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
            AS quality
     FROM t
 )

@@ -957,7 +957,7 @@ def _win_gram_sql(s: str, i: str) -> str:
     "winnowing_fingerprints",
     f"""
 WITH nrm AS (
-    SELECT doc_id, trim(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS s
+    SELECT doc_id, trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g')) AS s
     FROM documents
 ),
 g AS (
@@ -996,7 +996,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     (join key for corpus-level plagiarism/reuse detection).
     """
     docs = _load_parallel(spark, sf_dir, "documents")
-    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"[ \t\n\x0B\f\r]+", " "))
     staged = docs.select("doc_id", norm.alias("s")).withColumn(
         "codes", F.transform(F.split(F.col("s"), ""), lambda ch: F.ascii(ch))
     )
@@ -1049,12 +1049,12 @@ _INGEST_SPLIT = 400  # doc_id >= split = the "incoming" batch
     "incremental_ingest_dedup",
     f"""
 WITH idx AS (
-    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+    SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
     FROM documents WHERE doc_id < {_INGEST_SPLIT}
 ),
 incoming AS (
     SELECT doc_id, lang,
-           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp
+           md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp
     FROM documents WHERE doc_id >= {_INGEST_SPLIT}
 )
 SELECT i.lang,

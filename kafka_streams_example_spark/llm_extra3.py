@@ -50,7 +50,7 @@ from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
-from kafka_streams_example_spark.sources.files import load_table
+from kafka_streams_example_spark.sources.files import load_table, table_row_count
 
 # --------------------------------------------------------------------------
 # dedup_survivorship — canonical record per exact-duplicate group
@@ -565,9 +565,11 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
+    est = table_row_count(spark, sf_dir, "embeddings") * 4 // 16
     exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
     approx = sim.ivf_topk(
-        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64
+        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64,
+        candidate_rows=est,
     ).select("q_id", "vec_id")
     base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
     hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(

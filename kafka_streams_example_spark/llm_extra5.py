@@ -223,7 +223,7 @@ WITH keyed AS (
 )
 SELECT doc_id, source, weight, round(sample_key, 6) AS sample_key
 FROM keyed
-ORDER BY keyed.sample_key DESC, doc_id
+ORDER BY round(sample_key, 6) DESC, doc_id
 LIMIT {_WS_K}
 """,
 )
@@ -241,16 +241,19 @@ def weighted_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     h = stable_long(F.concat(F.col("doc_id").cast("string"), F.lit(_WS_SALT)))
     w = F.col("n_chars").cast("double")
     key = F.pow((h + F.lit(0.5)) / F.lit(_TWO60), F.lit(1.0) / w)
+    # order by the ROUNDED key (doc_id tiebreak) on both engines: pow()
+    # is <=1-ulp accurate, not correctly rounded, so an unrounded
+    # boundary near the LIMIT could admit different documents per engine
+    # (ADVICE r03); 6-decimal rounding makes membership ulp-insensitive
     return (
         docs.select(
             "doc_id",
             "source",
             w.alias("weight"),
-            key.alias("sample_key"),
+            F.round(key, 6).alias("sample_key"),
         )
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(_WS_K)
-        .withColumn("sample_key", F.round("sample_key", 6))
     )
 
 

@@ -99,10 +99,14 @@ def neardup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.length("text") / _BAND).cast("long").alias("band"),
         )
     )
+    # lang/source are part of the JOIN KEY, not post-join filters: one
+    # length band spans the whole corpus, so keying the shuffle on
+    # (lang, source, band) is what keeps per-key candidate volume
+    # block-sized instead of corpus-band-sized at 100 TB
     probe = docs.select(
         F.col("doc_id").alias("id_a"),
-        F.col("lang").alias("lang_a"),
-        F.col("source").alias("source_a"),
+        "lang",
+        "source",
         F.col("text").alias("text_a"),
         F.col("n").alias("n_a"),
         F.explode(
@@ -111,8 +115,8 @@ def neardup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     build = docs.select(
         F.col("doc_id").alias("id_b"),
-        F.col("lang").alias("lang_b"),
-        F.col("source").alias("source_b"),
+        "lang",
+        "source",
         F.col("text").alias("text_b"),
         F.col("n").alias("n_b"),
         F.col("band").alias("probe_band"),
@@ -120,12 +124,10 @@ def neardup_levenshtein_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         probe.join(
             build,
-            ["probe_band"],
+            ["probe_band", "lang", "source"],
         )
         .filter(
-            (F.col("lang_a") == F.col("lang_b"))
-            & (F.col("source_a") == F.col("source_b"))
-            & (F.col("id_a") < F.col("id_b"))
+            (F.col("id_a") < F.col("id_b"))
             & (F.abs(F.col("n_a") - F.col("n_b")) <= _LEN_TOL)
         )
         .withColumn("edit_dist", F.levenshtein("text_a", "text_b"))

@@ -239,9 +239,12 @@ def _allpairs_prepared(
         # magnitude on stopword-heavy corpora (shared boilerplate). A
         # candidate-generation detail only — the verify is set-based, so
         # the result set is identical under either ordering. Costs one
-        # extra shuffle of the (shingle-hash, id) stream plus a
-        # vocabulary broadcast; worth it exactly when shingle document
-        # frequency is skewed.
+        # extra shuffle of the (shingle-hash, id) stream joined against
+        # the frequency table; worth it exactly when shingle document
+        # frequency is skewed. No broadcast hint: the frequency table is
+        # DISTINCT-SHINGLE-sized, which at corpus scale is billions of
+        # rows — far past the 8 GB broadcast ceiling — so AQE picks
+        # broadcast-vs-SMJ from the measured size (ADVICE r03).
         tokfreq = (
             docs.select(F.explode("hsh").alias("tok"))
             .groupBy("tok")
@@ -249,7 +252,7 @@ def _allpairs_prepared(
         )
         docs = (
             docs.select("id", "blk", "sz", F.explode("hsh").alias("tok"))
-            .join(F.broadcast(tokfreq), "tok")
+            .join(tokfreq, "tok")
             .groupBy("id", "blk", "sz")
             .agg(
                 F.transform(

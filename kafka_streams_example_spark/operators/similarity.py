@@ -204,6 +204,8 @@ def ivf_topk(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    candidate_rows: int | None = None,
+    prune_threshold: int = 100_000,
 ) -> DataFrame:
     """IVF search: queries probe their ``nprobe`` nearest centroids; only
     vectors assigned to those cells are scored (exact cosine re-rank).
@@ -255,9 +257,17 @@ def ivf_topk(
     # scores (null embeddings) bypass the Arrow stage — float64 would
     # collapse them into NaN and flip them from sorts-last to sorts-first
     # — and rejoin for the window, which orders them last as before.
-    scored = _local_topk_per_batch(
-        scored.filter(F.col("score").isNotNull()), k, c_col=id_col
-    ).unionByName(scored.filter(F.col("score").isNull()))
+    #
+    # The prune is a Python-worker round-trip, so it only pays for itself
+    # when the candidate set it bounds is large: when the caller supplies a
+    # ``candidate_rows`` estimate (parquet footer count × nprobe/cells —
+    # zero Spark jobs) below ``prune_threshold``, the window shuffle is
+    # already small and the Arrow stage is skipped. With no estimate the
+    # prune stays on — the safe default at scale.
+    if candidate_rows is None or candidate_rows >= prune_threshold:
+        scored = _local_topk_per_batch(
+            scored.filter(F.col("score").isNotNull()), k, c_col=id_col
+        ).unionByName(scored.filter(F.col("score").isNull()))
     w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("rnk", F.row_number().over(w))

@@ -25,12 +25,12 @@ STOPWORDS: dict[str, tuple[str, ...]] = {
 }
 
 # BPE-ish tokenizer regex: word pieces, single digits, punctuation runs.
-TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9\s]"
+TOKEN_RE = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
 
 
 def tokens(c: Column) -> Column:
     """Whitespace tokens of trimmed text (empty text → empty array)."""
-    return F.filter(F.split(F.trim(c), r"\s+"), lambda t: t != "")
+    return F.filter(F.split(F.trim(c), r"[ \t\n\x0B\f\r]+"), lambda t: t != "")
 
 
 def token_count(c: Column) -> Column:
@@ -56,7 +56,7 @@ def stopword_ratio(c: Column, lang: str = "en") -> Column:
 
 def special_char_ratio(c: Column) -> Column:
     """Fraction of non-whitespace chars that are not alphanumeric."""
-    stripped = F.regexp_replace(c, r"\s+", "")
+    stripped = F.regexp_replace(c, r"[ \t\n\x0B\f\r]+", "")
     specials = F.length(F.regexp_replace(stripped, r"[A-Za-z0-9]", ""))
     return F.when(
         F.length(stripped) > 0, specials / F.length(stripped)
@@ -106,7 +106,7 @@ def word_ngrams(c: Column, n: int = 3) -> Column:
     n-gram position — O(len²) per doc (measured 4.5x slower at sf0.1).
     The regex form is one linear scan and produces the identical gram set
     in the identical first-occurrence order."""
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+", " ")
     pat = r"(?=(?:^| )((?:\S+ ){%d}\S+))" % (n - 1)
     return F.array_distinct(F.regexp_extract_all(norm, F.lit(pat), 1))
 
@@ -115,7 +115,7 @@ def word_ngrams_all(c: Column, n: int = 2) -> Column:
     """ALL overlapping word n-grams in order (non-distinct — duplicate
     grams preserved, for repetition/frequency statistics). Same
     single-pass lookahead-regex construction as :func:`word_ngrams`."""
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"[ \t\n\x0B\f\r]+", " ")
     pat = r"(?=(?:^| )((?:\S+ ){%d}\S+))" % (n - 1)
     return F.regexp_extract_all(norm, F.lit(pat), 1)
 

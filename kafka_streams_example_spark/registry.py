@@ -760,7 +760,7 @@ from kafka_streams_example_spark.operators import text as tx  # noqa: E402
 from kafka_streams_example_spark.operators import similarity as sim  # noqa: E402
 
 # DuckDB equivalents of the text.py tokenizer, shared by the doc oracles.
-_TOKS = "list_filter(string_split_regex(trim(lower(text)), '\\s+'), x -> x <> '')"
+_TOKS = "list_filter(string_split_regex(trim(lower(text)), '[ \\t\\n\\x0B\\f\\r]+'), x -> x <> '')"
 _NGRAMS = (
     "list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),"
     " i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))"
@@ -770,7 +770,7 @@ _NGRAMS = (
 @register(
     "dedup_exact_docs",
     """
-SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
        min(doc_id) AS keep_id,
        count(*) AS n_dups
 FROM documents
@@ -787,8 +787,8 @@ def dedup_exact_docs(spark, sf_dir):
     "doc_fingerprints",
     """
 SELECT doc_id,
-       md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
-       length(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS n_chars_norm
+       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
+       length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS n_chars_norm
 FROM documents
 """,
 )
@@ -811,13 +811,13 @@ def doc_fingerprints(spark, sf_dir):
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
 SELECT doc_id,
        len(toks) AS n_words,
-       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9\\s]')) AS n_tokens_bpe,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens_bpe,
        round(CASE WHEN len(toks) > 0 THEN
            len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
            / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stop_ratio,
-       round(CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0 THEN
-           length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
-           / CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) ELSE 0.0 END, 6) AS special_ratio
+       round(CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+           length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+           / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END, 6) AS special_ratio
 FROM t
 """,
 )
@@ -1266,7 +1266,7 @@ near_edges AS (
     WHERE len(list_intersect(a.ng, b.ng))
           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.5
 ),
-fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f
+fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS f
        FROM documents),
 fp_star AS (
     SELECT g.keeper AS id_a, fp.doc_id AS id_b
@@ -1410,8 +1410,16 @@ def similarity_ivf_topk(spark, sf_dir):
     """IVF approximate top-10: 16 coarse cells (deterministic demo
     centroids: vec_id < 16; production trains k-means on a sample),
     nprobe=4, exact cosine re-rank. Rows-only driver check; recall vs
-    brute force asserted in tests."""
+    brute force asserted in tests.
+
+    The footer-metadata row count (zero Spark jobs) sizes the candidate
+    estimate (rows × nprobe/cells) so the Arrow local-top-k prune only
+    engages when the window shuffle it bounds would actually be large
+    (VERDICT r03 #3)."""
+    from kafka_streams_example_spark.sources.files import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
+    est = table_row_count(spark, sf_dir, "embeddings") * 4 // 16
     return sim.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),
@@ -1419,6 +1427,7 @@ def similarity_ivf_topk(spark, sf_dir):
         nprobe=4,
         k=10,
         dim=64,
+        candidate_rows=est,
     )
 
 
@@ -1647,7 +1656,7 @@ def doc_perplexity_proxy(spark, sf_dir):
     """
 SELECT doc_id, lang
 FROM documents
-WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 10
+WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 10
 """,
 )
 def sample_docs_by_hash(spark, sf_dir):
@@ -1918,15 +1927,15 @@ scored AS (
                + 0.3 * (CASE WHEN len(toks) > 0 THEN
                      len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
                      / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
-               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '\\s+', '', 'g')) > 0 THEN
-                     length(regexp_replace(regexp_replace(text, '\\s+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
-                     / CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
+               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+                     length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+                     / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
            AS quality
     FROM t
 ),
 kept AS (SELECT * FROM scored WHERE quality >= 0.5),
 fp AS (
-    SELECT *, md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS f FROM kept
+    SELECT *, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS f FROM kept
 ),
 dedup AS (
     SELECT * FROM fp
@@ -1934,7 +1943,7 @@ dedup AS (
 ),
 sampled AS (
     SELECT * FROM dedup
-    WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 50
+    WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 50
 )
 SELECT doc_id, quality,
        least(len(toks), 32) AS n_kept,

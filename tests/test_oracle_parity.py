@@ -36,7 +36,10 @@ def test_rows_only_queries_run(spark, name):
 @pytest.fixture(scope="module")
 def unicode_sf_dir(spark, tmp_path_factory):
     """sf0.001 with non-ASCII words (2-4 byte UTF-8, several scripts,
-    an emoji) injected into half the documents."""
+    an emoji) injected into half the documents — plus a vertical tab
+    (\\x0B), the one character Java's \\s matches but RE2's does not,
+    to pin the explicit whitespace class used on both engines
+    (ADVICE r03)."""
     import pyspark.sql.functions as F
 
     from kafka_streams_example_spark.schemas import ALL_TABLES
@@ -46,7 +49,7 @@ def unicode_sf_dir(spark, tmp_path_factory):
     docs = load_table(spark, SF_CORRECT, "documents")
     uni = F.when(
         F.col("doc_id") % 2 == 0,
-        F.concat(F.lit("héllo wörld 你好 мир καλημέρα 🎉 "), F.col("text")),
+        F.concat(F.lit("héllo wörld\x0bvtab 你好 мир καλημέρα 🎉 "), F.col("text")),
     ).otherwise(F.col("text"))
     docs.withColumn("text", uni).withColumn(
         "n_chars", F.length("text").cast("long")

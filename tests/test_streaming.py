@@ -953,3 +953,104 @@ def test_chained_streaming_state_soak_bounded(spark, tmp_path):
     # unexpired windows remain in the module-agg operator's store.
     state = spark.read.format("statestore").load(ck)
     assert state.count() <= 40
+
+
+def test_pyds_source_watermark_agg_jsonl_sink_then_enrichment_matches_batch(
+    spark, tmp_path
+):
+    """VERDICT r03 #8 — the one composition of proven pieces not yet
+    exercised together, end-to-end: Python streaming DataSource
+    (solar_sim) → watermarked window aggregation (append mode) →
+    jsonl_sink (Python DataSourceStreamWriter, rename-on-commit) →
+    file stream over the committed jsonl → foreachBatch panel enrichment
+    + anomaly filter. The anomalies must equal the batch program run on
+    the same generated rows, for every window the watermark released."""
+    from kafka_streams_example_spark.sources.pyds import (
+        JsonlSinkDataSource,
+        SolarSimDataSource,
+    )
+    from kafka_streams_example_spark.streaming.solar_stream import (
+        stream_module_aggregates,
+    )
+
+    spark.dataSource.register(SolarSimDataSource)
+    spark.dataSource.register(JsonlSinkDataSource)
+    from kafka_streams_example_spark.sources.pyds import _EPOCH
+
+    n_rows = 600
+    # compare only windows fully released by the 30s watermark: the last
+    # ~2 windows stay in state when the stream drains (w_start is epoch
+    # seconds — the generator starts at 2024-01-01)
+    cut = int(_EPOCH.timestamp()) + n_rows - 60
+
+    # ---- stage 1: pyds stream → watermark agg → jsonl_sink files
+    out1 = str(tmp_path / "agg_jsonl")
+    raw = (
+        spark.readStream.format("solar_sim")
+        .option("rows_per_batch", "150")
+        .option("partitions", "2")
+        .option("max_rows", str(n_rows))
+        .load()
+    )
+    agg = solar.with_window_epoch(stream_module_aggregates(raw))
+    q1 = (
+        agg.writeStream.outputMode("append")
+        .format("jsonl_sink")
+        .option("path", out1)
+        .option("checkpointLocation", str(tmp_path / "ck1"))
+        .start()
+    )
+    q1.processAllAvailable()
+    q1.stop()
+
+    # ---- stage 2: file stream over committed batches → foreachBatch
+    # enrichment + anomaly filter (the downstream-consumer topology)
+    got: list[tuple] = []
+    schema = (
+        "panel STRING, module STRING, cnt LONG, sum_power DOUBLE, "
+        "avg_power DOUBLE, w_start LONG, w_end LONG"
+    )
+    files = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "batch-*.jsonl")
+        .json(out1)
+    )
+
+    def enrich(batch_df, _bid):
+        out = solar.enrich_with_panel_statistics(
+            batch_df.withColumnRenamed("w_start", "w")
+        ).filter(
+            F.abs(F.col("sum_power") - F.col("panel_avg"))
+            > F.lit(solar.Z) * F.col("deviance")
+        )
+        got.extend(
+            (r.panel, r.module, r.w, round(r.sum_power, 6))
+            for r in out.select("panel", "module", "w", "sum_power").collect()
+            if r.w + 30 <= cut
+        )
+
+    q2 = (
+        files.writeStream.foreachBatch(enrich)
+        .option("checkpointLocation", str(tmp_path / "ck2"))
+        .start()
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    # ---- batch truth: same generator, one partition, same global index
+    batch_raw = (
+        spark.read.format("solar_sim")
+        .option("partitions", "1")
+        .option("rows_per_partition", str(n_rows))
+        .load()
+    )
+    expected = {
+        (r.panel, r.module, r.w, round(r.sum_power, 6))
+        for r in solar.with_window_epoch(solar.anomalies(batch_raw))
+        .withColumnRenamed("w_start", "w")
+        .select("panel", "module", "w", "sum_power")
+        .collect()
+        if r.w + 30 <= cut
+    }
+    assert expected, "generator must produce anomalies below the cut"
+    assert set(got) == expected
