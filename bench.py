@@ -188,6 +188,16 @@ HEADLINE = [
     "order_to_ship_latency",
     "hourly_activity_heatmap",
     "repeat_purchase_interval",
+    "cross_split_leakage_pairs",
+    "cross_lingual_neardup_pairs",
+    "minhash_band_tuning_report",
+    "hard_negative_mining",
+    "tokenizer_fertility_by_lang",
+    "dedup_cluster_size_histogram",
+    "embedding_norm_outliers",
+    "corpus_mixture_entropy",
+    "quality_filter_threshold_sweep",
+    "semdedup_prune",
 ]
 
 

@@ -2394,3 +2394,7 @@ from kafka_streams_example_spark import llm_extra10  # noqa: E402,F401
 
 # Twelfth tranche (fulfillment latency, activity heatmap, purchase gaps).
 from kafka_streams_example_spark import llm_extra11  # noqa: E402,F401
+
+# Thirteenth tranche (contamination audits, hard negatives, SemDeDup,
+# tokenizer fertility, mixture entropy, filter threshold sweep).
+from kafka_streams_example_spark import llm_extra12  # noqa: E402,F401

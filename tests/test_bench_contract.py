@@ -14,8 +14,11 @@ def test_bench_emits_single_json_line_quickly():
     env override is not supported — instead just validate the contract on
     sf0.001 (fast enough end-to-end)."""
     detail = "/tmp/bench_detail_test.json"
+    # 2 runs keeps the contract test fast; the committed BENCH record
+    # uses the default 3 (cold + two steady) for the spread
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
-               SPARK_GRAFT_CPUS="4", SPARK_GRAFT_BENCH_DETAIL=detail)
+               SPARK_GRAFT_CPUS="4", SPARK_GRAFT_BENCH_DETAIL=detail,
+               SPARK_GRAFT_BENCH_RUNS="2")
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
         capture_output=True, text=True, timeout=900, env=env,

@@ -87,4 +87,4 @@ def test_shard_balance_spreads_salted_hash(spark, tmp_path):
     # salted md5 spreads ~uniformly: no shard more than 2x the mean
     assert r.doc_imbalance < 2.0
     assert r.min_docs > 0
-    assert r.max_shard_bytes == r.max_docs * 10
+    assert r.max_shard_chars == r.max_docs * 10
