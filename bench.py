@@ -198,6 +198,12 @@ HEADLINE = [
     "corpus_mixture_entropy",
     "quality_filter_threshold_sweep",
     "semdedup_prune",
+    "minhash_recall_report",
+    "token_pagerank_centrality",
+    "user_activity_islands",
+    "bm25_topk_docs",
+    "phrase_blocklist_rates",
+    "dedup_reduction_report",
 ]
 
 

@@ -110,11 +110,17 @@ _SPLIT_CASE = (
 
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked freq-ordered AllPairs near-dup pairs at threshold 0.3 —
-    the shared input of the three pair-table audits."""
+    the shared input of the three pair-table audits.
+
+    Cached: the pair table is sparse (ids + one double) and feeds three
+    registered audits whose analyzed plans are identical up to this
+    point, so Spark's plan-equality cache lookup materializes the
+    expensive AllPairs pass ONCE per session for all of them (the same
+    discipline as neardup_transitivity_audit's cached edge table)."""
     docs = _load_parallel(spark, sf_dir, "documents")
     return dd.ngram_jaccard_pairs(
         docs, block_key=F.lit("all"), threshold=_PAIR_T, freq_order=True
-    )
+    ).cache()
 
 
 def _split_col(id_col) -> F.Column:

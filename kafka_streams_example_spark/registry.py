@@ -2398,3 +2398,7 @@ from kafka_streams_example_spark import llm_extra11  # noqa: E402,F401
 # Thirteenth tranche (contamination audits, hard negatives, SemDeDup,
 # tokenizer fertility, mixture entropy, filter threshold sweep).
 from kafka_streams_example_spark import llm_extra12  # noqa: E402,F401
+
+# Fourteenth tranche (sketch recall, PageRank, islands, BM25, blocklist,
+# dedup accounting).
+from kafka_streams_example_spark import llm_extra13  # noqa: E402,F401
