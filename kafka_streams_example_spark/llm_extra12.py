@@ -61,9 +61,9 @@ from pyspark.sql import functions as F
 from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import similarity as sim
 from kafka_streams_example_spark.operators import text as tx
-from kafka_streams_example_spark.functions.hashing import stable_long
-from kafka_streams_example_spark.llm_extra3 import _SPLIT_SALT
+from kafka_streams_example_spark.llm_extra3 import split_case_sql, split_col
 from kafka_streams_example_spark.registry import (
+    _NGRAMS,
     _TOKS,
     _duck_cosine,
     _load_parallel,
@@ -81,9 +81,7 @@ _PAIR_T = 0.3
 # brute-force in SQL (the oracle may be quadratic — the ENGINE may not).
 _PAIRS_CTE = f"""
 d AS (
-    SELECT doc_id, lang,
-           list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-               i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng
+    SELECT doc_id, lang, {_NGRAMS} AS ng
     FROM (SELECT doc_id, lang, {_TOKS} AS t FROM documents)
 ),
 nz AS (SELECT * FROM d WHERE len(ng) > 0),
@@ -100,14 +98,6 @@ pairs AS (
 )
 """
 
-_SPLIT_CASE = (
-    f"CASE WHEN CAST(('0x' || substr(md5(CAST({{id}} AS VARCHAR) || '{_SPLIT_SALT}'),"
-    f" 1, 15)) AS BIGINT) % 100 < 80 THEN 'train'"
-    f" WHEN CAST(('0x' || substr(md5(CAST({{id}} AS VARCHAR) || '{_SPLIT_SALT}'),"
-    f" 1, 15)) AS BIGINT) % 100 < 90 THEN 'valid' ELSE 'test' END"
-)
-
-
 def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Unblocked freq-ordered AllPairs near-dup pairs at threshold 0.3 —
     the shared input of the three pair-table audits.
@@ -123,13 +113,6 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).cache()
 
 
-def _split_col(id_col) -> F.Column:
-    bucket = stable_long(F.concat(id_col.cast("string"), F.lit(_SPLIT_SALT))) % 100
-    return (
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    )
-
-
 # --------------------------------------------------------------------------
 # cross_split_leakage_pairs — train/eval contamination audit
 # --------------------------------------------------------------------------
@@ -140,10 +123,10 @@ def _split_col(id_col) -> F.Column:
     f"""
 WITH {_PAIRS_CTE}
 SELECT id_a, id_b, jaccard,
-       {_SPLIT_CASE.format(id="id_a")} AS split_a,
-       {_SPLIT_CASE.format(id="id_b")} AS split_b
+       {split_case_sql("id_a")} AS split_a,
+       {split_case_sql("id_b")} AS split_b
 FROM pairs
-WHERE {_SPLIT_CASE.format(id="id_a")} <> {_SPLIT_CASE.format(id="id_b")}
+WHERE {split_case_sql("id_a")} <> {split_case_sql("id_b")}
 """,
 )
 def cross_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -162,8 +145,8 @@ def cross_split_leakage_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         "jaccard",
-        _split_col(F.col("id_a")).alias("split_a"),
-        _split_col(F.col("id_b")).alias("split_b"),
+        split_col(F.col("id_a")).alias("split_a"),
+        split_col(F.col("id_b")).alias("split_b"),
     )
     return out.filter(F.col("split_a") != F.col("split_b"))
 
@@ -393,14 +376,18 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(tx.tokens(F.lower(F.col("text")))).alias("nw"),
         tx.token_count(F.col("text")).alias("nt"),
     )
+    # nullif guards: a lang whose docs all tokenize empty must yield
+    # NULL ratios (the oracle's x/0 -> NULL), not an ANSI divide error
     return per.groupBy("lang").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("nw").cast("bigint").alias("n_words"),
         F.sum("nt").cast("bigint").alias("n_tokens_bpe"),
-        F.round(F.sum("nt") / F.sum("nw").cast("double"), 6).alias("fertility"),
-        F.round(F.sum("n_chars") / F.sum("nt").cast("double"), 6).alias(
-            "chars_per_token"
-        ),
+        F.round(
+            F.sum("nt") / F.nullif(F.sum("nw"), F.lit(0)).cast("double"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_chars") / F.nullif(F.sum("nt"), F.lit(0)).cast("double"), 6
+        ).alias("chars_per_token"),
     )
 
 
@@ -601,18 +588,19 @@ def corpus_mixture_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
 _QF_THRESHOLDS = [3.40, 3.42, 3.45, 3.50]
 
 
+def _proxy_oracle_sql() -> str:
+    """The registered doc_perplexity_proxy oracle — the sweep must score
+    with EXACTLY the quality definition that query publishes."""
+    from kafka_streams_example_spark import registry as _reg
+
+    return _reg.ORACLES["doc_perplexity_proxy"]
+
+
 @register(
     "quality_filter_threshold_sweep",
     f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
-x AS (SELECT doc_id, unnest(toks) AS token FROM t),
-freq AS (SELECT token, count(*) AS c FROM x GROUP BY token),
-tot AS (SELECT sum(c) AS n FROM freq),
-scored AS (
-    SELECT doc_id, round(-sum(ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot)))
-                         / count(*), 6) AS score
-    FROM x JOIN freq f USING (token)
-    GROUP BY doc_id
+WITH scored AS (
+    SELECT doc_id, avg_neg_logp AS score FROM ({_proxy_oracle_sql()})
 )
 {" UNION ALL ".join(
     f'''SELECT CAST({t} AS DOUBLE) AS threshold,
@@ -633,27 +621,16 @@ def quality_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
     Scores are rounded to 6dp BEFORE the threshold comparison on both
     engines so summation order cannot flip a boundary document.
 
-    100 TB shape: the scored table is the proven perplexity-proxy shape
-    (token explode + broadcast frequency join); the sweep itself is ONE
-    aggregate of conditional sums over it, unpivoted to threshold rows —
-    not one scan per threshold."""
-    docs = _load_parallel(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
-    )
-    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
-    total = freq.agg(F.sum("c").alias("n"))
+    100 TB shape: the scored table IS the registered doc_perplexity_proxy
+    query (composed, not copied — the sweep can never drift from the
+    score it documents); the sweep itself is ONE aggregate of
+    conditional sums over it, unpivoted to threshold rows — not one
+    scan per threshold."""
+    from kafka_streams_example_spark import registry as _reg
+
     scored = (
-        toks.join(F.broadcast(freq), "token")
-        .join(F.broadcast(total))
-        .groupBy("doc_id")
-        .agg(
-            F.round(
-                -F.sum(F.log(F.col("c").cast("double") / F.col("n")))
-                / F.count("*"),
-                6,
-            ).alias("score")
-        )
+        _reg.QUERIES["doc_perplexity_proxy"](spark, sf_dir)
+        .select("doc_id", F.col("avg_neg_logp").alias("score"))
     )
     agg = scored.agg(
         F.count("*").alias("n_total"),

@@ -51,6 +51,7 @@ from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.functions.hashing import fingerprint_md5
 from kafka_streams_example_spark.registry import (
+    _NGRAMS,
     _TOKS,
     _load_parallel,
     register,
@@ -68,13 +69,9 @@ def _exact_pairs_sql(threshold: float) -> str:
     oracle-side ground truth the sketch is measured against."""
     return f"""
 SELECT a.doc_id AS id_a, b.doc_id AS id_b
-FROM (SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng
+FROM (SELECT doc_id, {_NGRAMS} AS ng
       FROM (SELECT doc_id, {_TOKS} AS t FROM documents)) a
-JOIN (SELECT doc_id,
-             list_distinct(list_transform(generate_series(1, greatest(len(t) - 2, 0)),
-                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS ng
+JOIN (SELECT doc_id, {_NGRAMS} AS ng
       FROM (SELECT doc_id, {_TOKS} AS t FROM documents)) b
   ON a.doc_id < b.doc_id
 WHERE len(a.ng) > 0 AND len(b.ng) > 0
@@ -228,11 +225,15 @@ def token_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.u", "p.v")
+    # the edge table feeds 4+ consumers (both und directions, deg,
+    # nodes, every unrolled iteration's src join) and is the ONLY
+    # corpus-scale stage — cache so the explode+aggregate runs once
     e = (
         pairs.groupBy("u", "v")
         .agg(F.count("*").alias("support"))
         .filter(F.col("support") >= _PR_SUPPORT)
         .select("u", "v")
+        .cache()
     )
     und = e.union(e.select(F.col("v"), F.col("u"))).select(
         F.col("u"), F.col("v")
@@ -451,7 +452,12 @@ def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
                 * (
                     F.lit(1.0)
                     - F.lit(_BM25_B)
-                    + F.lit(_BM25_B) * F.col("dl") / F.col("avgdl")
+                    # nullif: an all-empty-token corpus has avgdl=0 and
+                    # must yield NULL scores (oracle x/0 -> NULL), not
+                    # an ANSI divide error
+                    + F.lit(_BM25_B)
+                    * F.col("dl")
+                    / F.nullif(F.col("avgdl"), F.lit(0.0))
                 )
             )
         )

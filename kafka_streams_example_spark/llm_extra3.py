@@ -110,6 +110,30 @@ def dedup_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SPLIT_SALT = ":split"  # decouples split hashing from any other id hash
 
 
+def split_col(id_col) -> F.Column:
+    """The canonical 80/10/10 train/valid/test assignment: salted md5 →
+    60-bit int → mod 100. THE single definition — every query that
+    reasons about splits (train_eval_split, cross_split_leakage_pairs)
+    must use this or its SQL twin ``split_case_sql`` so they can never
+    measure different splits."""
+    bucket = stable_long(F.concat(id_col.cast("string"), F.lit(_SPLIT_SALT))) % 100
+    return (
+        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
+    )
+
+
+def split_case_sql(id_expr: str) -> str:
+    """DuckDB twin of :func:`split_col` for oracle SQL."""
+    h = (
+        f"CAST(('0x' || substr(md5(CAST({id_expr} AS VARCHAR) ||"
+        f" '{_SPLIT_SALT}'), 1, 15)) AS BIGINT) % 100"
+    )
+    return (
+        f"CASE WHEN {h} < 80 THEN 'train'"
+        f" WHEN {h} < 90 THEN 'valid' ELSE 'test' END"
+    )
+
+
 @register(
     "train_eval_split",
     f"""
@@ -141,15 +165,8 @@ def train_eval_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     Map-only assignment (no shuffle until the tiny stats aggregate);
     adding examples never moves an existing example across splits."""
     docs = _load_parallel(spark, sf_dir, "documents")
-    bucket = (
-        stable_long(F.concat(F.col("doc_id").cast("string"), F.lit(_SPLIT_SALT)))
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, "train").when(bucket < 90, "valid").otherwise("test")
-    )
     return (
-        docs.withColumn("split", split)
+        docs.withColumn("split", split_col(F.col("doc_id")))
         .groupBy("split", "lang")
         .agg(
             F.count("*").alias("n_docs"),
@@ -565,7 +582,9 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
-    est = table_row_count(spark, sf_dir, "embeddings") * 4 // 16
+    # queries × rows × nprobe/cells: the window input unions all 8
+    # query vectors' probed cells
+    est = 8 * table_row_count(spark, sf_dir, "embeddings") * 4 // 16
     exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
     approx = sim.ivf_topk(
         emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64,

@@ -1413,13 +1413,14 @@ def similarity_ivf_topk(spark, sf_dir):
     brute force asserted in tests.
 
     The footer-metadata row count (zero Spark jobs) sizes the candidate
-    estimate (rows × nprobe/cells) so the Arrow local-top-k prune only
-    engages when the window shuffle it bounds would actually be large
-    (VERDICT r03 #3)."""
+    estimate (queries × rows × nprobe/cells — the window input is the
+    UNION over all 8 query vectors' probed cells) so the Arrow
+    local-top-k prune only engages when the window shuffle it bounds
+    would actually be large (VERDICT r03 #3)."""
     from kafka_streams_example_spark.sources.files import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    est = table_row_count(spark, sf_dir, "embeddings") * 4 // 16
+    est = 8 * table_row_count(spark, sf_dir, "embeddings") * 4 // 16
     return sim.ivf_topk(
         emb,
         emb.filter(F.col("vec_id") < 8),

@@ -242,3 +242,19 @@ def test_cross_lingual_pairs_only_cross_language(spark, tmp_path):
     # 1~2 and 2~3 cross languages; 1~3 is en-en and must be absent
     assert set(got) == {(1, 2), (2, 3)}
     assert got[(1, 2)] == ("en", "de") and got[(2, 3)] == ("de", "en")
+
+
+def test_fertility_zero_token_lang_yields_null_not_error(spark, tmp_path):
+    """A language whose docs all tokenize empty must produce NULL
+    ratios (matching DuckDB's x/0 -> NULL), not an ANSI divide error
+    (code-review r04 finding)."""
+    from kafka_streams_example_spark.llm_extra12 import (
+        tokenizer_fertility_by_lang,
+    )
+
+    rows = [(1, "   ", "zz", "w", 3), (2, "hello world", "en", "w", 11)]
+    d = _write_docs(spark, tmp_path, rows)
+    out = {r.lang: r for r in tokenizer_fertility_by_lang(spark, d).collect()}
+    assert out["zz"].n_words == 0
+    assert out["zz"].fertility is None and out["zz"].chars_per_token is None
+    assert out["en"].fertility == 1.0
