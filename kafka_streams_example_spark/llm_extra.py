@@ -60,7 +60,12 @@ from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
-from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+from kafka_streams_example_spark.registry import (
+    _QUALITY_SQL,
+    _TOKS,
+    _load_parallel,
+    register,
+)
 
 _DIM = 64  # embeddings.parquet vector dimensionality (repo:TESTDATA.md)
 
@@ -732,8 +737,8 @@ def map_functions_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
 SELECT n_name, c_custkey,
        ntile(4) OVER w AS balance_quartile,
-       round(percent_rank() OVER w, 6) AS pct_rank,
-       round(cume_dist() OVER w, 6) AS cume,
+       floor(percent_rank() OVER w * 1000000.0 + 0.5) / 1000000.0 AS pct_rank,
+       floor(cume_dist() OVER w * 1000000.0 + 0.5) / 1000000.0 AS cume,
        levenshtein(c_mktsegment, 'BUILDING') AS seg_edit_dist
 FROM customer JOIN nation ON c_nationkey = n_nationkey
 WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
@@ -762,8 +767,12 @@ def distribution_rank_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_name",
             "c_custkey",
             F.ntile(4).over(w).alias("balance_quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            # portable half-up (see operators/text.py:round_half_up):
+            # k/n values like 41/640 = 0.0640625 sit EXACTLY on 6dp
+            # boundaries, where Spark's decimal-repr round and DuckDB's
+            # binary round disagree (observed at sf0.1)
+            tx.round_half_up(F.percent_rank().over(w), 6).alias("pct_rank"),
+            tx.round_half_up(F.cume_dist().over(w), 6).alias("cume"),
             F.levenshtein("c_mktsegment", F.lit("BUILDING")).alias("seg_edit_dist"),
         )
     )
@@ -808,13 +817,7 @@ def skew_salted_event_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 WITH t AS (SELECT lang, source, n_chars, {_TOKS} AS toks, text FROM documents),
 scored AS (
     SELECT lang, source, n_chars,
-           round(0.4 * least(1.0, len(toks) / 100.0)
-               + 0.3 * (CASE WHEN len(toks) > 0 THEN
-                     len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
-                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
-               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
-                     length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
-                     / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
+           {_QUALITY_SQL}
            AS quality
     FROM t
 )

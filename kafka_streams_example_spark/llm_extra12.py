@@ -88,9 +88,9 @@ nz AS (SELECT * FROM d WHERE len(ng) > 0),
 pairs AS (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            a.lang AS lang_a, b.lang AS lang_b,
-           round(len(list_intersect(a.ng, b.ng))
-                 / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE),
-                 6) AS jaccard
+           floor(len(list_intersect(a.ng, b.ng))
+                 / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)
+                 * 1000000.0 + 0.5) / 1000000.0 AS jaccard
     FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.ng, b.ng))
           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)

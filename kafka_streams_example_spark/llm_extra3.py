@@ -226,13 +226,14 @@ pairs AS (
           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.3
 )
 SELECT p.id_a, p.id_b,
-       round(p.jac, 6) AS exact_jaccard,
-       round(len(list_filter(generate_series(1, {_MH_NUM}),
-                             i -> sa.sg[i] = sb.sg[i])) / {_MH_NUM}.0, 6)
-           AS est_jaccard,
-       round(abs(p.jac - len(list_filter(generate_series(1, {_MH_NUM}),
-                                         i -> sa.sg[i] = sb.sg[i])) / {_MH_NUM}.0),
-             6) AS abs_err
+       floor(p.jac * 1000000.0 + 0.5) / 1000000.0 AS exact_jaccard,
+       floor(len(list_filter(generate_series(1, {_MH_NUM}),
+                             i -> sa.sg[i] = sb.sg[i])) / {_MH_NUM}.0
+             * 1000000.0 + 0.5) / 1000000.0 AS est_jaccard,
+       floor(abs(floor(p.jac * 1000000.0 + 0.5) / 1000000.0
+                 - len(list_filter(generate_series(1, {_MH_NUM}),
+                                   i -> sa.sg[i] = sb.sg[i])) / {_MH_NUM}.0)
+             * 1000000.0 + 0.5) / 1000000.0 AS abs_err
 FROM pairs p
 JOIN sig sa ON p.id_a = sa.doc_id
 JOIN sig sb ON p.id_b = sb.doc_id
@@ -300,8 +301,8 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a",
         "id_b",
         F.col("jaccard").alias("exact_jaccard"),
-        F.round(est, 6).alias("est_jaccard"),
-        F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        tx.round_half_up(est, 6).alias("est_jaccard"),
+        tx.round_half_up(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
     )
 
 
@@ -712,8 +713,9 @@ WITH d AS (
 ),
 nz AS (SELECT * FROM d WHERE len(ng) > 0),
 pairs AS (
-    SELECT len(list_intersect(a.ng, b.ng))
-           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) AS jac
+    SELECT floor(len(list_intersect(a.ng, b.ng))
+           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)
+           * 1000000.0 + 0.5) / 1000000.0 AS jac
     FROM nz a JOIN nz b
       ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
     WHERE len(list_intersect(a.ng, b.ng))
@@ -722,8 +724,8 @@ pairs AS (
 SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bucket,
        round(least(floor(jac * 10), 9) / 10.0, 1) AS bucket_lo,
        count(*) AS n_pairs,
-       round(min(jac), 6) AS min_jac,
-       round(max(jac), 6) AS max_jac
+       min(jac) AS min_jac,
+       max(jac) AS max_jac
 FROM pairs
 GROUP BY 1, 2
 """,
@@ -749,7 +751,7 @@ def similarity_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("bucket", "bucket_lo")
         .agg(
             F.count("*").alias("n_pairs"),
-            F.round(F.min("jaccard"), 6).alias("min_jac"),
-            F.round(F.max("jaccard"), 6).alias("max_jac"),
+            F.min("jaccard").alias("min_jac"),
+            F.max("jaccard").alias("max_jac"),
         )
     )

@@ -26,7 +26,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.functions.hashing import fingerprint_md5, stable_long
-from kafka_streams_example_spark.operators.text import jaccard, word_ngrams
+from kafka_streams_example_spark.operators.text import jaccard, round_half_up, word_ngrams
 
 # 31-bit Mersenne prime — the classic universal-hash modulus. Kept at 31
 # bits so (a*x) with a,x < 2^31 stays under 2^62: Spark 4 runs ANSI mode by
@@ -163,7 +163,7 @@ def minhash_pairs(
     return (
         pairs.withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= threshold)
-        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+        .select("id_a", "id_b", round_half_up(F.col("jac"), 6).alias("jaccard"))
     )
 
 
@@ -301,7 +301,7 @@ def ngram_jaccard_pairs(
         .join(sets.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")), "id_b")
         .withColumn("jac", jaccard(F.col("sh_a"), F.col("sh_b")))
         .filter(F.col("jac") >= threshold)
-        .select("id_a", "id_b", F.round("jac", 6).alias("jaccard"))
+        .select("id_a", "id_b", round_half_up(F.col("jac"), 6).alias("jaccard"))
     )
 
 

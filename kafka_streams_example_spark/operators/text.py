@@ -63,12 +63,31 @@ def special_char_ratio(c: Column) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def round_half_up(c: Column, scale: int) -> Column:
+    """Engine-portable HALF_UP rounding for NON-NEGATIVE doubles:
+    floor(x*10^s + 0.5) / 10^s.
+
+    Spark's ``F.round`` rounds the shortest DECIMAL representation
+    (BigDecimal HALF_UP: repr "0.53575" -> 0.5358) while DuckDB rounds
+    in binary double arithmetic — so a value whose decimal repr lands
+    exactly on a rounding boundary can round differently per engine
+    (observed at sf0.1: 12 of 5000 quality scores). This formulation
+    uses the SAME double multiply/floor on both sides (SQL twin:
+    ``floor(x * 10^s + 0.5) / 10^s``), so results are bit-identical by
+    construction. Only valid for non-negative inputs (floor(x+0.5) is
+    half-toward-+inf, not half-away-from-zero)."""
+    p = float(10**scale)
+    return F.floor(c * F.lit(p) + F.lit(0.5)) / F.lit(p)
+
+
 def quality_score(c: Column) -> Column:
     """Heuristic document quality in [0,1]: length saturation + stopword
     presence + low special-char noise (the classic Gopher/C4-style rule
-    shape, deterministic)."""
+    shape, deterministic). Rounded with the portable half-up (see
+    :func:`round_half_up`) — quality scores cluster near 4-decimal
+    boundaries, the one place engine rounding rules differ."""
     length_term = F.least(F.lit(1.0), word_count(c) / F.lit(100.0))
-    return F.round(
+    return round_half_up(
         0.4 * length_term
         + 0.3 * stopword_ratio(c, "en")
         + 0.3 * (1.0 - special_char_ratio(c)),

@@ -874,8 +874,9 @@ WITH d AS (
 ),
 nz AS (SELECT * FROM d WHERE len(ng) > 0)
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       round(len(list_intersect(a.ng, b.ng))
-             / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE), 6) AS jaccard
+       floor(len(list_intersect(a.ng, b.ng))
+             / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM nz a JOIN nz b
   ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 WHERE len(list_intersect(a.ng, b.ng))
@@ -1918,19 +1919,26 @@ def solar_wire_reference_format(spark, sf_dir):
     )
 
 
+# Portable HALF_UP quality rounding: floor(x*10^4+0.5)/10^4 — the SAME
+# double ops Spark's operators/text.py:round_half_up performs, so both
+# engines round decimal-boundary quality scores identically (plain
+# round() diverges: Spark rounds the decimal repr, DuckDB the binary).
+_QUALITY_SQL = """floor((0.4 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
+               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+                     length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+                     / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0"""
+
+
 @register(
     "llm_corpus_prep",
     f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
 scored AS (
     SELECT doc_id, text, toks,
-           round(0.4 * least(1.0, len(toks) / 100.0)
-               + 0.3 * (CASE WHEN len(toks) > 0 THEN
-                     len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
-                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
-               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
-                     length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
-                     / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END), 4)
+           {_QUALITY_SQL}
            AS quality
     FROM t
 ),
@@ -2191,7 +2199,7 @@ verified AS (
            len(list_intersect(a.h60, b.h60))
            / CAST(len(a.h60) + len(b.h60) - len(list_intersect(a.h60, b.h60)) AS DOUBLE) AS jac
     FROM cand c JOIN hashed a ON a.doc_id = c.id_a JOIN hashed b ON b.doc_id = c.id_b)
-SELECT id_a, id_b, round(jac, 6) AS jaccard
+SELECT id_a, id_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
 FROM verified WHERE jac >= {threshold}
 """
 
@@ -2201,6 +2209,14 @@ FROM verified WHERE jac >= {threshold}
 # construction (functions/hashing.py), so even the approximate candidate
 # generation reproduces exactly.
 ORACLES["neardup_minhash_pairs"] = _duck_minhash_sql()
+
+
+def _duck_round_half_up(expr: str, scale: int) -> str:
+    """SQL twin of operators/text.py:round_half_up — floor(x*10^s+0.5)/10^s
+    with the same double ops Spark performs, so decimal-boundary values
+    (jaccard 9/128, cume 41/640) round identically on both engines."""
+    p = "1" + "0" * scale
+    return f"floor(({expr}) * {p}.0 + 0.5) / {p}.0"
 
 
 def _duck_dot(a: str, b: str, dim: int = 64) -> str:

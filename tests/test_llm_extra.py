@@ -221,3 +221,28 @@ def test_range_join_partitions_all_events(spark):
     los = sorted(lo for _, lo, _ in _TIERS)
     his = sorted(hi for _, _, hi in _TIERS)
     assert los[1:] == his[:-1], "bands must tile without gaps or overlap"
+
+
+def test_round_half_up_matches_duckdb_floor_twin_on_boundaries(spark):
+    """round_half_up and its SQL twin floor(x*10^s+0.5)/10^s must agree
+    bit-for-bit on decimal-boundary values — the cases where Spark's
+    F.round (decimal-repr HALF_UP) and DuckDB's round() (binary) DO
+    diverge (observed at sf0.1: quality 0.53575 -> .5358 vs .5357,
+    cume 41/640 -> .064063 vs .064062)."""
+    import duckdb
+
+    from kafka_streams_example_spark.operators.text import round_half_up
+
+    vals = [0.53575, 0.0640625, 0.49824999999999997, 0.65375,
+            0.48424999999999996, 0.38275, 0.0, 1.0, 0.99995]
+    df = spark.createDataFrame([(v,) for v in vals], "v DOUBLE")
+    got4 = [r[0] for r in df.select(round_half_up(F.col("v"), 4)).collect()]
+    got6 = [r[0] for r in df.select(round_half_up(F.col("v"), 6)).collect()]
+    con = duckdb.connect()
+    for v, g4, g6 in zip(vals, got4, got6):
+        d4, d6 = con.execute(
+            "SELECT floor(? * 10000.0 + 0.5) / 10000.0,"
+            " floor(? * 1000000.0 + 0.5) / 1000000.0", [v, v]
+        ).fetchone()
+        assert g4 == d4 and g6 == d6, (v, g4, d4, g6, d6)
+    con.close()
