@@ -198,13 +198,13 @@ WITH d AS (
     FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
 ),
 nz AS (SELECT * FROM d WHERE len(ng) > 0),
-e AS (
+e AS MATERIALIZED (
     SELECT a.doc_id AS id_a, b.doc_id AS id_b
     FROM nz a JOIN nz b ON a.doc_id < b.doc_id
     WHERE len(list_intersect(a.ng, b.ng))
           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.3
 ),
-und AS (
+und AS MATERIALIZED (
     SELECT id_a AS x, id_b AS y FROM e
     UNION ALL SELECT id_b, id_a FROM e
 ),
