@@ -66,6 +66,7 @@ from kafka_streams_example_spark.registry import (
     _NGRAMS,
     _TOKS,
     _duck_cosine,
+    _duck_round_half_up,
     _load_parallel,
     register,
 )
@@ -351,11 +352,12 @@ SELECT lang,
        CAST(sum(len({_TOKS})) AS BIGINT) AS n_words,
        CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT)
            AS n_tokens_bpe,
-       round(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}')))
-             / CAST(sum(len({_TOKS})) AS DOUBLE), 6) AS fertility,
-       round(sum(n_chars)
-             / CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS DOUBLE),
-             6) AS chars_per_token
+       {_duck_round_half_up(
+           f"sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}')))"
+           f" / CAST(nullif(sum(len({_TOKS})), 0) AS DOUBLE)", 6)} AS fertility,
+       {_duck_round_half_up(
+           f"sum(n_chars) / CAST(nullif(sum(len(regexp_extract_all("
+           f"text, '{_BPE_RE_SQL}'))), 0) AS DOUBLE)", 6)} AS chars_per_token
 FROM documents
 GROUP BY lang
 """,
@@ -382,10 +384,10 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum("nw").cast("bigint").alias("n_words"),
         F.sum("nt").cast("bigint").alias("n_tokens_bpe"),
-        F.round(
+        tx.round_half_up(
             F.sum("nt") / F.nullif(F.sum("nw"), F.lit(0)).cast("double"), 6
         ).alias("fertility"),
-        F.round(
+        tx.round_half_up(
             F.sum("n_chars") / F.nullif(F.sum("nt"), F.lit(0)).cast("double"), 6
         ).alias("chars_per_token"),
     )
@@ -605,8 +607,9 @@ WITH scored AS (
 {" UNION ALL ".join(
     f'''SELECT CAST({t} AS DOUBLE) AS threshold,
        CAST(count(*) FILTER (WHERE score <= {t}) AS BIGINT) AS n_kept,
-       round(count(*) FILTER (WHERE score <= {t})
-             / CAST(count(*) AS DOUBLE), 6) AS share_kept
+       {_duck_round_half_up(
+           f"count(*) FILTER (WHERE score <= {t})"
+           " / CAST(count(*) AS DOUBLE)", 6)} AS share_kept
 FROM scored''' for t in _QF_THRESHOLDS)}
 """,
 )
@@ -639,9 +642,12 @@ def quality_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
             for i, t in enumerate(_QF_THRESHOLDS)
         ],
     )
+    # portable half-up (operators/text.py:round_half_up): engine-native
+    # round() diverges on 6dp half-boundary k/n ratios (ADVICE r04)
     stack = ", ".join(
         f"CAST({t} AS DOUBLE), CAST(k_{i} AS BIGINT),"
-        f" round(k_{i} / CAST(nullif(n_total, 0) AS DOUBLE), 6)"
+        f" floor(k_{i} / CAST(nullif(n_total, 0) AS DOUBLE)"
+        f" * 1000000.0 + 0.5) / 1000000.0"
         for i, t in enumerate(_QF_THRESHOLDS)
     )
     return agg.selectExpr(

@@ -53,6 +53,7 @@ from kafka_streams_example_spark.functions.hashing import fingerprint_md5
 from kafka_streams_example_spark.registry import (
     _NGRAMS,
     _TOKS,
+    _duck_round_half_up,
     _load_parallel,
     register,
 )
@@ -97,8 +98,9 @@ j AS (SELECT e.id_a, e.id_b, m.id_a IS NOT NULL AS hit
 SELECT CAST(count(*) AS BIGINT) AS n_exact,
        CAST((SELECT count(*) FROM m) AS BIGINT) AS n_detected,
        CAST(count(*) FILTER (WHERE NOT hit) AS BIGINT) AS n_missed,
-       round(count(*) FILTER (WHERE hit)
-             / CAST(nullif(count(*), 0) AS DOUBLE), 6) AS recall
+       {_duck_round_half_up(
+           "count(*) FILTER (WHERE hit)"
+           " / CAST(nullif(count(*), 0) AS DOUBLE)", 6)} AS recall
 FROM j
 """,
 )
@@ -140,7 +142,7 @@ def minhash_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact",
             "n_detected",
             "n_missed",
-            F.round(
+            tx.round_half_up(
                 (F.col("n_exact") - F.col("n_missed"))
                 / F.nullif(F.col("n_exact"), F.lit(0)).cast("double"),
                 6,
@@ -484,10 +486,11 @@ SELECT source,
        CAST(count(*) FILTER (WHERE {" OR ".join(
            f"contains(lower(coalesce(text, '')), '{p}')"
            for p in _BLOCK_PHRASES)}) AS BIGINT) AS n_flagged,
-       round(count(*) FILTER (WHERE {" OR ".join(
-           f"contains(lower(coalesce(text, '')), '{p}')"
-           for p in _BLOCK_PHRASES)})
-             / CAST(count(*) AS DOUBLE), 6) AS flagged_rate
+       {_duck_round_half_up(
+           "count(*) FILTER (WHERE " + " OR ".join(
+               f"contains(lower(coalesce(text, '')), '{p}')"
+               for p in _BLOCK_PHRASES)
+           + ") / CAST(count(*) AS DOUBLE)", 6)} AS flagged_rate
 FROM documents
 GROUP BY source
 """,
@@ -511,7 +514,7 @@ def phrase_blocklist_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.groupBy("source").agg(
         F.count("*").cast("bigint").alias("n_docs"),
         F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
-        F.round(
+        tx.round_half_up(
             F.sum(F.when(flagged, 1).otherwise(0)) / F.count("*").cast("double"),
             6,
         ).alias("flagged_rate"),
@@ -543,8 +546,9 @@ SELECT CAST(count(*) AS BIGINT) AS n_docs,
        CAST(coalesce(sum(n_toks), 0) AS BIGINT) AS tokens_total,
        CAST(coalesce(sum(n_toks) FILTER (WHERE is_keeper), 0) AS BIGINT)
            AS tokens_kept,
-       round(count(*) FILTER (WHERE NOT is_keeper)
-             / CAST(nullif(count(*), 0) AS DOUBLE), 6) AS doc_reduction
+       {_duck_round_half_up(
+           "count(*) FILTER (WHERE NOT is_keeper)"
+           " / CAST(nullif(count(*), 0) AS DOUBLE)", 6)} AS doc_reduction
 FROM k
 """,
 )
@@ -586,7 +590,7 @@ def dedup_reduction_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.sum(F.when(F.col("is_keeper"), F.col("n_toks"))), F.lit(0))
         .cast("bigint")
         .alias("tokens_kept"),
-        F.round(
+        tx.round_half_up(
             F.sum(F.when(~F.col("is_keeper"), 1).otherwise(0))
             / F.nullif(F.count("*"), F.lit(0)).cast("double"),
             6,

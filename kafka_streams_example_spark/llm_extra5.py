@@ -221,9 +221,10 @@ WITH keyed AS (
     FROM documents
     WHERE n_chars > 0
 )
-SELECT doc_id, source, weight, round(sample_key, 6) AS sample_key
+SELECT doc_id, source, weight,
+       floor(sample_key * 1000000.0 + 0.5) / 1000000.0 AS sample_key
 FROM keyed
-ORDER BY round(sample_key, 6) DESC, doc_id
+ORDER BY floor(sample_key * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id
 LIMIT {_WS_K}
 """,
 )
@@ -244,13 +245,14 @@ def weighted_domain_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # order by the ROUNDED key (doc_id tiebreak) on both engines: pow()
     # is <=1-ulp accurate, not correctly rounded, so an unrounded
     # boundary near the LIMIT could admit different documents per engine
-    # (ADVICE r03); 6-decimal rounding makes membership ulp-insensitive
+    # (ADVICE r03); rounding must itself be the portable floor twin —
+    # engine-native round() diverges on 6dp half-boundaries (ADVICE r04)
     return (
         docs.select(
             "doc_id",
             "source",
             w.alias("weight"),
-            F.round(key, 6).alias("sample_key"),
+            tx.round_half_up(key, 6).alias("sample_key"),
         )
         .orderBy(F.desc("sample_key"), "doc_id")
         .limit(_WS_K)
