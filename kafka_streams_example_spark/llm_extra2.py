@@ -870,7 +870,44 @@ def greedy_pack(lengths: list[int], budget: int) -> list[int]:
     return out
 
 
-@register("pack_sequences_greedy")
+@register(
+    "pack_sequences_greedy",
+    f"""
+WITH RECURSIVE s AS (
+    SELECT greatest({_MIN_SHARDS},
+                    CAST(ceil(count(*) / {_DOCS_PER_SHARD}.0) AS BIGINT)) AS n_shards
+    FROM documents
+),
+t AS MATERIALIZED (
+    SELECT doc_id,
+           doc_id % s.n_shards AS shard,
+           len({_TOKS}) AS n_tokens,
+           row_number() OVER (PARTITION BY doc_id % s.n_shards
+                              ORDER BY doc_id) AS rn
+    FROM documents, s
+),
+pack AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS seq_id, n_tokens AS used
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+           CASE WHEN p.used > 0 AND p.used + t.n_tokens > {_CTX}
+                THEN p.seq_id + 1 ELSE p.seq_id END,
+           CASE WHEN p.used > 0 AND p.used + t.n_tokens > {_CTX}
+                THEN t.n_tokens ELSE p.used + t.n_tokens END
+    FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard,
+       seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pack
+GROUP BY 1, 2
+""",
+)
 def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TRUE greedy sequence packing (the budget-disciplined complement of
     pack_sequences' offset bucketing): within each shard, docs are walked
@@ -882,9 +919,10 @@ def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounding each kernel to ~4096 docs regardless of corpus size.
 
     Python-kernel output is deterministic (sorted walk, pure function) —
-    checked against an independent per-shard reference in tests; no SQL
-    oracle because greedy state is not expressible without recursion
-    (rows-only driver check)."""
+    checked against an independent per-shard reference in tests AND fully
+    hash-verified by the DuckDB oracle, which replays the same greedy fold
+    as a WITH RECURSIVE walk (one recursion step per doc rank, all shards
+    advancing in lockstep over a MATERIALIZED token-count table)."""
     import pandas as pd
 
     docs = _load_parallel(spark, sf_dir, "documents")
