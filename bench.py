@@ -204,6 +204,8 @@ HEADLINE = [
     "bm25_topk_docs",
     "phrase_blocklist_rates",
     "dedup_reduction_report",
+    "multimodal_decode_real",
+    "multimodal_wav_roundtrip",
 ]
 
 

@@ -9,13 +9,16 @@ except inside explicitly vectorized stages:
   ``mapInPandas`` stages, one Python process per partition, zero-copy
   batch transfer.
 
-This container has no image/audio libraries, so the codec-dependent steps
-are STUBS behind ``_require_codec`` (NotImplementedError) with a
-deterministic fake path (``fake=True``) that exercises the full Spark-side
-plumbing — schema, batching, partitioning — with real execution. The
-byte-level feature extractor (entropy, byte stats) is NOT a stub: it
-computes real values with numpy and stands in for any per-blob vectorized
-feature pass.
+This container has no image/audio libraries, but the decode path is REAL
+for the two open formats simple enough to implement from spec with the
+stdlib: PNG and WAV (functions/codecs.py — full chunk/CRC parse, inflate,
+all five scanline filters). ``fake=False`` decodes/resizes actual PNG
+blobs; blobs in formats that would need an external codec (JPEG, MP4, …)
+yield ``ok=False`` rows — per-row failure tolerance, because one corrupt
+or exotic blob must not kill a 100TB decode job. A deterministic fake
+path (``fake=True``) remains for plumbing tests that don't care about
+pixel content. The byte-level feature extractor (entropy, byte stats) is
+also real: numpy over Arrow batches.
 """
 
 from __future__ import annotations
@@ -29,6 +32,18 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from kafka_streams_example_spark.functions import codecs as _codecs
+
+
+def _ship_codecs():
+    """Make the self-contained codec module picklable BY VALUE so
+    mapInPandas kernels can call it on workers that do not have this
+    repo on sys.path (the driver contract runs from an arbitrary cwd)."""
+    from pyspark import cloudpickle
+
+    cloudpickle.register_pickle_by_value(_codecs)
+    return _codecs
+
 DECODED_SCHEMA = (
     "doc_id LONG, width INT, height INT, channels INT, ok BOOLEAN"
 )
@@ -37,16 +52,26 @@ FEATURES_SCHEMA = (
 )
 
 
-def _require_codec(name: str):
-    try:
-        import importlib
+def with_png_payload(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Fixture flow with REAL image blobs: builds a spec-conformant 8-bit
+    grayscale PNG per row (dims derived from the id, pixels from the md5
+    digest of the text, repeated to fill) — so decode stages downstream
+    exercise an actual codec. In production the binary arrives from the
+    source; this generator stands in for the object-store read while
+    keeping every byte deterministic and oracle-reproducible."""
+    cx = _ship_codecs()
 
-        return importlib.import_module(name)
-    except ImportError as exc:  # pragma: no cover - no codecs in container
-        raise NotImplementedError(
-            f"media codec path requires '{name}' which is not installed; "
-            "use fake=True for the deterministic stub"
-        ) from exc
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                w, h = 16 + int(i) % 17, 16 + int(i) % 13
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                px = (digest * (w * h // 16 + 1))[: w * h]
+                blobs.append(cx.encode_png_gray8(w, h, px))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": blobs})
+
+    return df.select(id_col, text_col).mapInPandas(batches, "doc_id LONG, payload BINARY")
 
 
 def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
@@ -67,29 +92,60 @@ def with_binary_payload(df: DataFrame, text_col: str = "text") -> DataFrame:
 def decode_images(
     df: DataFrame, fake: bool = False, id_col: str = "doc_id", bin_col: str = "payload"
 ) -> DataFrame:
-    """Decode stage: binary → (width, height, channels). Real path uses PIL
-    (not installed here → NotImplementedError); fake path derives dims
-    deterministically from the content hash, so schema/partitioning/batch
-    shape are exercised for real."""
-    if not fake:
-        _require_codec("PIL")  # raises with a clear message
+    """Decode stage: binary → (width, height, channels). The real path
+    (``fake=False``) runs the stdlib PNG codec — full chunk walk, CRC
+    verification, inflate, unfilter (functions/codecs.py) — and emits
+    ``ok=False`` with NULL dims for blobs that are not decodable PNGs
+    (corrupt bytes or formats needing an external codec), so a bad blob
+    degrades one row, never the job. The fake path derives dims
+    deterministically from the content hash for plumbing-only tests."""
+    if fake:
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                h = pdf[bin_col].map(
+                    lambda b: hashlib.md5(bytes(b)).digest() if b is not None else b"\0" * 16
+                )
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": h.map(lambda d: 64 + d[0] % 192).astype("int32"),
+                        "height": h.map(lambda d: 64 + d[1] % 192).astype("int32"),
+                        "channels": h.map(lambda d: 1 + d[2] % 4).astype("int32"),
+                        "ok": pdf[bin_col].notna(),
+                    }
+                )
+
+        return df.select(id_col, bin_col).mapInPandas(batches, DECODED_SCHEMA)
+
+    cx = _ship_codecs()
+
+    def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            h = pdf[bin_col].map(
-                lambda b: hashlib.md5(bytes(b)).digest() if b is not None else b"\0" * 16
-            )
+            ws, hs, cs, oks = [], [], [], []
+            for b in pdf[bin_col]:
+                try:
+                    d = cx.decode_png(bytes(b))
+                    ws.append(d["width"])
+                    hs.append(d["height"])
+                    cs.append(d["channels"])
+                    oks.append(True)
+                except (ValueError, TypeError, KeyError):
+                    ws.append(None)
+                    hs.append(None)
+                    cs.append(None)
+                    oks.append(False)
             yield pd.DataFrame(
                 {
                     "doc_id": pdf[id_col],
-                    "width": h.map(lambda d: 64 + d[0] % 192).astype("int32"),
-                    "height": h.map(lambda d: 64 + d[1] % 192).astype("int32"),
-                    "channels": h.map(lambda d: 1 + d[2] % 4).astype("int32"),
-                    "ok": pdf[bin_col].notna(),
+                    "width": pd.Series(ws, dtype="Int32"),
+                    "height": pd.Series(hs, dtype="Int32"),
+                    "channels": pd.Series(cs, dtype="Int32"),
+                    "ok": oks,
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(batches, DECODED_SCHEMA)
+    return df.select(id_col, bin_col).mapInPandas(real_batches, DECODED_SCHEMA)
 
 
 def byte_features(
@@ -177,18 +233,52 @@ def resize_images(
     bin_col: str = "payload",
 ) -> DataFrame:
     """Resize stage: binary image → fixed-dims binary (the normalize-to-
-    model-input pass). Real path needs PIL (not installed here →
-    NotImplementedError); the fake path emits a deterministic
-    hash-derived pseudo-image of exactly ``out_width*out_height`` bytes so
-    the Spark-side contract — schema, output blob sizing, Arrow batch
-    shape, 1:1 row mapping — is exercised for real.
+    model-input pass). The real path decodes PNG via the stdlib codec,
+    resamples nearest-neighbor, and re-encodes a real PNG at the target
+    dims; non-PNG/corrupt blobs yield ``ok=False`` rows. The fake path
+    emits a deterministic hash-derived pseudo-image of exactly
+    ``out_width*out_height`` bytes for plumbing-only tests.
 
     Scale: mapInPandas keeps this a map-only stage (no shuffle); output
     blobs are bounded (out_width*out_height*channels) so downstream
     partition sizing is predictable regardless of input image sizes.
     """
     if not fake:
-        _require_codec("PIL")
+        cx = _ship_codecs()
+
+        def real_batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+            for pdf in it:
+                ws, hs, blobs, oks = [], [], [], []
+                for b in pdf[bin_col]:
+                    try:
+                        d = cx.decode_png(bytes(b))
+                        if d["channels"] != 1:
+                            raise ValueError("resize path supports gray8")
+                        small = cx.resize_gray8_nearest(
+                            d["pixels"], d["width"], d["height"], out_width, out_height
+                        )
+                        ws.append(d["width"])
+                        hs.append(d["height"])
+                        blobs.append(cx.encode_png_gray8(out_width, out_height, small))
+                        oks.append(True)
+                    except (ValueError, TypeError, KeyError):
+                        ws.append(None)
+                        hs.append(None)
+                        blobs.append(None)
+                        oks.append(False)
+                yield pd.DataFrame(
+                    {
+                        "doc_id": pdf[id_col],
+                        "width": pd.Series(ws, dtype="Int32"),
+                        "height": pd.Series(hs, dtype="Int32"),
+                        "out_width": pd.Series([out_width] * len(pdf), dtype="int32"),
+                        "out_height": pd.Series([out_height] * len(pdf), dtype="int32"),
+                        "resized": blobs,
+                        "ok": oks,
+                    }
+                )
+
+        return df.select(id_col, bin_col).mapInPandas(real_batches, RESIZED_SCHEMA)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:

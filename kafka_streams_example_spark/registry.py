@@ -2509,3 +2509,6 @@ from kafka_streams_example_spark import llm_extra12  # noqa: E402,F401
 # Fourteenth tranche (sketch recall, PageRank, islands, BM25, blocklist,
 # dedup accounting).
 from kafka_streams_example_spark import llm_extra13  # noqa: E402,F401
+
+# Fifteenth tranche (real stdlib media codecs: PNG/WAV roundtrip audits).
+from kafka_streams_example_spark import llm_extra14  # noqa: E402,F401

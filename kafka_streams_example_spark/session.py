@@ -43,7 +43,14 @@ def get_spark(
         # Keep parquet scan partitions reasonable on local[N]; on a cluster
         # the 128MB default already yields good task sizing at 100TB.
         .config("spark.sql.files.maxPartitionBytes", "134217728")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # Local mode: the driver JVM IS the executor — size the heap for
+        # cores*per-task working set, not driver-only duty. At 8g / 32
+        # tasks (250MB each) long bench sessions showed GC-driven noise:
+        # minhash_jaccard_estimate swung 3.4-7.7s run-to-run; at 24g the
+        # same loaded session runs it 2.3-2.7s steady (NOTES_r06.md).
+        # On a real cluster this value is driver-only and modest;
+        # executor memory is sized separately (SCALE.md).
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )

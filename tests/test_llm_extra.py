@@ -114,20 +114,31 @@ def test_multimodal_resize_contract(spark):
         assert 64 <= r.width < 256 and 64 <= r.height < 256
 
 
-def test_resize_real_path_requires_codec(spark):
-    import pytest as _pytest
-
+def test_resize_real_path_stdlib_png(spark):
+    """Real resize: PNG in → decoded, nearest-neighbor resampled,
+    re-encoded PNG out at the target dims; output pixels match a local
+    reference resample of the same source pixels."""
+    from kafka_streams_example_spark.functions import codecs as cx
     from kafka_streams_example_spark.operators import multimodal as mm
 
-    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(1)
-    try:
-        import PIL  # noqa: F401
-
-        _pytest.skip("PIL installed; stub path not applicable")
-    except ImportError:
-        pass
-    with _pytest.raises(NotImplementedError):
-        mm.resize_images(mm.with_binary_payload(docs), fake=False)
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").limit(8)
+    png = mm.with_png_payload(docs)
+    src = {r.doc_id: bytes(r.payload) for r in png.collect()}
+    rows = mm.resize_images(png, out_width=12, out_height=10, fake=False).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.ok, r
+        assert (r.out_width, r.out_height) == (12, 10)
+        out = cx.decode_png(bytes(r.resized))
+        assert (out["width"], out["height"]) == (12, 10)
+        d = cx.decode_png(src[r.doc_id])
+        assert (r.width, r.height) == (d["width"], d["height"])
+        assert out["pixels"] == cx.resize_gray8_nearest(
+            d["pixels"], d["width"], d["height"], 12, 10
+        )
+    # non-PNG input degrades per-row
+    bad = mm.resize_images(mm.with_binary_payload(docs), fake=False).collect()
+    assert all(not r.ok and r.resized is None for r in bad)
 
 
 def test_user_event_timeline_totals(spark):

@@ -90,15 +90,23 @@ def test_decode_fake_deterministic(spark, bin_docs):
     assert all(64 <= w < 256 and 64 <= h < 256 and 1 <= c <= 4 for w, h, c in a.values())
 
 
-def test_decode_real_path_raises_without_codec(spark, bin_docs):
-    try:
-        import PIL  # noqa: F401
-
-        pytest.skip("PIL present; stub-gating not applicable")
-    except ImportError:
-        pass
-    with pytest.raises(NotImplementedError, match="PIL"):
-        mm.decode_images(bin_docs, fake=False)
+def test_decode_real_path_stdlib_png(spark):
+    """The real decode path executes an actual codec: real PNG blobs
+    (with_png_payload) decode to their true dims; non-PNG bytes yield
+    ok=False rows instead of failing the job."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(20)
+    png = mm.with_png_payload(docs)
+    rows = mm.decode_images(png, fake=False).collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.ok, r
+        assert r.width == 16 + r.doc_id % 17
+        assert r.height == 16 + r.doc_id % 13
+        assert r.channels == 1
+    # non-PNG payloads (utf-8 text bytes) degrade per-row, not per-job
+    bad = mm.decode_images(mm.with_binary_payload(docs), fake=False).collect()
+    assert len(bad) == 20
+    assert all((not r.ok) and r.width is None for r in bad)
 
 
 def test_sample_frames_shape(spark, bin_docs):
