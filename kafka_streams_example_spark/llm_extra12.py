@@ -199,6 +199,15 @@ def cross_lingual_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _BAND_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8)]  # bands x rows = 32 hashes
 
+# Rounding policy for this module (ADVICE r05): the paired round(…, 6)
+# sites below (mean_p_detect / min_p_detect / expected_detected, score,
+# mean_norm / std_norm, entropy) intentionally use ENGINE-NATIVE round on
+# both sides. Their inputs are transcendental/irrational doubles (pow
+# S-curves, sqrt norms, log2 entropies) that cannot land exactly on a
+# 6dp half-boundary, so the portable floor-twin (`round_half_up` /
+# `_duck_round_half_up`) buys nothing; it is reserved for k/n rationals
+# (llm_extra5/12/13 detection ratios), which CAN hit boundaries exactly.
+
 
 @register(
     "minhash_band_tuning_report",

@@ -43,7 +43,12 @@ from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.functions.hashing import stable_long
-from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+from kafka_streams_example_spark.registry import (
+    _TOKS,
+    _duck_round_half_up,
+    _load_parallel,
+    register,
+)
 
 # --------------------------------------------------------------------------
 # bigram_lm_probs — add-k smoothed bigram LM
@@ -222,9 +227,9 @@ WITH keyed AS (
     WHERE n_chars > 0
 )
 SELECT doc_id, source, weight,
-       floor(sample_key * 1000000.0 + 0.5) / 1000000.0 AS sample_key
+       {_duck_round_half_up("sample_key", 6)} AS sample_key
 FROM keyed
-ORDER BY floor(sample_key * 1000000.0 + 0.5) / 1000000.0 DESC, doc_id
+ORDER BY {_duck_round_half_up("sample_key", 6)} DESC, doc_id
 LIMIT {_WS_K}
 """,
 )

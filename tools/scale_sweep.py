@@ -1,0 +1,94 @@
+"""Scale sweep: time headline queries at sf0.1 vs a synthesized larger SF
+(tools/make_sfN.py) and record per-query scaling exponents.
+
+exponent = ln(t_big / t_small) / ln(factor); ~1.0 = linear in input
+rows, <1 = sublinear (fixed overheads amortizing), >1 = superlinear
+(the thing to investigate). Result row counts at both SFs are recorded
+so pair-generating queries can be judged against their output growth.
+
+Usage: python tools/scale_sweep.py [big_dir] [factor] [out_json]
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_streams_example_spark import registry
+from kafka_streams_example_spark.session import get_spark
+
+SWEEP = [
+    "q1_pricing_summary",
+    "q9_product_profit",
+    "grouping_sets_revenue",
+    "text_quality_stats",
+    "dedup_exact_docs",
+    "winnowing_fingerprints",
+    "pack_sequences_greedy",
+    "neardup_minhash_pairs",
+    "neardup_ngram_pairs",
+    "neardup_simhash_pairs",
+    "dedup_clusters",
+    "minhash_jaccard_estimate",
+    "similarity_cosine_topk",
+    "kmeans_centroids",
+    "semdedup_prune",
+]
+
+
+def time_queries(spark, sf_dir: str, n_runs: int = 3) -> dict[str, dict]:
+    out: dict[str, dict] = {}
+    for name in SWEEP:
+        fn = registry.QUERIES[name]
+        runs = []
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        rows = fn(spark, sf_dir).count()
+        steady = min(runs[1:]) if len(runs) > 1 else runs[0]
+        out[name] = {"steady": round(steady, 3), "cold": round(runs[0], 3), "rows": rows}
+        print(f"  {name}: steady={steady:.3f}s rows={rows}", flush=True)
+    return out
+
+
+def main() -> None:
+    big_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
+    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
+    out_json = sys.argv[3] if len(sys.argv) > 3 else "SCALE_SWEEP.json"
+    spark = get_spark(app_name="scale-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    print("== sf0.1 ==", flush=True)
+    small = time_queries(spark, "/root/testdata/sf0.1")
+    print(f"== big ({big_dir}, x{factor}) ==", flush=True)
+    big = time_queries(spark, big_dir)
+    report = {}
+    for name in SWEEP:
+        ts, tb = small[name]["steady"], big[name]["steady"]
+        exp = math.log(max(tb, 1e-3) / max(ts, 1e-3)) / math.log(factor)
+        report[name] = {
+            "t_small": ts,
+            "t_big": tb,
+            "ratio": round(tb / max(ts, 1e-3), 2),
+            "exponent": round(exp, 3),
+            "rows_small": small[name]["rows"],
+            "rows_big": big[name]["rows"],
+            "rows_ratio": round(big[name]["rows"] / max(small[name]["rows"], 1), 2),
+        }
+        print(
+            f"{name}: {ts:.2f}s -> {tb:.2f}s ratio={report[name]['ratio']} "
+            f"exp={report[name]['exponent']} rows x{report[name]['rows_ratio']}",
+            flush=True,
+        )
+    with open(out_json, "w") as fh:
+        json.dump({"factor": factor, "queries": report}, fh, indent=1, sort_keys=True)
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
