@@ -670,14 +670,29 @@ def quality_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
 # --------------------------------------------------------------------------
 
 _SD_TAU = 0.35
-_SD_CELLS = 16
+_SD_MIN_CELLS = 16  # cell-count floor (small inputs)
+_SD_PER_CELL = 128  # target vectors per cell — bounds in-cell pair work
+
+
+def sd_cell_count(n_vectors: int) -> int:
+    """Data-dependent SemDeDup cell count: ~one cell per 128 vectors with
+    a floor of 16. A FIXED k makes in-cell pair work quadratic in corpus
+    size (measured: 14.6x time for 10x rows in the r06 scale sweep);
+    deriving k from the input keeps cells bounded so the pairwise stage
+    scales with rows — the actual SemDeDup contract (k ~ N / cell_size,
+    e.g. ~40M cells over 5B embeddings at 100 TB)."""
+    return max(_SD_MIN_CELLS, n_vectors // _SD_PER_CELL)
 
 
 @register(
     "semdedup_prune",
     f"""
-WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
-              FROM embeddings WHERE vec_id < {_SD_CELLS}),
+WITH ncell AS (
+    SELECT greatest({_SD_MIN_CELLS},
+                    CAST(count(*) // {_SD_PER_CELL} AS BIGINT)) AS k
+    FROM embeddings),
+cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+         FROM embeddings, ncell WHERE vec_id < ncell.k),
 assign AS (
     SELECT vec_id, embedding, centroid_id FROM (
         SELECT c.vec_id, c.embedding, cent.centroid_id,
@@ -703,13 +718,18 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     cosine >= tau — semantic near-duplicates collapse to their most
     senior representative without any corpus-wide pair search.
 
-    100 TB shape: the only pairwise work is WITHIN centroid cells (the
-    SemDeDup contract — k is chosen so cells stay bounded, e.g. 100k
-    cells over 5B embeddings); the assignment is the proven broadcast-
-    centroids scan with map-side argmax, and norms fold once there."""
+    100 TB shape: the only pairwise work is WITHIN centroid cells, and
+    the cell count scales with the input (sd_cell_count: ~128 vectors
+    per cell from the parquet footer row count, zero Spark jobs) so that
+    stage grows linearly in rows, not quadratically; the assignment is
+    the proven broadcast-centroids scan with map-side argmax, and norms
+    fold once there."""
+    from kafka_streams_example_spark.sources.files import table_row_count
+
     emb = load_table(spark, sf_dir, "embeddings")
+    k = sd_cell_count(table_row_count(spark, sf_dir, "embeddings"))
     cells = sim.ivf_assign(
-        emb, emb.filter(F.col("vec_id") < _SD_CELLS), dim=64, keep_norm=True
+        emb, emb.filter(F.col("vec_id") < k), dim=64, keep_norm=True
     )
     a = cells.select(
         F.col("centroid_id"),

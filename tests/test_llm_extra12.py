@@ -222,6 +222,22 @@ def test_semdedup_drops_junior_in_cell_twin_keeps_cross_cell(spark, tmp_path):
     assert out[300].keep is True and out[300].centroid_id == 0
 
 
+def test_semdedup_cell_count_scales_with_corpus():
+    """Fixed k makes in-cell pair work quadratic in corpus size (r06
+    scale sweep measured 14.6x time for 10x rows before the fix); the
+    cell count must grow ~linearly with vectors above the floor."""
+    from kafka_streams_example_spark.llm_extra12 import sd_cell_count
+
+    assert sd_cell_count(0) == 16
+    assert sd_cell_count(200) == 16     # sf0.01 — floor
+    assert sd_cell_count(2000) == 16    # sf0.1 — floor (recorded hashes keep)
+    assert sd_cell_count(20_000) == 156     # sf1
+    assert sd_cell_count(2_000_000) == 15_625
+    # per-cell occupancy stays bounded => pair work linear in rows
+    for n in (10_000, 1_000_000, 100_000_000):
+        assert n / sd_cell_count(n) <= 130
+
+
 def test_cross_lingual_pairs_only_cross_language(spark, tmp_path):
     from kafka_streams_example_spark.llm_extra12 import (
         cross_lingual_neardup_pairs,
