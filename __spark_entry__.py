@@ -90,9 +90,19 @@ def _rotated(names: list[str]) -> list[str]:
             return 0
         if green_counts[n] == 0:
             return 1
-        return 2
+        if n in _TOUCHED_THIS_ROUND:
+            return 2
+        return 3
 
     return sorted(names, key=lambda n: (group(n), green_counts[n], order[n]))
+
+
+# Queries whose plan or oracle changed since their last recorded green
+# row (maintained per round): their old green records are stale, so they
+# re-verify ahead of merely least-often-verified greens. r06: the
+# semdedup cell count became data-dependent and the threshold-sweep's
+# share_kept column was re-typed DECIMAL->DOUBLE.
+_TOUCHED_THIS_ROUND = {"quality_filter_threshold_sweep", "semdedup_prune"}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -206,6 +206,8 @@ HEADLINE = [
     "dedup_reduction_report",
     "multimodal_decode_real",
     "multimodal_wav_roundtrip",
+    "rrf_hybrid_retrieval",
+    "split_token_kl",
 ]
 
 

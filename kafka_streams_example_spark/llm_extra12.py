@@ -652,11 +652,15 @@ def quality_filter_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
         ],
     )
     # portable half-up (operators/text.py:round_half_up): engine-native
-    # round() diverges on 6dp half-boundary k/n ratios (ADVICE r04)
+    # round() diverges on 6dp half-boundary k/n ratios (ADVICE r04).
+    # floor() must be CAST back to DOUBLE before the /1000000.0: Spark
+    # SQL parses the bare literal as DECIMAL(8,1), and LONG/DECIMAL
+    # yields a DECIMAL column (driver schema/hash mismatch vs the
+    # oracle's DOUBLE).
     stack = ", ".join(
         f"CAST({t} AS DOUBLE), CAST(k_{i} AS BIGINT),"
-        f" floor(k_{i} / CAST(nullif(n_total, 0) AS DOUBLE)"
-        f" * 1000000.0 + 0.5) / 1000000.0"
+        f" CAST(floor(k_{i} / CAST(nullif(n_total, 0) AS DOUBLE)"
+        f" * 1000000.0 + 0.5) AS DOUBLE) / 1000000.0"
         for i, t in enumerate(_QF_THRESHOLDS)
     )
     return agg.selectExpr(
