@@ -84,3 +84,34 @@ def test_oracle_parity_on_unicode_corpus(spark, unicode_sf_dir, name):
         assert not problems, f"{name}: " + "; ".join(problems[:5])
     finally:
         con.close()
+
+
+def test_no_query_emits_decimal_columns(spark):
+    """No registered query may emit a DecimalType column, at any nesting
+    depth. The driver hashes stringified values against the DuckDB
+    oracle, and a Decimal('0.368000000') never string-equals the
+    oracle's float 0.368 — the bug class behind the
+    quality_filter_threshold_sweep mismatch (r06): Spark SQL parses a
+    bare literal like 1000000.0 inside selectExpr/spark.sql as
+    DECIMAL(8,1), silently re-typing LONG/DECIMAL arithmetic to DECIMAL.
+    Plan-only (schemas resolve without executing jobs)."""
+    from pyspark.sql import types as T
+
+    def decimal_paths(dt, path):
+        if isinstance(dt, T.DecimalType):
+            yield path
+        elif isinstance(dt, T.StructType):
+            for f in dt.fields:
+                yield from decimal_paths(f.dataType, f"{path}.{f.name}")
+        elif isinstance(dt, T.ArrayType):
+            yield from decimal_paths(dt.elementType, path + "[]")
+        elif isinstance(dt, T.MapType):
+            yield from decimal_paths(dt.keyType, path + "{key}")
+            yield from decimal_paths(dt.valueType, path + "{value}")
+
+    offenders = {}
+    for name, fn in registry.QUERIES.items():
+        hits = list(decimal_paths(fn(spark, SF_CORRECT).schema, name))
+        if hits:
+            offenders[name] = hits
+    assert not offenders, offenders
