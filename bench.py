@@ -208,6 +208,9 @@ HEADLINE = [
     "multimodal_wav_roundtrip",
     "rrf_hybrid_retrieval",
     "split_token_kl",
+    "bloom_filter_probe_join",
+    "jl_projection_distortion",
+    "quality_logreg_score",
 ]
 
 

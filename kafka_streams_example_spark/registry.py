@@ -2512,3 +2512,7 @@ from kafka_streams_example_spark import llm_extra13  # noqa: E402,F401
 
 # Fifteenth tranche (real stdlib media codecs: PNG/WAV roundtrip audits).
 from kafka_streams_example_spark import llm_extra14  # noqa: E402,F401
+
+# Sixteenth tranche (distributed Bloom-filter probe join, JL projection
+# distortion audit, fixed-weight logistic quality scoring).
+from kafka_streams_example_spark import llm_extra15  # noqa: E402,F401
