@@ -211,6 +211,8 @@ HEADLINE = [
     "bloom_filter_probe_join",
     "jl_projection_distortion",
     "quality_logreg_score",
+    "kmv_distinct_sketch",
+    "shard_manifest",
 ]
 
 

@@ -375,3 +375,155 @@ def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         prob.alias("quality_prob"),
         (prob >= 0.5).alias("kept"),
     )
+
+
+# --------------------------------------------------------------------------
+# kmv_distinct_sketch — k-minimum-values cardinality estimate
+# --------------------------------------------------------------------------
+
+_KMV_K = 64
+_KMV_SPACE = float(1 << 60)  # stable_long's hash space
+
+
+@register(
+    "kmv_distinct_sketch",
+    f"""
+WITH hashed AS (
+    SELECT DISTINCT CAST(('0x' || substr(md5(trim(regexp_replace(lower(text),
+               '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) AS h
+    FROM documents
+),
+kth AS (
+    SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS k_seen
+    FROM (SELECT h FROM hashed ORDER BY h LIMIT {_KMV_K})
+),
+exact AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM hashed),
+est AS (
+    SELECT kth.h_k, kth.k_seen, e.n_exact,
+           CASE WHEN kth.k_seen < {_KMV_K} THEN CAST(kth.k_seen AS DOUBLE)
+                ELSE ({_KMV_K} - 1) / (kth.h_k / {_KMV_SPACE!r}) END AS raw
+    FROM kth, exact e
+)
+SELECT CAST({_KMV_K} AS BIGINT) AS k,
+       n_exact,
+       h_k AS kth_hash,
+       round(raw, 2) AS kmv_estimate,
+       round(abs(raw - n_exact) / n_exact, 6) AS rel_err,
+       abs(raw - n_exact) / n_exact <= 3.0 / sqrt({_KMV_K}) AS within_bound
+FROM est
+""",
+)
+def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct-count sketch (Bar-Yossef et al. 2002,
+    public method) over the corpus' normalized-content fingerprints —
+    "how many distinct documents, without a global distinct": hash every
+    normalized text into [0, 2^60), keep the k=64 smallest distinct
+    hashes, and estimate cardinality as (k-1)/fraction-of-hash-space at
+    the kth minimum (exact k_seen when fewer than k hashes exist — the
+    standard small-cardinality regime). Unlike HLL, the KMV estimate is
+    a pure deterministic function of the md5 hash values — so the
+    ESTIMATE ITSELF is oracle-exact, not just an accuracy contract; the
+    relative-error column is audited against the ~1/sqrt(k) bound
+    (3 sigma).
+
+    Scale shape: the k smallest hashes compute as TakeOrderedAndProject
+    (per-partition top-k, then a k-sized merge at the driver — no global
+    sort, no wide shuffle); the sketch state is k longs, and merging
+    shards = min-k over unioned sketches, the standard mergeable-summary
+    layout at 100 TB. (The exact n_exact column is the audit twin — a
+    production run would publish only the sketch side.)"""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    from kafka_streams_example_spark.functions.hashing import (
+        normalize_text,
+        stable_long,
+    )
+
+    hashed = docs.select(
+        stable_long(normalize_text(F.col("text"))).alias("h")
+    ).distinct()
+    kth = (
+        hashed.orderBy("h")
+        .limit(_KMV_K)
+        .agg(F.max("h").alias("h_k"), F.count("*").cast("long").alias("k_seen"))
+    )
+    exact = hashed.agg(F.count("*").cast("long").alias("n_exact"))
+    est = F.when(
+        F.col("k_seen") < _KMV_K, F.col("k_seen").cast("double")
+    ).otherwise(
+        F.lit(float(_KMV_K - 1)) / (F.col("h_k") / F.lit(_KMV_SPACE))
+    )
+    rel = F.abs(est - F.col("n_exact")) / F.col("n_exact")
+    return (
+        kth.crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(_KMV_K).cast("long").alias("k"),
+            F.col("n_exact").cast("long").alias("n_exact"),
+            F.col("h_k").alias("kth_hash"),
+            F.round(est, 2).alias("kmv_estimate"),
+            F.round(rel, 6).alias("rel_err"),
+            (rel <= 3.0 / (_KMV_K**0.5)).alias("within_bound"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# shard_manifest — reproducible dataset manifest with content checksums
+# --------------------------------------------------------------------------
+
+_MAN_SHARDS = 16
+_MAN_MOD = (1 << 60) - 1  # commutative-checksum modulus
+
+
+@register(
+    "shard_manifest",
+    f"""
+WITH t AS (
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+               % {_MAN_SHARDS} AS shard,
+           n_chars,
+           CAST(('0x' || substr(md5(trim(regexp_replace(lower(text),
+                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fph
+    FROM documents
+)
+SELECT CAST(shard AS BIGINT) AS shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       CAST(sum(fph) % {_MAN_MOD} AS BIGINT) AS content_checksum
+FROM t
+GROUP BY shard
+""",
+)
+def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reproducible dataset manifest — the versioning record a training
+    run pins before reading a corpus: docs assign to {_MAN_SHARDS} shards
+    by id hash, and each shard publishes its doc count, byte budget and a
+    content checksum (sum of 60-bit normalized-text fingerprints mod
+    2^60-1). The checksum is ORDER-INDEPENDENT (commutative sum), so it
+    is insensitive to scan order, partitioning and shuffle — two runs
+    over the same data always agree, any changed/dropped/added doc flips
+    it. That commutativity is what makes it computable as an ordinary
+    map-side-combined aggregate at 100 TB, where a concatenation-based
+    hash (string_agg ORDER BY) would need a per-shard global sort.
+
+    DuckDB's sum() promotes to HUGEINT (128-bit) and Spark's sum of
+    longs wraps at 2^63 — so fingerprints stay in [0, 2^60) and the
+    Spark side sums DECIMAL(38,0) to match the exact wide sum before the
+    final modulus."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    from kafka_streams_example_spark.functions.hashing import (
+        normalize_text,
+        stable_long,
+    )
+
+    t = docs.select(
+        (stable_long(F.col("doc_id").cast("string")) % _MAN_SHARDS).alias("shard"),
+        "n_chars",
+        stable_long(normalize_text(F.col("text"))).alias("fph"),
+    )
+    return t.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum(F.col("fph").cast("decimal(38,0)")) % _MAN_MOD)
+        .cast("long")
+        .alias("content_checksum"),
+    )

@@ -106,3 +106,71 @@ def test_quality_logreg_is_map_only(spark):
         plan[:500]
     )
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_kmv_sketch_estimate_and_bound(spark):
+    """The KMV estimate is deterministic (same md5 inputs = same
+    estimate), the sketch saw exactly k hashes, and the audited error
+    bound holds."""
+    rows = registry.QUERIES["kmv_distinct_sketch"](spark, SF_SMOKE).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == 64
+    assert r.within_bound, (r.kmv_estimate, r.n_exact, r.rel_err)
+    again = registry.QUERIES["kmv_distinct_sketch"](spark, SF_SMOKE).collect()[0]
+    assert again.kmv_estimate == r.kmv_estimate
+
+
+def test_kmv_topk_plan_avoids_global_sort(spark):
+    """The k smallest hashes must come from TakeOrderedAndProject (local
+    top-k + k-sized merge), never a full Sort over the distinct set."""
+    df = registry.QUERIES["kmv_distinct_sketch"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan[:800]
+
+
+def test_shard_manifest_checksum_is_order_independent(spark, tmp_path):
+    """Re-partitioning / reordering the corpus must not change any
+    shard's checksum, and editing one document must change exactly its
+    shard's checksum."""
+    import shutil
+
+    from kafka_streams_example_spark.sources.files import load_table
+
+    base = {
+        (r.shard): (r.n_docs, r.total_chars, r.content_checksum)
+        for r in registry.QUERIES["shard_manifest"](spark, SF_SMOKE).collect()
+    }
+    assert sum(n for n, _, _ in base.values()) == spark.read.parquet(
+        f"{SF_SMOKE}/documents.parquet"
+    ).count()
+
+    # shuffled copy: same rows, radically different physical order
+    alt = str(tmp_path / "alt")
+    docs = load_table(spark, SF_SMOKE, "documents")
+    docs.repartition(7).sortWithinPartitions("lang").write.parquet(
+        f"{alt}/documents.parquet"
+    )
+    shuffled = {
+        (r.shard): (r.n_docs, r.total_chars, r.content_checksum)
+        for r in registry.QUERIES["shard_manifest"](spark, alt).collect()
+    }
+    assert shuffled == base
+
+    # tamper with one doc: only its shard's checksum moves
+    import pyspark.sql.functions as FF
+
+    tam = str(tmp_path / "tam")
+    docs.withColumn(
+        "text",
+        FF.when(FF.col("doc_id") == 7, FF.concat(FF.col("text"), FF.lit(" x")))
+        .otherwise(FF.col("text")),
+    ).write.parquet(f"{tam}/documents.parquet")
+    tampered = {
+        (r.shard): (r.n_docs, r.total_chars, r.content_checksum)
+        for r in registry.QUERIES["shard_manifest"](spark, tam).collect()
+    }
+    changed = [s for s in base if tampered[s][2] != base[s][2]]
+    assert len(changed) == 1, changed
+    same_counts = all(tampered[s][0] == base[s][0] for s in base)
+    assert same_counts
