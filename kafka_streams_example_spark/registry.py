@@ -2516,3 +2516,13 @@ from kafka_streams_example_spark import llm_extra14  # noqa: E402,F401
 # Sixteenth tranche (distributed Bloom-filter probe join, JL projection
 # distortion audit, fixed-weight logistic quality scoring).
 from kafka_streams_example_spark import llm_extra15  # noqa: E402,F401
+
+# Seventeenth tranche (Count-Min heavy hitters, theta-sketch set ops,
+# Benford audit, ACF/CUSUM series diagnostics, feature hashing,
+# classifier calibration bins).
+from kafka_streams_example_spark import llm_extra16  # noqa: E402,F401
+
+# Eighteenth tranche (exact ROC-AUC, per-nation OLS trends, Cohen's
+# kappa, chi-square independence, eval-split bigram cross-entropy,
+# batch watermark-lateness audit).
+from kafka_streams_example_spark import llm_extra17  # noqa: E402,F401
