@@ -2526,3 +2526,8 @@ from kafka_streams_example_spark import llm_extra16  # noqa: E402,F401
 # kappa, chi-square independence, eval-split bigram cross-entropy,
 # batch watermark-lateness audit).
 from kafka_streams_example_spark import llm_extra17  # noqa: E402,F401
+
+# Nineteenth tranche (sorted-neighborhood near-dup, Z-order locality
+# audit, k-anonymity risk, seeded-DP noisy counts, incremental agg-state
+# merge proof, leave-one-source-out influence, Kneser-Ney bigram LM).
+from kafka_streams_example_spark import llm_extra18  # noqa: E402,F401
