@@ -19,201 +19,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from kafka_streams_example_spark import registry  # noqa: E402
 from kafka_streams_example_spark.session import get_spark  # noqa: E402
 
-HEADLINE = [
-    "solar_module_agg",
-    "solar_panel_stats",
-    "solar_anomalies",
-    "q1_pricing_summary",
-    "q3_top_orders",
-    "q5_region_revenue",
-    "ranking_top_customers",
-    "rollup_returns",
-    "set_ops_customers",
-    "sliding_window_counts",
-    "session_windows",
-    "asof_join_orders",
-    "events_json_stats",
-    "dedup_events_keyed",
-    "dedup_exact_docs",
-    "doc_fingerprints",
-    "text_quality_stats",
-    "lang_id_docs",
-    "neardup_ngram_pairs",
-    "neardup_minhash_pairs",
-    "dedup_clusters",
-    "similarity_cosine_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "udaf_weighted_avg",
-    "cube_order_priority",
-    "distinct_counts",
-    "string_date_functions",
-    "sql_q6_revenue_delta",
-    "json_wire_roundtrip",
-    "pivot_user_events",
-    "semi_anti_joins",
-    "token_frequencies",
-    "value_percentiles",
-    "multimodal_binary_meta",
-    "multimodal_byte_features",
-    "q4_order_priority_check",
-    "q12_shipmode_case_agg",
-    "q14_promo_ratio",
-    "q18_large_orders",
-    "scalar_subquery_above_avg",
-    "array_functions_docs",
-    "doc_perplexity_proxy",
-    "sample_docs_by_hash",
-    "truncate_to_context",
-    "q10_returned_items",
-    "q19_disjunctive_filter",
-    "funnel_signup_purchase",
-    "q17_small_quantity_revenue",
-    "set_ops_multiset",
-    "solar_wire_reference_format",
-    "llm_corpus_prep",
-    "hll_sketch_rollup",
-    "value_percentiles_approx",
-    "cumulative_user_value",
-    "lag_lead_deltas",
-    "null_handling_outer_join",
-    "date_arithmetic",
-    "approx_distinct_users",
-    "multimodal_decode_fake",
-    "neardup_embeddings",
-    "regex_extraction",
-    "q2_min_balance_supplier",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q11_important_parts",
-    "q13_customer_distribution",
-    "q15_top_supplier",
-    "q16_supplier_variety",
-    "q21_waiting_suppliers",
-    "q22_dormant_customers",
-    "grouping_sets_revenue",
-    "unpivot_part_metrics",
-    "stat_aggregates",
-    "range_frame_rolling_sum",
-    "approx_top_k_events",
-    "kmeans_centroids",
-    "decontam_ngram_overlap",
-    "repetition_quality_stats",
-    "stratified_sample_by_lang",
-    "vocab_stats_by_lang",
-    "range_join_value_tiers",
-    "embedding_quantize_int8",
-    "multimodal_resize_fake",
-    "user_event_timeline",
-    "similarity_quantized_topk",
-    "bpe_pair_candidates",
-    "multimodal_frame_sample",
-    "sft_next_event_pairs",
-    "similarity_cosine_topk_vectorized",
-    "map_functions_roundtrip",
-    "distribution_rank_functions",
-    "skew_salted_event_totals",
-    "corpus_quality_rollup",
-    "value_window_functions",
-    "doc_chunking",
-    "pack_sequences",
-    "tfidf_top_terms",
-    "value_histogram",
-    "ewma_trailing_signal",
-    "pii_scrub_events",
-    "neardup_dedup_corpus",
-    "events_variant_extract",
-    "pyds_solar_sim_agg",
-    "string_agg_ordered",
-    "bitmap_exact_distinct",
-    "udtf_word_windows",
-    "chunk_dedup_ratio",
-    "q20_excess_supply",
-    "domain_mixture_weights",
-    "curriculum_quality_bins",
-    "preference_pairs",
-    "substring_span_dupes",
-    "pack_sequences_greedy",
-    "winnowing_fingerprints",
-    "incremental_ingest_dedup",
-    "zipf_law_fit",
-    "label_mean_embeddings",
-    "neardup_simhash_pairs",
-    "dedup_survivorship",
-    "train_eval_split",
-    "minhash_jaccard_estimate",
-    "power_iteration_top_component",
-    "time_weighted_average",
-    "vocab_coverage_oov",
-    "ann_recall_at_k",
-    "contamination_blast_radius",
-    "similarity_pair_histogram",
-    "inverted_index_postings",
-    "token_pmi_pairs",
-    "cohort_retention",
-    "median_mad_outliers",
-    "scd2_user_state",
-    "winsorized_chars_by_source",
-    "deterministic_group_sample",
-    "order_window_overlaps",
-    "orders_column_profile",
-    "lateral_top_orders_per_segment",
-    "bigram_lm_probs",
-    "cooccurrence_triangles",
-    "weighted_domain_sample",
-    "key_skew_report",
-    "robust_scaler_features",
-    "resample_fill_forward",
-    "dataset_mixture_resample",
-    "ngram_novelty_curve",
-    "neardup_levenshtein_pairs",
-    "event_transition_matrix",
-    "seasonal_residual_anomalies",
-    "rolling_active_users",
-    "orders_rfm_segmentation",
-    "top_session_paths",
-    "funnel_time_bounded",
-    "pareto_revenue_concentration",
-    "basket_part_pairs_lift",
-    "error_burst_detection",
-    "weekly_revenue_wow",
-    "ab_test_analysis",
-    "sql_scalar_udf_revenue",
-    "pipe_syntax_shipmode_stats",
-    "langid_confusion_matrix",
-    "filter_ablation_report",
-    "neardup_transitivity_audit",
-    "output_shard_balance",
-    "order_to_ship_latency",
-    "hourly_activity_heatmap",
-    "repeat_purchase_interval",
-    "cross_split_leakage_pairs",
-    "cross_lingual_neardup_pairs",
-    "minhash_band_tuning_report",
-    "hard_negative_mining",
-    "tokenizer_fertility_by_lang",
-    "dedup_cluster_size_histogram",
-    "embedding_norm_outliers",
-    "corpus_mixture_entropy",
-    "quality_filter_threshold_sweep",
-    "semdedup_prune",
-    "minhash_recall_report",
-    "token_pagerank_centrality",
-    "user_activity_islands",
-    "bm25_topk_docs",
-    "phrase_blocklist_rates",
-    "dedup_reduction_report",
-    "multimodal_decode_real",
-    "multimodal_wav_roundtrip",
-    "rrf_hybrid_retrieval",
-    "split_token_kl",
-    "bloom_filter_probe_join",
-    "jl_projection_distortion",
-    "quality_logreg_score",
-    "kmv_distinct_sketch",
-    "shard_manifest",
-]
+# Every registered query is a headline query: the list tracks the
+# registry so new tranches are benched the round they land (a static
+# list silently under-measured the surface once — 193 vs 206).
+HEADLINE = list(registry.QUERIES)
 
 
 def main() -> None:

@@ -2531,3 +2531,8 @@ from kafka_streams_example_spark import llm_extra17  # noqa: E402,F401
 # audit, k-anonymity risk, seeded-DP noisy counts, incremental agg-state
 # merge proof, leave-one-source-out influence, Kneser-Ney bigram LM).
 from kafka_streams_example_spark import llm_extra18  # noqa: E402,F401
+
+# Twentieth tranche (data-contract validation suite, PSI drift monitor,
+# nDCG retrieval eval, context-budget report, corpus snapshot diff,
+# last-touch attribution).
+from kafka_streams_example_spark import llm_extra19  # noqa: E402,F401
