@@ -2536,3 +2536,8 @@ from kafka_streams_example_spark import llm_extra18  # noqa: E402,F401
 # nDCG retrieval eval, context-budget report, corpus snapshot diff,
 # last-touch attribution).
 from kafka_streams_example_spark import llm_extra19  # noqa: E402,F401
+
+# Twenty-first tranche (Hamilton-apportionment stratified sample,
+# phonetic blocking pairs, local clustering coefficients, WOE/IV
+# feature scoring, stupid-backoff trigram LM).
+from kafka_streams_example_spark import llm_extra20  # noqa: E402,F401

@@ -51,6 +51,19 @@ def get_spark(
         # On a real cluster this value is driver-only and modest;
         # executor memory is sized separately (SCALE.md).
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        # Resident-engine JIT sizing: 219 registered queries x 3 bench runs
+        # generate >240MB (the JVM default) of whole-stage-codegen classes;
+        # when the code cache fills, the JIT silently stops compiling and
+        # late-session queries degrade (measured: minhash_jaccard_estimate
+        # 3.4-8.1s in a fully-heated 24g session at the default, 2.2-2.6s
+        # at 1g — NOTES_r06.md session 3). Harmless on executors (few
+        # plans per executor); essential for a long-lived local driver.
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                "SPARK_DRIVER_JAVA_OPTS", "-XX:ReservedCodeCacheSize=1g"
+            ),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )
