@@ -46,17 +46,27 @@ def main() -> None:
     # two post-warm runs, and the per-query run-to-run spread is recorded
     # so a machine-state delta can never masquerade as (or mask) a plan
     # regression in the committed record (VERDICT r03 "What's wrong" #1).
+    # SWEEP ordering: run the whole surface once per pass (run1 = cold,
+    # runs 2..n = steady candidates) instead of n back-to-back runs per
+    # query. With 224 registered plans, back-to-back timing measures each
+    # query at a POSITION-DEPENDENT JVM heat level — queries late in the
+    # list ran 2-2.6x slower than the same plan in a freshly-warmed
+    # session (winnowing_fingerprints 1.8s in-list vs 0.9s after a full
+    # warm sweep; NOTES_r06 session 3). Sweeping measures every query at
+    # the same fully-warmed heat, so per-query numbers stay comparable
+    # across rounds as the surface grows. Same total executions.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    all_runs: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(n_runs):
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            all_runs[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        runs = []
-        for _ in range(n_runs):
-            t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
+    for name, runs in all_runs.items():
         steady_runs = runs[1:] if len(runs) > 1 else runs
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(steady_runs), 3)
