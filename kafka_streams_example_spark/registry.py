@@ -2541,3 +2541,11 @@ from kafka_streams_example_spark import llm_extra19  # noqa: E402,F401
 # phonetic blocking pairs, local clustering coefficients, WOE/IV
 # feature scoring, stupid-backoff trigram LM).
 from kafka_streams_example_spark import llm_extra20  # noqa: E402,F401
+
+# Twenty-second tranche (Kaplan-Meier conversion survival, Mann-Whitney
+# U test, b-bit MinHash compression audit).
+from kafka_streams_example_spark import llm_extra21  # noqa: E402,F401
+
+# Twenty-third tranche (Theil-Sen robust trend, Holt linear smoothing
+# trace, token-budget mixture allocation, ER merge survivorship).
+from kafka_streams_example_spark import llm_extra22  # noqa: E402,F401
