@@ -208,7 +208,10 @@ def holt_linear_trace(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     """
     return (
-        series.select(F.explode(F.expr(fold)).alias("r"))
+        # the textbook init needs two observations; an empty/1-day series
+        # yields no trace rows (and s[0]/s[1] must not be evaluated)
+        series.filter(F.size("s") >= 2)
+        .select(F.explode(F.expr(fold)).alias("r"))
         .select("r.rn", "r.day", "r.cnt", "r.level", "r.trend")
     )
 

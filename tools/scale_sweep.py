@@ -38,6 +38,18 @@ SWEEP = [
     "similarity_cosine_topk",
     "kmeans_centroids",
     "semdedup_prune",
+    # round-6 session-3 additions: the new operators with corpus-scale
+    # stages, swept to pin their exponents before they meet real data
+    "sorted_neighborhood_neardup",
+    "bbit_minhash_estimate",
+    "trigram_backoff_lm",
+    "kneser_ney_bigram",
+    "token_clustering_coefficient",
+    "corpus_version_diff",
+    "zorder_locality_report",
+    "sessionized_attribution",
+    "kaplan_meier_conversion",
+    "er_merge_survivorship",
 ]
 
 
