@@ -53,6 +53,14 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             continue
         # integer div (not /): nanos exceed 2^53, double math would lose bits
         df = df.withColumn(c, F.timestamp_micros(F.expr(f"{c} div 1000")))
+    # Spark-written parquet (e.g. tools/make_sfN.py output) embeds its row
+    # metadata, which declares TIMESTAMP_NTZ and OVERRIDES the
+    # inferTimestampNTZ conf above. Normalize: with the session pinned to
+    # UTC the NTZ->TIMESTAMP cast is the identity on the naive value, so
+    # epoch casts stay legal and match the DuckDB oracle's epoch(naive).
+    for field in df.schema.fields:
+        if field.dataType.typeName() == "timestamp_ntz":
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 
