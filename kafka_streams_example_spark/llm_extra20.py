@@ -151,7 +151,13 @@ def _phonetic_sql(tok: str, flavor: str = "spark") -> str:
     Built from translate + per-digit run collapses because RE2 (DuckDB)
     has no backreferences — the SAME chain runs on both engines.
     DuckDB's regexp_replace is first-match-only by default, so the duck
-    flavor passes the 'g' flag Spark applies implicitly."""
+    flavor passes the 'g' flag Spark applies implicitly.
+
+    Domain: ASCII names (the part registry). Property testing found a
+    real cross-engine hazard outside it: upper() applies the FULL
+    unicode case mapping in Java/Python (one char can become two) but
+    the SIMPLE mapping in DuckDB, so unnormalized unicode names must be
+    ASCII-folded before phonetic coding (tests/test_property2.py)."""
     g = ", 'g'" if flavor == "duck" else ""
     d = f"translate(substr({tok}, 2), '{_PH_ALPHA}', '{_PH_DIGITS}')"
     for digit in "123456":

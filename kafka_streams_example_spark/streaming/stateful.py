@@ -182,3 +182,65 @@ def running_panel_totals_tws(stream_df: DataFrame, ts_col: str = "ts") -> DataFr
             timeMode="None",
         )
     )
+
+
+ATTR_SCHEMA = "user_id LONG, channel STRING, cents LONG"
+ATTR_STATE = "last_sec LONG, last_type STRING"
+ATTR_WINDOW_S = 1800  # same lookback as llm_extra19.sessionized_attribution
+
+
+def last_touch_attribution(stream_df: DataFrame) -> DataFrame:
+    """Streaming twin of the batch ``sessionized_attribution`` query
+    (llm_extra19.py): per user, every purchase credits the most recent
+    non-purchase event within the 30-minute lookback ('direct' when
+    none), revenue in half-up cents. The per-key state is ONE (last_sec,
+    last_type) pair carried across micro-batches, so the operator
+    replays the batch window semantics incrementally — the
+    batch/stream parity test pins exact channel-level equality on the
+    same fixture.
+
+    Expects columns: user_id LONG, event_type STRING, sec LONG (epoch
+    seconds), event_id LONG, value DOUBLE. Rows within a micro-batch
+    are sorted on (sec, event_id) before replay; cross-batch order is
+    the source's responsibility (event logs are time-ordered at rest).
+    Production would add a state TTL (EventTimeTimeout keyed on sec);
+    the test exercises NoTimeout for determinism."""
+    import math
+
+    def update(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        last_sec, last_type = state.get if state.exists else (-1, "")
+        out_ch: list[str] = []
+        out_cents: list[int] = []
+        pdf = pd.concat(list(pdfs))
+        pdf = pdf.sort_values(["sec", "event_id"])
+        for r in pdf.itertuples():
+            if r.event_type == "purchase":
+                if last_type and (r.sec - last_sec) <= ATTR_WINDOW_S:
+                    out_ch.append(last_type)
+                else:
+                    out_ch.append("direct")
+                out_cents.append(int(math.floor(r.value * 100.0 + 0.5)))
+            else:
+                last_sec, last_type = int(r.sec), str(r.event_type)
+        state.update((last_sec, last_type))
+        if not out_ch:
+            return
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(out_ch),
+                "channel": out_ch,
+                "cents": out_cents,
+            }
+        )
+
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=ATTR_SCHEMA,
+        stateStructType=ATTR_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

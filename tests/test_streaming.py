@@ -1054,3 +1054,90 @@ def test_pyds_source_watermark_agg_jsonl_sink_then_enrichment_matches_batch(
     }
     assert expected, "generator must produce anomalies below the cut"
     assert set(got) == expected
+
+
+def test_last_touch_attribution_stream_matches_batch(spark, tmp_path):
+    """The stateful streaming attribution operator must reproduce the
+    batch sessionized_attribution query EXACTLY at channel level when
+    the same events arrive time-ordered across three micro-batches —
+    per-key state carries the last touch over batch boundaries."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark import registry
+    from kafka_streams_example_spark.sources.files import load_table
+    from kafka_streams_example_spark.streaming.stateful import (
+        last_touch_attribution,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    ev = (
+        load_table(spark, SF_SMOKE, "events")
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts").cast("long").alias("sec"),
+            "event_id",
+            "value",
+        )
+        .orderBy("sec", "event_id")
+        .collect()
+    )
+    terciles = [
+        ev[: len(ev) // 3],
+        ev[len(ev) // 3 : 2 * len(ev) // 3],
+        ev[2 * len(ev) // 3 :],
+    ]
+    src = tmp_path / "attr_in"
+    _os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {
+                            "user_id": r.user_id,
+                            "event_type": r.event_type,
+                            "sec": r.sec,
+                            "event_id": r.event_id,
+                            "value": r.value,
+                        }
+                    )
+                    + "\n"
+                )
+
+    write("b0.json", terciles[0])
+    stream = spark.readStream.schema(
+        "user_id LONG, event_type STRING, sec LONG, event_id LONG, value DOUBLE"
+    ).json(str(src))
+    q = (
+        last_touch_attribution(stream)
+        .writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_stream")
+        .option("checkpointLocation", str(tmp_path / "attr_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    write("b1.json", terciles[1])
+    q.processAllAvailable()
+    write("b2.json", terciles[2])
+    q.processAllAvailable()
+    q.stop()
+    got = {
+        r.channel: (r.n, r.cents)
+        for r in spark.sql(
+            "SELECT channel, count(*) AS n, sum(cents) AS cents"
+            " FROM attr_stream GROUP BY channel"
+        ).collect()
+    }
+    expect = {
+        r.channel: (r.n_purchases, r.revenue_cents)
+        for r in registry.QUERIES["sessionized_attribution"](
+            spark, SF_SMOKE
+        ).collect()
+    }
+    assert got == expect
