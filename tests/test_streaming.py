@@ -1141,3 +1141,83 @@ def test_last_touch_attribution_stream_matches_batch(spark, tmp_path):
         ).collect()
     }
     assert got == expect
+
+
+def test_streaming_contract_gate_matches_batch_counts(spark, tmp_path):
+    """The streaming ingest gate's cumulative violation counters must
+    equal the batch contract suite over the union of all ingested
+    micro-batches — violation counts are sums, so the standing gate
+    never rescans (SCALE.md §14). Batch 2 carries seeded corruption."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.sources.files import load_table
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_contract_gate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    customer = load_table(spark, SF_SMOKE, "customer")
+    orders = (
+        load_table(spark, SF_SMOKE, "orders")
+        .select(
+            "o_orderkey",
+            "o_custkey",
+            "o_orderstatus",
+            "o_totalprice",
+        )
+        .collect()
+    )
+    half = len(orders) // 2
+    bad = [
+        {"o_orderkey": 999_000_001, "o_custkey": 999_999_999,  # orphan FK
+         "o_orderstatus": "X", "o_totalprice": 10.0},          # bad enum
+        {"o_orderkey": 999_000_002, "o_custkey": orders[0].o_custkey,
+         "o_orderstatus": "O", "o_totalprice": -5.0},          # bad range
+    ]
+    src = tmp_path / "gate_in"
+    _os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                d = r if isinstance(r, dict) else {
+                    "o_orderkey": r.o_orderkey,
+                    "o_custkey": r.o_custkey,
+                    "o_orderstatus": r.o_orderstatus,
+                    "o_totalprice": r.o_totalprice,
+                }
+                f.write(_json.dumps(d) + "\n")
+
+    write("b0.json", orders[:half])
+    stream = spark.readStream.schema(
+        "o_orderkey LONG, o_custkey LONG, o_orderstatus STRING,"
+        " o_totalprice DOUBLE"
+    ).json(str(src))
+    q = (
+        streaming_contract_gate(stream, customer)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("gate")
+        .option("checkpointLocation", str(tmp_path / "gate_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    write("b1.json", list(orders[half:]) + bad)
+    q.processAllAvailable()
+    q.stop()
+    # update mode re-emits refreshed counters; keep the latest per check
+    rows = spark.sql("SELECT * FROM gate").collect()
+    latest = {}
+    for r in rows:
+        cur = latest.get(r.check_name)
+        if cur is None or r.n_rows > cur.n_rows:
+            latest[r.check_name] = r
+    n_total = len(orders) + len(bad)
+    assert {k: (v.n_rows, v.n_violations) for k, v in latest.items()} == {
+        "fk_orders_customer": (n_total, 1),
+        "enum_orderstatus": (n_total, 1),
+        "range_totalprice_positive": (n_total, 1),
+    }
