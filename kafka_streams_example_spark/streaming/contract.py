@@ -66,3 +66,87 @@ def streaming_contract_gate(orders_stream: DataFrame, customer: DataFrame) -> Da
         F.count("*").cast("long").alias("n_rows"),
         F.sum("v").cast("long").alias("n_violations"),
     )
+
+
+def streaming_psi_monitor(
+    events_stream: DataFrame, reference_cells: DataFrame
+) -> tuple[DataFrame, "callable"]:
+    """The PSI drift monitor (llm_extra19.py:psi_value_drift) as a
+    standing stream: the reference window is a STATIC per-(type, bin)
+    count table (computed once, never rescanned); the current window is
+    the stream's cumulative (type, bin) counts in update mode. Returns
+    the aggregated cell stream plus a foreachBatch function that joins
+    the refreshed cells against the broadcast reference grid and
+    rewrites the per-type PSI into a ``psi_live`` in-memory view — the
+    alerting surface a monitor would publish.
+
+    This is the incremental shape SCALE.md §14 describes: cell counts
+    merge as sums, so the monitor's per-batch work is the micro-batch
+    aggregation + a bins×types-sized PSI evaluation."""
+    from kafka_streams_example_spark.llm_extra19 import (
+        _PSI_ALERT,
+        _PSI_BIN_WIDTH,
+        _PSI_BINS,
+        _PSI_EPS,
+    )
+
+    cells = (
+        events_stream.select(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / _PSI_BIN_WIDTH).cast("long"),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin"),
+        )
+        .groupBy("event_type", "bin")
+        .agg(F.count("*").alias("na"))
+    )
+    ref = reference_cells.withColumnRenamed("c", "nb")
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        # Spark 4 validates that foreachBatch consumes EVERY partition of
+        # a stateful batch (state-store commit tracking) — materialize
+        # fully before any lazy/partial use of the delta.
+        batch_df.persist()
+        batch_df.count()
+        # update-mode batches carry only CHANGED cells; merge into the
+        # running picture (newer counts replace older for the same cell)
+        batch_df.createOrReplaceTempView("_psi_delta")
+        if "psi_cells" in [t.name for t in spark.catalog.listTables()]:
+            merged = spark.sql(
+                "SELECT coalesce(d.event_type, c.event_type) AS event_type,"
+                "       coalesce(d.bin, c.bin) AS bin,"
+                "       coalesce(d.na, c.na) AS na"
+                " FROM psi_cells c FULL OUTER JOIN _psi_delta d"
+                "   ON c.event_type = d.event_type AND c.bin = d.bin"
+            )
+        else:
+            merged = batch_df
+        merged.cache().createOrReplaceTempView("psi_cells")
+        denom = float(_PSI_EPS * _PSI_BINS)
+        types = ref.select("event_type").distinct()
+        grid = (
+            types.join(
+                F.broadcast(
+                    types.sparkSession.range(_PSI_BINS).select(
+                        F.col("id").alias("bin")
+                    )
+                )
+            )
+            .join(ref, ["event_type", "bin"], "left")
+            .join(spark.table("psi_cells"), ["event_type", "bin"], "left")
+            .fillna(0, subset=["nb", "na"])
+        )
+        from pyspark.sql import Window as W
+
+        wt = W.partitionBy("event_type")
+        p = (F.col("nb") + _PSI_EPS) / (F.sum("nb").over(wt) + denom)
+        q = (F.col("na") + _PSI_EPS) / (F.sum("na").over(wt) + denom)
+        psi = F.round(F.sum((p - q) * F.log(p / q)).over(wt), 6)
+        out = grid.select(
+            "event_type", psi.alias("psi"), (psi > _PSI_ALERT).alias("drifted")
+        ).distinct()
+        out.cache().createOrReplaceTempView("psi_live")
+
+    return cells, publish

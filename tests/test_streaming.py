@@ -1221,3 +1221,82 @@ def test_streaming_contract_gate_matches_batch_counts(spark, tmp_path):
         "enum_orderstatus": (n_total, 1),
         "range_totalprice_positive": (n_total, 1),
     }
+
+
+def test_streaming_psi_monitor_matches_batch_query(spark, tmp_path):
+    """The standing PSI monitor (static reference window + cumulative
+    stream cells) must land on the batch psi_value_drift numbers when
+    the stream delivers exactly the batch query's second half across
+    two micro-batches."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark import registry
+    from kafka_streams_example_spark.llm_extra19 import (
+        _PSI_BIN_WIDTH,
+        _PSI_BINS,
+    )
+    from kafka_streams_example_spark.sources.files import load_table
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_psi_monitor,
+    )
+    from tests.conftest import SF_SMOKE
+
+    import pyspark.sql.functions as F
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", F.col("ts").cast("long").alias("sec"), "value"
+    ).collect()
+    lo, hi = min(r.sec for r in ev), max(r.sec for r in ev)
+    mid = (lo + hi) // 2  # matches the batch query's floor((min+max)/2.0)
+    before = [r for r in ev if r.sec <= mid]
+    after = [r for r in ev if r.sec > mid]
+    ref = (
+        spark.createDataFrame(
+            [(r.event_type, r.value) for r in before],
+            "event_type STRING, value DOUBLE",
+        )
+        .groupBy(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / _PSI_BIN_WIDTH).cast("long"),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    src = tmp_path / "psi_in"
+    _os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps({"event_type": r.event_type, "value": r.value})
+                    + "\n"
+                )
+
+    write("b0.json", after[: len(after) // 2])
+    stream = spark.readStream.schema("event_type STRING, value DOUBLE").json(
+        str(src)
+    )
+    cells, publish = streaming_psi_monitor(stream, ref)
+    q = (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "psi_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    write("b1.json", after[len(after) // 2 :])
+    q.processAllAvailable()
+    q.stop()
+    live = {r.event_type: r for r in spark.sql("SELECT * FROM psi_live").collect()}
+    batch = {
+        r.event_type: r
+        for r in registry.QUERIES["psi_value_drift"](spark, SF_SMOKE).collect()
+    }
+    assert set(live) == set(batch)
+    for et, b in batch.items():
+        assert abs(live[et].psi - b.psi) < 1e-5, (et, live[et].psi, b.psi)
+        assert live[et].drifted == b.drifted
