@@ -150,3 +150,42 @@ def streaming_psi_monitor(
         out.cache().createOrReplaceTempView("psi_live")
 
     return cells, publish
+
+
+def streaming_shard_manifest(docs_stream: DataFrame) -> DataFrame:
+    """The reproducible shard manifest (llm_extra15.py:shard_manifest)
+    as a streaming accumulator: because the content checksum is a
+    COMMUTATIVE mod-sum, it aggregates incrementally in update mode and
+    the cumulative stream state equals the batch manifest over
+    everything ingested — regardless of arrival order, micro-batch
+    boundaries or shuffle placement. This is the manifest an ingest
+    pipeline publishes continuously so any training run can pin the
+    corpus version without a batch rescan; the batch/stream parity test
+    delivers the fixture out of order and still matches exactly.
+
+    Expects columns: doc_id LONG, text STRING, n_chars LONG. The wide
+    sum runs in DECIMAL(38,0) before the final modulus (fingerprints
+    are < 2^60; a long sum would wrap)."""
+    from kafka_streams_example_spark.functions.hashing import (
+        normalize_text,
+        stable_long,
+    )
+    from kafka_streams_example_spark import registry  # noqa: F401 — tranche
+    # modules bootstrap through the registry; importing llm_extra15
+    # directly before registry loads would hit a partial ORACLES table
+    from kafka_streams_example_spark.llm_extra15 import _MAN_MOD, _MAN_SHARDS
+
+    t = docs_stream.select(
+        (stable_long(F.col("doc_id").cast("string")) % _MAN_SHARDS).alias(
+            "shard"
+        ),
+        "n_chars",
+        stable_long(normalize_text(F.col("text"))).alias("fph"),
+    )
+    return t.groupBy("shard").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        (F.sum(F.col("fph").cast("decimal(38,0)")) % _MAN_MOD)
+        .cast("long")
+        .alias("content_checksum"),
+    )

@@ -1300,3 +1300,77 @@ def test_streaming_psi_monitor_matches_batch_query(spark, tmp_path):
     for et, b in batch.items():
         assert abs(live[et].psi - b.psi) < 1e-5, (et, live[et].psi, b.psi)
         assert live[et].drifted == b.drifted
+
+
+def test_streaming_shard_manifest_is_order_invariant_and_matches_batch(
+    spark, tmp_path
+):
+    """The streaming manifest accumulator must equal the batch
+    shard_manifest over everything ingested even when documents arrive
+    SHUFFLED across micro-batches — the commutative checksum makes
+    arrival order irrelevant."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark import registry
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_shard_manifest,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet").select(
+        "doc_id", "text", "n_chars"
+    ).collect()
+    # deterministic shuffle: order by md5 of the id — nothing like disk order
+    import hashlib
+
+    mixed = sorted(
+        docs, key=lambda r: hashlib.md5(str(r.doc_id).encode()).hexdigest()
+    )
+    third = len(mixed) // 3
+    src = tmp_path / "manifest_in"
+    _os.makedirs(src)
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "text": r.text, "n_chars": r.n_chars}
+                    )
+                    + "\n"
+                )
+
+    write("b0.json", mixed[:third])
+    stream = spark.readStream.schema(
+        "doc_id LONG, text STRING, n_chars LONG"
+    ).json(str(src))
+    q = (
+        streaming_shard_manifest(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("manifest_stream")
+        .option("checkpointLocation", str(tmp_path / "man_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    write("b1.json", mixed[third : 2 * third])
+    q.processAllAvailable()
+    write("b2.json", mixed[2 * third :])
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("SELECT * FROM manifest_stream").collect()
+    latest = {}
+    for r in rows:  # update mode re-emits; keep the fullest row per shard
+        cur = latest.get(r.shard)
+        if cur is None or r.n_docs > cur.n_docs:
+            latest[r.shard] = r
+    expect = {
+        r.shard: (r.n_docs, r.total_chars, r.content_checksum)
+        for r in registry.QUERIES["shard_manifest"](spark, SF_SMOKE).collect()
+    }
+    got = {
+        s: (r.n_docs, r.total_chars, r.content_checksum)
+        for s, r in latest.items()
+    }
+    assert got == expect
