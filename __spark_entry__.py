@@ -99,10 +99,16 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r06: the
-# semdedup cell count became data-dependent and the threshold-sweep's
-# share_kept column was re-typed DECIMAL->DOUBLE.
-_TOUCHED_THIS_ROUND = {"quality_filter_threshold_sweep", "semdedup_prune"}
+# re-verify ahead of merely least-often-verified greens. r07: the two r06
+# plan-changed queries (semdedup data-dependent cell count; threshold-
+# sweep DECIMAL->DOUBLE) stay fronted until their r07 driver rows land,
+# plus dp_noisy_counts (ADVICE r06: noise term pre-rounded to 6dp on both
+# engines before the integer floor).
+_TOUCHED_THIS_ROUND = {
+    "quality_filter_threshold_sweep",
+    "semdedup_prune",
+    "dp_noisy_counts",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -394,7 +394,9 @@ u AS (
     FROM c
 )
 SELECT event_type,
-       CAST(floor(n + (-{_DP_B}) * sign(uc) * ln(1.0 - 2.0 * abs(uc)) + 0.5)
+       CAST(floor(n + {_duck_round_half_up(
+           f"(-{_DP_B}) * sign(uc) * ln(1.0 - 2.0 * abs(uc))", 6
+       )} + 0.5)
             AS BIGINT) AS noisy_count,
        {_DP_EPSILON} AS epsilon
 FROM u
@@ -426,9 +428,17 @@ def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.signum(uc)
         * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(uc))
     )
+    # ln() is 1-ulp, not correctly-rounded: pre-round the noise to 6dp on
+    # BOTH engines before the integer floor so a noise value within 1 ulp
+    # of an integer boundary can't flip noisy_count cross-engine (ADVICE
+    # r06). round_half_up's non-negative caveat is a don't-care here: the
+    # identical floor(x*1e6+0.5) double ops run on both sides, and
+    # half-toward-+inf at a 6dp boundary is immaterial for DP noise.
     return c.select(
         "event_type",
-        F.floor(F.col("n") + noise + F.lit(0.5)).cast("long").alias("noisy_count"),
+        F.floor(F.col("n") + tx.round_half_up(noise, 6) + F.lit(0.5))
+        .cast("long")
+        .alias("noisy_count"),
         F.lit(_DP_EPSILON).alias("epsilon"),
     )
 

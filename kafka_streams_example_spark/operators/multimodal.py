@@ -25,6 +25,8 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -130,7 +132,11 @@ def decode_images(
                     hs.append(d["height"])
                     cs.append(d["channels"])
                     oks.append(True)
-                except (ValueError, TypeError, KeyError):
+                except (ValueError, TypeError, KeyError, struct.error, zlib.error):
+                    # struct.error: truncated blob (unpack_from past end of
+                    # buffer in the chunk walk); zlib.error: corrupt deflate
+                    # stream with a valid chunk CRC. Both must degrade the
+                    # row, not kill the Spark task.
                     ws.append(None)
                     hs.append(None)
                     cs.append(None)
@@ -261,7 +267,7 @@ def resize_images(
                         hs.append(d["height"])
                         blobs.append(cx.encode_png_gray8(out_width, out_height, small))
                         oks.append(True)
-                    except (ValueError, TypeError, KeyError):
+                    except (ValueError, TypeError, KeyError, struct.error, zlib.error):
                         ws.append(None)
                         hs.append(None)
                         blobs.append(None)

@@ -69,7 +69,9 @@ def streaming_contract_gate(orders_stream: DataFrame, customer: DataFrame) -> Da
 
 
 def streaming_psi_monitor(
-    events_stream: DataFrame, reference_cells: DataFrame
+    events_stream: DataFrame,
+    reference_cells: DataFrame,
+    state_dir: str | None = None,
 ) -> tuple[DataFrame, "callable"]:
     """The PSI drift monitor (llm_extra19.py:psi_value_drift) as a
     standing stream: the reference window is a STATIC per-(type, bin)
@@ -77,8 +79,12 @@ def streaming_psi_monitor(
     the stream's cumulative (type, bin) counts in update mode. Returns
     the aggregated cell stream plus a foreachBatch function that joins
     the refreshed cells against the broadcast reference grid and
-    rewrites the per-type PSI into a ``psi_live`` in-memory view — the
-    alerting surface a monitor would publish.
+    publishes the per-type PSI to a ``psi_live`` view backed by a real
+    parquet table under ``state_dir`` — the alerting surface a monitor
+    would publish. The running cell table is likewise published as
+    ``psi_cells``; both views are registered on the session the monitor
+    was BUILT on (foreachBatch runs under a cloned session whose temp
+    views the caller cannot see).
 
     This is the incremental shape SCALE.md §14 describes: cell counts
     merge as sums, so the monitor's per-batch work is the micro-batch
@@ -103,8 +109,26 @@ def streaming_psi_monitor(
     )
     ref = reference_cells.withColumnRenamed("c", "nb")
 
+    # Standing-monitor state is a REAL table, not a per-batch cache chain
+    # (ADVICE r06: the old cache()-per-batch design grew one FULL OUTER
+    # JOIN deeper per micro-batch, pinned every generation in storage, and
+    # probed the catalog with a full listTables() per batch). Each batch
+    # writes the merged (type, bin) counts to an alternating parquet
+    # generation path — lineage depth stays O(1) forever, old state is
+    # deleted by the next overwrite of that slot, nothing depends on the
+    # engine-owned batch_df staying valid, and the published state would
+    # survive a driver restart if state_dir is durable. Views are
+    # registered through the OWNER session (the one the monitor was built
+    # on): foreachBatch hands the function a CLONED session, and temp
+    # views created there are invisible to the caller.
+    import os
+    import tempfile
+
+    owner = reference_cells.sparkSession
+    gen_root = state_dir or tempfile.mkdtemp(prefix="psi_monitor_state_")
+    state: dict[str, object] = {"cells": None, "gen": 0}
+
     def publish(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
         # Spark 4 validates that foreachBatch consumes EVERY partition of
         # a stateful batch (state-store commit tracking) — materialize
         # fully before any lazy/partial use of the delta.
@@ -112,30 +136,41 @@ def streaming_psi_monitor(
         batch_df.count()
         # update-mode batches carry only CHANGED cells; merge into the
         # running picture (newer counts replace older for the same cell)
-        batch_df.createOrReplaceTempView("_psi_delta")
-        if "psi_cells" in [t.name for t in spark.catalog.listTables()]:
-            merged = spark.sql(
-                "SELECT coalesce(d.event_type, c.event_type) AS event_type,"
-                "       coalesce(d.bin, c.bin) AS bin,"
-                "       coalesce(d.na, c.na) AS na"
-                " FROM psi_cells c FULL OUTER JOIN _psi_delta d"
-                "   ON c.event_type = d.event_type AND c.bin = d.bin"
-            )
-        else:
+        prev: DataFrame | None = state["cells"]  # type: ignore[assignment]
+        if prev is None:
             merged = batch_df
-        merged.cache().createOrReplaceTempView("psi_cells")
+        else:
+            c, d = prev.alias("c"), batch_df.alias("d")
+            merged = c.join(
+                d,
+                (F.col("c.event_type") == F.col("d.event_type"))
+                & (F.col("c.bin") == F.col("d.bin")),
+                "full_outer",
+            ).select(
+                F.coalesce("d.event_type", "c.event_type").alias("event_type"),
+                F.coalesce("d.bin", "c.bin").alias("bin"),
+                F.coalesce("d.na", "c.na").alias("na"),
+            )
+        # alternate between two generation slots so the slot being written
+        # is never the slot the previous generation is read from
+        gen = int(state["gen"])  # type: ignore[arg-type]
+        path = os.path.join(gen_root, f"cells_gen{gen % 2}")
+        merged.write.mode("overwrite").parquet(path)
+        batch_df.unpersist()
+        cells_now = owner.read.parquet(path)
+        state["cells"] = cells_now
+        state["gen"] = gen + 1
+        cells_now.createOrReplaceTempView("psi_cells")
         denom = float(_PSI_EPS * _PSI_BINS)
         types = ref.select("event_type").distinct()
         grid = (
             types.join(
                 F.broadcast(
-                    types.sparkSession.range(_PSI_BINS).select(
-                        F.col("id").alias("bin")
-                    )
+                    owner.range(_PSI_BINS).select(F.col("id").alias("bin"))
                 )
             )
             .join(ref, ["event_type", "bin"], "left")
-            .join(spark.table("psi_cells"), ["event_type", "bin"], "left")
+            .join(cells_now, ["event_type", "bin"], "left")
             .fillna(0, subset=["nb", "na"])
         )
         from pyspark.sql import Window as W
@@ -147,7 +182,9 @@ def streaming_psi_monitor(
         out = grid.select(
             "event_type", psi.alias("psi"), (psi > _PSI_ALERT).alias("drifted")
         ).distinct()
-        out.cache().createOrReplaceTempView("psi_live")
+        live_path = os.path.join(gen_root, f"live_gen{gen % 2}")
+        out.write.mode("overwrite").parquet(live_path)
+        owner.read.parquet(live_path).createOrReplaceTempView("psi_live")
 
     return cells, publish
 

@@ -109,6 +109,44 @@ def test_decode_real_path_stdlib_png(spark):
     assert all((not r.ok) and r.width is None for r in bad)
 
 
+def test_decode_real_path_truncated_and_corrupt_deflate(spark):
+    """A truncated PNG (struct.error in the chunk walk) and a CRC-valid but
+    deflate-corrupt PNG (zlib.error) must each degrade to an ok=False ROW —
+    one corrupt blob must not kill the Spark task (ADVICE r06)."""
+    import struct
+    import zlib
+
+    from kafka_streams_example_spark.functions import codecs
+
+    good = codecs.encode_png_gray8(8, 8, bytes(range(64)))
+    truncated = good[: len(good) // 2]
+    # corrupt the IDAT payload but re-stamp a VALID chunk CRC so the
+    # failure surfaces inside zlib.decompress, not the CRC check
+    idat_at = good.index(b"IDAT") - 4
+    (idat_len,) = struct.unpack_from(">I", good, idat_at)
+    body = bytearray(good[idat_at + 8 : idat_at + 8 + idat_len])
+    body[len(body) // 2] ^= 0xFF
+    crc = zlib.crc32(b"IDAT" + bytes(body)) & 0xFFFFFFFF
+    corrupt = (
+        good[: idat_at + 8] + bytes(body) + struct.pack(">I", crc) + good[idat_at + 8 + idat_len + 4 :]
+    )
+    with pytest.raises(zlib.error):
+        codecs.decode_png(corrupt)  # precondition: this IS a zlib.error blob
+    with pytest.raises(struct.error):
+        codecs.decode_png(truncated)  # precondition: this IS a struct.error blob
+
+    df = spark.createDataFrame(
+        [(1, bytearray(good)), (2, bytearray(truncated)), (3, bytearray(corrupt))],
+        "doc_id long, payload binary",
+    )
+    rows = {r.doc_id: r for r in mm.decode_images(df, fake=False).collect()}
+    assert rows[1].ok and rows[1].width == 8 and rows[1].height == 8
+    assert not rows[2].ok and rows[2].width is None
+    assert not rows[3].ok and rows[3].width is None
+    resized = {r.doc_id: r for r in mm.resize_images(df, 4, 4, fake=False).collect()}
+    assert resized[1].ok and not resized[2].ok and not resized[3].ok
+
+
 def test_sample_frames_shape(spark, bin_docs):
     out = mm.sample_frames(bin_docs, every_n_bytes=4, max_frames=3).collect()
     by_doc = {}

@@ -1302,6 +1302,87 @@ def test_streaming_psi_monitor_matches_batch_query(spark, tmp_path):
         assert live[et].drifted == b.drifted
 
 
+def test_streaming_psi_monitor_state_stays_bounded(spark, tmp_path):
+    """A STANDING monitor must not grow per-batch: after many micro-batches
+    the published psi_cells table is a lineage-free checkpoint (no join
+    chain one level deeper per batch) and old generations are not pinned
+    in storage (ADVICE r06)."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.llm_extra19 import _PSI_BIN_WIDTH, _PSI_BINS
+    from kafka_streams_example_spark.streaming.contract import streaming_psi_monitor
+
+    import pyspark.sql.functions as F
+
+    ref = (
+        spark.createDataFrame(
+            [("a", float(i % 7)) for i in range(40)], "event_type STRING, value DOUBLE"
+        )
+        .groupBy(
+            "event_type",
+            F.least(
+                F.floor(F.col("value") / _PSI_BIN_WIDTH).cast("long"),
+                F.lit(_PSI_BINS - 1),
+            ).alias("bin"),
+        )
+        .agg(F.count("*").alias("c"))
+    )
+    src = tmp_path / "psi_bounded_in"
+    _os.makedirs(src)
+
+    def write(name, vals):
+        with open(src / name, "w") as f:
+            for v in vals:
+                f.write(_json.dumps({"event_type": "a", "value": float(v)}) + "\n")
+
+    write("b0.json", [1.0, 2.0])
+    stream = spark.readStream.schema("event_type STRING, value DOUBLE").json(str(src))
+    cached_before = {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if info.numCachedPartitions() > 0
+    }
+    cells, publish = streaming_psi_monitor(
+        stream, ref, state_dir=str(tmp_path / "psi_state")
+    )
+    q = (
+        cells.writeStream.outputMode("update")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "psi_bounded_ck"))
+        .start()
+    )
+    q.processAllAvailable()
+    for i in range(6):
+        write(f"b{i + 1}.json", [float(i % 5), float((i + 3) % 7)])
+        q.processAllAvailable()
+    q.stop()
+    # plan depth O(1): the published table is a checkpointed scan, not a
+    # FULL OUTER JOIN chain that deepens per batch
+    plan = spark.table("psi_cells")._jdf.queryExecution().optimizedPlan().toString()
+    assert "Join" not in plan, plan
+    # storage O(1): state lives in two alternating parquet generation
+    # slots, NOT one pinned cache/checkpoint generation per batch
+    cached_after = {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if info.numCachedPartitions() > 0
+    }
+    assert len(cached_after - cached_before) == 0, cached_after - cached_before
+    import os as _os2
+
+    state_entries = sorted(_os.listdir(tmp_path / "psi_state"))
+    assert state_entries == [
+        "cells_gen0",
+        "cells_gen1",
+        "live_gen0",
+        "live_gen1",
+    ], state_entries
+    # and the running counts are still correct: 2 + 12 rows ingested
+    total = spark.table("psi_cells").agg(F.sum("na")).collect()[0][0]
+    assert total == 14
+
+
 def test_streaming_shard_manifest_is_order_invariant_and_matches_batch(
     spark, tmp_path
 ):
