@@ -79,6 +79,11 @@ def main() -> None:
     # BENCH_r{N}.json records parsed=null (round-1 failure mode). The
     # single stdout line carries totals + the slowest queries and fits the
     # tail whole; BENCH_DETAIL.json carries everything.
+    # Protocol tag: per-query numbers are only comparable within the same
+    # timing protocol (the r5 back-to-back -> r6 sweep change shifted the
+    # per-query mean ~1.1x with zero plan changes; tools/compare_bench.py
+    # refuses cross-protocol per-query diffs).
+    protocol = f"sweep{n_runs}"
     detail = {
         "metric": "headline_queries_total_wall_steady",
         "value": round(sum(timings.values()), 3),
@@ -89,6 +94,7 @@ def main() -> None:
         "cold_total": round(sum(cold.values()), 3),
         "n_queries": len(timings),
         "n_runs": n_runs,
+        "protocol": protocol,
         "sf": sf_val,
     }
     detail_path = os.environ.get(
@@ -97,22 +103,26 @@ def main() -> None:
     )
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
-    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:15])
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_wall_steady",
-                "value": detail["value"],
-                "unit": "sec",
-                "queries": slowest,
-                "cold_total": detail["cold_total"],
-                "n_queries": len(timings),
-                "sf": sf_val,
-                "detail": "BENCH_DETAIL.json",
-            },
-            separators=(",", ":"),
-        )
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
+    line = json.dumps(
+        {
+            "metric": "headline_queries_total_wall_steady",
+            "value": detail["value"],
+            "unit": "sec",
+            "queries": slowest,
+            "cold_total": detail["cold_total"],
+            "n_queries": len(timings),
+            "protocol": protocol,
+            "sf": sf_val,
+            "detail": "BENCH_DETAIL.json",
+        },
+        separators=(",", ":"),
     )
+    # The driver records only a ~2KB tail of the run's output; the line
+    # must survive that window whole or BENCH_r{N}.json gets parsed=null
+    # (r06 failure mode — progress bars plus a long line cut the JSON).
+    assert len(line) < 1900, f"bench stdout line too long: {len(line)}B"
+    print(line)
     spark.stop()
 
 

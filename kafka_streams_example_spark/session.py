@@ -65,6 +65,11 @@ def get_spark(
             ),
         )
         .config("spark.ui.enabled", "false")
+        # The driver records only a ~2KB tail of bench stdout+stderr; the
+        # console progress bars flooded that tail in r06 and cut the bench
+        # JSON line mid-way (BENCH_r06.json parsed=null). The bars carry no
+        # information in a headless run.
+        .config("spark.ui.showConsoleProgress", "false")
         .config("spark.sql.streaming.statefulOperator.checkCorrectness.enabled", "true")
     )
     for k, v in (extra_conf or {}).items():

@@ -24,9 +24,23 @@ def main() -> None:
     with open(new_path) as f:
         new = json.load(f)
     oq, nq = old["queries"], new["queries"]
+    oproto = old.get("protocol", "unknown")
+    nproto = new.get("protocol", "unknown")
     print(f"total steady: {old['value']}s -> {new['value']}s "
           f"({new['value'] - old['value']:+.1f}s; "
-          f"{len(oq)} -> {len(nq)} queries)")
+          f"{len(oq)} -> {len(nq)} queries; "
+          f"protocol {oproto} -> {nproto})")
+    if oproto != nproto:
+        # Cross-protocol per-query numbers are not comparable: the r5
+        # back-to-back -> r6 sweep change alone moved the per-query mean
+        # ~1.1x with zero plan changes (NOTES_r06 §bench). Refuse rather
+        # than flag phantom regressions.
+        print(
+            "REFUSING per-query comparison: timing protocols differ "
+            f"({oproto} vs {nproto}); only totals shown. Re-run the old "
+            "build under the current protocol for a per-query diff."
+        )
+        return
     added = sorted(set(nq) - set(oq))
     removed = sorted(set(oq) - set(nq))
     if added:
