@@ -1,0 +1,230 @@
+"""Multimodal queries over binary media columns: fake and real
+(pure-stdlib codec) PNG decode, WAV round-trips, frame sampling, and
+resize — the Spark-side plumbing (schema, partitioning, Arrow batch
+shape) for image/audio feature extraction.
+
+Regrouped from the numbered query tranches in round 7 (code unchanged;
+registration order pinned by query_order.py). Kernels run as
+Arrow-batched mapInPandas with per-row failure degradation; blobs stay
+in binary columns and never transit a shuffle.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from kafka_streams_example_spark.registry import _load_parallel, register
+import hashlib
+from collections.abc import Iterator
+import pandas as pd
+from kafka_streams_example_spark.operators.multimodal import _ship_codecs
+
+
+# (from llm_extra.py)
+@register(
+    "multimodal_frame_sample",
+    """
+SELECT doc_id,
+       unnest(generate_series(0, least(7, strlen(text) // 1024))) AS frame_no,
+       unnest(generate_series(0, least(7, strlen(text) // 1024))) * 1024 AS byte_offset,
+       md5(substr(text, 1, 32)) AS frame_md5
+FROM documents
+""",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling stage (video -> frames dataflow shape): one blob row
+    explodes to one row per sampled byte offset. The offset arithmetic
+    stands in for a real decoder; the 1->N explode, bounded fan-out
+    (max 8 frames) and per-frame fingerprint are the parts that matter
+    for partitioning — and they are pure JVM expressions, so this stage
+    is oracle-exact (the payload is utf-8 text bytes, so byte lengths and
+    the 32-char prefix hash reproduce in DuckDB via strlen/substr).
+    """
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    frames = mm.sample_frames(mm.with_binary_payload(docs))
+    return frames.select("doc_id", "frame_no", "byte_offset", "frame_md5")
+
+
+# (from llm_extra.py)
+def _resize_fake_sql() -> str:
+    from kafka_streams_example_spark.registry import _md5_byte_sql
+
+    # fake path: output blob = md5 digest (16B) repeated to 32*32 = 1024B,
+    # i.e. exactly 64 repeats; its lowercase hex = repeat(md5-hex, 64), so
+    # md5 of that hex string is an exact cross-engine content fingerprint.
+    return f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx, text FROM documents)
+SELECT doc_id,
+       CAST(64 + {_md5_byte_sql('hx', 0)} % 192 AS INT) AS width,
+       CAST(64 + {_md5_byte_sql('hx', 1)} % 192 AS INT) AS height,
+       CAST(32 AS INT) AS out_width,
+       CAST(32 AS INT) AS out_height,
+       CAST(1024 AS INT) AS n_resized_bytes,
+       md5(repeat(hx, 64)) AS resized_md5,
+       text IS NOT NULL AS ok
+FROM h
+"""
+
+
+@register("multimodal_resize_fake", _resize_fake_sql())
+def multimodal_resize_fake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize stage over opaque binary payloads (fake deterministic path —
+    no image codec in this container; see operators/multimodal.py). The
+    Spark-side contract is fully real: mapInPandas schema, fixed-size
+    output blobs, 1:1 row mapping. The output blob is fingerprinted via
+    md5(lower(hex(blob))), which DuckDB reproduces as md5(repeat(md5hex,
+    64)) — a full value oracle over the Python resize path."""
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    out = mm.resize_images(
+        mm.with_binary_payload(docs), out_width=32, out_height=32, fake=True
+    )
+    return out.select(
+        "doc_id",
+        "width",
+        "height",
+        "out_width",
+        "out_height",
+        F.octet_length("resized").alias("n_resized_bytes"),
+        F.md5(F.lower(F.hex("resized"))).alias("resized_md5"),
+        "ok",
+    )
+
+
+# (from llm_extra14.py)
+# hex-pair -> byte value, replicated in DuckDB over md5()'s hex output
+_HEXVAL = "strpos('0123456789abcdef', substr(hx, {i}, 1)) - 1"
+
+
+def _hex_byte(k: int) -> str:
+    """DuckDB expression for byte ``k`` (0-based) of the md5 digest."""
+    hi = _HEXVAL.format(i=2 * k + 1)
+    lo = _HEXVAL.format(i=2 * k + 2)
+    return f"(16 * ({hi}) + ({lo}))"
+
+
+@register(
+    "multimodal_decode_real",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           16 + doc_id % 17 AS w,
+           16 + doc_id % 13 AS h,
+           md5(text) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM d
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(8 AS INT) AS bit_depth,
+       CAST(0 AS INT) AS color_type,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST((w * h // 16) * list_aggregate(db, 'sum')
+            + coalesce(list_aggregate(db[1:(w * h % 16)], 'sum'), 0)
+            AS BIGINT) AS pixel_sum,
+       TRUE AS roundtrip_ok
+FROM b
+""",
+)
+def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PNG codec roundtrip over the documents corpus: build an 8-bit
+    grayscale PNG per doc (dims ``16+id%17 × 16+id%13``, pixels = md5(text)
+    digest repeated), then fully decode it — signature, CRC-verified chunk
+    walk, IDAT inflate, scanline unfilter — and emit the DECODED dims and
+    pixel sum. The oracle recomputes dims and pixel sum arithmetically
+    from doc_id and md5(text) in SQL, so the hash check passes only if the
+    codec reproduced every pixel bit-exactly (functions/codecs.py)."""
+    cx = _ship_codecs()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "width", "height", "bit_depth", "color_type",
+                "n_pixels", "pixel_sum", "roundtrip_ok",
+            )}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 16 + int(i) % 17, 16 + int(i) % 13
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                px = (digest * (w * h // 16 + 1))[: w * h]
+                d = cx.decode_png(cx.encode_png_gray8(w, h, px))
+                out["doc_id"].append(int(i))
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["bit_depth"].append(d["bit_depth"])
+                out["color_type"].append(d["color_type"])
+                out["n_pixels"].append(len(d["pixels"]))
+                out["pixel_sum"].append(sum(d["pixels"]))
+                out["roundtrip_ok"].append(d["pixels"] == px)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id LONG, width INT, height INT, bit_depth INT, color_type INT, "
+        "n_pixels LONG, pixel_sum LONG, roundtrip_ok BOOLEAN",
+    )
+
+
+# (from llm_extra14.py)
+@register(
+    "multimodal_wav_roundtrip",
+    """
+SELECT doc_id,
+       CAST(1 AS INT) AS n_channels,
+       CAST(16000 AS INT) AS sample_rate,
+       CAST(16 AS INT) AS bits_per_sample,
+       CAST(64 + doc_id % 64 AS BIGINT) AS n_samples,
+       CAST(list_aggregate(
+                list_transform(generate_series(0, 63 + doc_id % 64),
+                               i -> (doc_id * 31 + i * 17) % 65536 - 32768),
+                'sum') AS BIGINT) AS sample_sum,
+       CAST((64 + doc_id % 64) * 1000000 // 16000 AS BIGINT) AS duration_us,
+       TRUE AS roundtrip_ok
+FROM documents
+""",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL WAV codec roundtrip: per doc, synthesize ``64+id%64`` PCM16
+    samples from a fixed recurrence, write a canonical RIFF/WAVE blob
+    (struct-packed fmt/data chunks), parse it back (chunk walk, length
+    checks), and emit the DECODED stream properties and sample sum. The
+    oracle replays the recurrence in SQL — a byte-order, alignment, or
+    length-accounting bug in either direction breaks the hash match."""
+    cx = _ship_codecs()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_channels", "sample_rate", "bits_per_sample",
+                "n_samples", "sample_sum", "duration_us", "roundtrip_ok",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 64 + i % 64
+                samples = [(i * 31 + j * 17) % 65536 - 32768 for j in range(n)]
+                d = cx.decode_wav(cx.encode_wav_pcm16(16000, samples))
+                out["doc_id"].append(i)
+                out["n_channels"].append(d["n_channels"])
+                out["sample_rate"].append(d["sample_rate"])
+                out["bits_per_sample"].append(d["bits_per_sample"])
+                out["n_samples"].append(d["n_samples"])
+                out["sample_sum"].append(sum(d["samples"]))
+                out["duration_us"].append(d["n_samples"] * 1_000_000 // d["sample_rate"])
+                out["roundtrip_ok"].append(d["samples"] == samples)
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "doc_id LONG, n_channels INT, sample_rate INT, bits_per_sample INT, "
+        "n_samples LONG, sample_sum LONG, duration_us LONG, roundtrip_ok BOOLEAN",
+    )

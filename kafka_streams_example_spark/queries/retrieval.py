@@ -1,0 +1,950 @@
+"""Similarity-search and retrieval queries: brute-force and
+vectorized cosine top-k, int8-quantized scoring, LSH/IVF candidate
+pruning, embedding norm/component diagnostics, inverted-index postings,
+BM25 lexical scoring, reciprocal-rank-fusion hybrid retrieval, and
+hard-negative mining.
+
+Regrouped from the numbered query tranches in round 7 (code unchanged;
+registration order pinned by query_order.py). The corpus side is never
+collected: the bounded query set is the broadcast side, candidates are
+bucketed, and Python appears only as Arrow-batched vectorized stages.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from kafka_streams_example_spark.queries._shared import _DIM, _NGRAMS3
+from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+from pyspark.sql import DataFrame, SparkSession, Window
+from kafka_streams_example_spark.operators import dedup as dd
+from kafka_streams_example_spark.sources.files import table_row_count
+from kafka_streams_example_spark.sources.files import load_table, table_row_count
+from kafka_streams_example_spark.operators import similarity as sim
+from kafka_streams_example_spark.registry import (
+    _TOKS,
+    _duck_cosine,
+    _load_parallel,
+    register,
+)
+from kafka_streams_example_spark.sources.files import load_table
+
+
+# (from llm_extra.py)
+def _duck_q(i: int) -> str:
+    """DuckDB int8-quantized value of embedding element i (1-based)."""
+    return f"round((e)[{i}]::DOUBLE / scale)"
+
+
+_QSUM = " + ".join(_duck_q(i) for i in range(1, _DIM + 1))
+_QERR = " + ".join(
+    f"pow((e)[{i}]::DOUBLE - {_duck_q(i)} * scale, 2)" for i in range(1, _DIM + 1)
+)
+
+
+@register(
+    "embedding_quantize_int8",
+    f"""
+WITH s AS (
+    SELECT vec_id, embedding AS e,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+    FROM embeddings
+)
+SELECT vec_id, {_DIM} AS dim, scale,
+       CAST({_QSUM} AS BIGINT) AS q_sum,
+       round(({_QERR}) / {_DIM}, 9) AS mse
+FROM s WHERE scale > 0
+""",
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of embedding vectors: per-vector scale =
+    max|x|/127, elements round(x/scale) — the standard 4x memory/bandwidth
+    reduction for ANN indexes at scale. Emits the quantized checksum and
+    the reconstruction MSE so quantization quality is itself a query.
+
+    Engine-exact across Spark and DuckDB: float32 -> double widening is
+    exact, the per-element fold runs in identical left-to-right order
+    (F.aggregate vs an unrolled sum chain), and round() is
+    half-away-from-zero in both. Zero vectors (scale = 0) are excluded on
+    both sides — Spark's x/0 -> NaN and DuckDB's -> NULL would otherwise
+    diverge (verify-skill gotcha).
+
+    Scale: map-only per-row array math inside whole-stage codegen; no
+    shuffle, no Python.
+    """
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    stage = emb.select(
+        "vec_id",
+        vd.alias("v"),
+        (F.array_max(F.transform(vd, lambda x: F.abs(x))) / F.lit(127.0)).alias(
+            "scale"
+        ),
+    ).filter(F.col("scale") > 0)
+    v, scale = F.col("v"), F.col("scale")
+    q = F.transform(v, lambda x: F.round(x / scale))
+    err = F.aggregate(
+        F.zip_with(v, q, lambda x, qq: F.pow(x - qq * scale, 2)),
+        F.lit(0.0),
+        lambda a, b: a + b,
+    )
+    return stage.select(
+        "vec_id",
+        F.lit(_DIM).alias("dim"),
+        "scale",
+        F.aggregate(q, F.lit(0.0), lambda a, b: a + b).cast("long").alias("q_sum"),
+        F.round(err / F.lit(float(_DIM)), 9).alias("mse"),
+    )
+
+
+# (from llm_extra.py)
+def _duck_dequant_cte() -> str:
+    """Shared oracle CTEs: per-vector int8 reconstruction (same math as
+    embedding_quantize_int8)."""
+    return """
+WITH s AS (
+    SELECT vec_id, embedding AS e,
+           list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+    FROM embeddings
+),
+d AS (
+    SELECT vec_id,
+           list_transform(e, x -> round(x::DOUBLE / scale) * scale) AS v
+    FROM s WHERE scale > 0
+)"""
+
+
+def _register_quantized_topk() -> None:
+    from kafka_streams_example_spark.registry import _duck_cosine
+
+    oracle = (
+        _duck_dequant_cte()
+        + f""",
+q AS (SELECT vec_id AS q_id, v AS qv FROM d WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, c.vec_id, {_duck_cosine('q.qv', 'c.v')} AS score
+    FROM d c, q WHERE c.vec_id <> q.q_id
+),
+ranked AS (
+    SELECT q_id, vec_id, score,
+           row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+    FROM scored
+)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score FROM ranked WHERE rnk <= 10
+"""
+    )
+
+    @register("similarity_quantized_topk", oracle)
+    def similarity_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Brute-force cosine top-10 over int8-QUANTIZED vectors — the
+        memory/bandwidth-bound scale path of ANN serving (4x smaller
+        vectors than float32, 8x than float64). Engine-exact: the
+        dequantized values, fold order and rounding reproduce bit-identically
+        in DuckDB, so even this approximate-by-quantization ranking is
+        oracle-checked (recall vs the float top-k is asserted in tests).
+
+        Plan shape: the reconstructed vectors are materialized behind an
+        explicit exchange BEFORE any per-pair math — folding a dot product
+        over a `transform(...)` expression would re-evaluate the whole
+        dequantization per element (the higher-order-lambda re-evaluation
+        trap, see text.py:word_ngrams). Norms are computed once per vector
+        pre-join, so each of the |corpus| x |queries| pairs costs exactly
+        one fold.
+        """
+        from pyspark.sql.window import Window
+
+        from kafka_streams_example_spark.operators import similarity as sim
+
+        emb = _load_parallel(spark, sf_dir, "embeddings")
+        vd = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+        s1 = emb.select("vec_id", vd.alias("v"))
+        s2 = s1.select(
+            "vec_id",
+            "v",
+            (F.array_max(F.transform(F.col("v"), lambda x: F.abs(x))) / F.lit(127.0)).alias(
+                "scale"
+            ),
+        ).filter(F.col("scale") > 0)
+        deq = s2.select(
+            "vec_id",
+            F.transform(
+                F.col("v"), lambda x: F.round(x / F.col("scale")) * F.col("scale")
+            ).alias("v"),
+        ).repartition(spark.sparkContext.defaultParallelism)
+        base = deq.select(
+            "vec_id", "v", F.sqrt(sim.dot(F.col("v"), F.col("v"), _DIM)).alias("nrm")
+        )
+        q = base.filter(F.col("vec_id") < 8).select(
+            F.col("vec_id").alias("q_id"),
+            F.col("v").alias("qv"),
+            F.col("nrm").alias("qnrm"),
+        )
+        scored = base.join(F.broadcast(q), F.col("vec_id") != F.col("q_id")).withColumn(
+            "score",
+            sim.dot(F.col("qv"), F.col("v"), _DIM) / (F.col("qnrm") * F.col("nrm")),
+        )
+        w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+        return (
+            scored.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .select("q_id", "vec_id", "rnk", F.round("score", 6).alias("score"))
+        )
+
+
+_register_quantized_topk()
+
+
+@register("similarity_cosine_topk_vectorized")
+def similarity_cosine_topk_vectorized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched numpy-matmul flavor of the exact brute-force cosine
+    top-k (query set = vec_id < 8). Emits only per-batch local top-k, so
+    the final shuffle is queries x partitions x k rows regardless of
+    corpus size. Shares similarity_cosine_topk's oracle: ranking ties are
+    broken by id, raw-score differences vs the sequential fold sit below
+    float-sum reassociation noise (~1e-15), and the 6-decimal rounding
+    removes them — equality with the JVM-fold query is ALSO asserted
+    rank-by-rank in tests."""
+    from kafka_streams_example_spark.operators import similarity as sim
+    from kafka_streams_example_spark.sources.files import load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk_vectorized(emb, emb.filter(F.col("vec_id") < 8), k=10)
+
+
+# (from llm_extra.py)
+def _register_vectorized_oracle() -> None:
+    from kafka_streams_example_spark.registry import ORACLES
+
+    ORACLES["similarity_cosine_topk_vectorized"] = ORACLES["similarity_cosine_topk"]
+
+
+_register_vectorized_oracle()
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# label_mean_embeddings — element-wise vector pooling per group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "label_mean_embeddings",
+    """
+WITH e AS (
+    SELECT label, i AS dim_pos, CAST(embedding[i] AS DOUBLE) AS val
+    FROM embeddings,
+         unnest(generate_series(1, len(embedding))) AS u(i)
+)
+SELECT label,
+       CAST(dim_pos AS INT) AS dim_pos,
+       round(avg(val), 6) AS mean_val,
+       count(*) AS n_vectors
+FROM e
+GROUP BY 1, 2
+""",
+)
+def label_mean_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise mean pooling of embeddings per label — the pooling
+    step behind chunk-embeddings→document-embedding and per-class
+    centroids (classifier prototypes, clustering seeds). Emitted in long
+    form (label, dim, mean) so the oracle is engine-portable; callers
+    reassemble vectors with the sort-collect idiom in
+    operators/similarity.py:kmeans_lloyd.
+
+    Scale shape: posexplode multiplies rows by dim, but the groupBy on
+    (label, dim) combines map-side, so the shuffle is |labels| x dim
+    rows — independent of corpus size (the same k x dim bound as the
+    k-means update step)."""
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", (F.col("pos0") + 1).cast("int").alias("dim_pos"))
+        .agg(
+            F.round(F.avg(F.col("val").cast("double")), 6).alias("mean_val"),
+            F.count("*").alias("n_vectors"),
+        )
+    )
+
+
+# (from llm_extra3.py)
+# --------------------------------------------------------------------------
+# power_iteration_top_component — PCA direction, declaratively
+# --------------------------------------------------------------------------
+
+_PI_DIM = 64
+_PI_ITER = 2
+
+
+def _duck_power_iteration_sql(dim: int = _PI_DIM, iterations: int = _PI_ITER) -> str:
+    """Unrolled power iteration in DuckDB — same round-6 contract as
+    kmeans (_duck_kmeans_sql): both engines renormalize identical rounded
+    doubles each iteration, so per-row dot products match bit-exactly and
+    the row-order-dependent per-dimension sums agree at 6 decimals."""
+    v0 = "[" + ", ".join(["0.125"] * dim) + "]::DOUBLE[]"
+    sql = f"WITH v0 AS (SELECT {v0} AS v)"
+    prev = "v0"
+    for it in range(1, iterations + 1):
+        sql += f""",
+d{it} AS (
+    SELECT e.vec_id,
+           list_aggregate(list_transform(generate_series(1, {dim}),
+               i -> CAST(e.embedding[i] AS DOUBLE) * v.v[i]), 'sum') AS d
+    FROM embeddings e CROSS JOIN {prev} v
+),
+s{it} AS (
+    SELECT CAST(pos AS INT) AS pos,
+           round(sum(CAST(e.embedding[pos] AS DOUBLE) * d.d), 6) AS sval
+    FROM embeddings e
+    JOIN d{it} d ON e.vec_id = d.vec_id
+    CROSS JOIN range(1, {dim + 1}) AS t(pos)
+    GROUP BY 1
+),
+n{it} AS (SELECT sqrt(sum(sval * sval)) AS nrm FROM s{it}),
+v{it} AS (
+    SELECT list(round(sval / nrm, 6) ORDER BY pos) AS v
+    FROM s{it} CROSS JOIN n{it}
+)"""
+        prev = f"v{it}"
+    return (
+        sql
+        + f"""
+SELECT CAST(pos AS INT) AS dim_pos, round(sval / nrm, 6) AS component
+FROM s{iterations} CROSS JOIN n{iterations}
+"""
+    )
+
+
+@register("power_iteration_top_component", _duck_power_iteration_sql())
+def power_iteration_top_component(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the (uncentered) embedding Gram matrix
+    X'X via power iteration — the PCA/spectral building block, written as
+    the same declarative iterate-broadcast-aggregate loop as kmeans_lloyd:
+    per iteration, one corpus scan computes per-row projections x·v (the
+    dim-sized v is broadcast), a (dim)-key aggregate re-forms X'Xv, and
+    the renormalized vector is rounded to 6 decimals so both engines
+    iterate identical doubles. The corpus is never collected; the only
+    shuffle per iteration carries dim × partitions partial sums."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    vecs = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias("x"),
+    )
+    v = spark.range(1).select(
+        F.array(*[F.lit(1.0 / 8.0)] * _PI_DIM).alias("v")
+    )
+    for _ in range(_PI_ITER):
+        proj = vecs.crossJoin(F.broadcast(v)).select(
+            "id",
+            "x",
+            F.aggregate(
+                F.sequence(F.lit(1), F.lit(_PI_DIM)),
+                F.lit(0.0),
+                lambda acc, i: acc
+                + F.element_at(F.col("x"), i) * F.element_at(F.col("v"), i),
+            ).alias("d"),
+        )
+        s = (
+            proj.select(F.posexplode("x").alias("pos0", "val"), "d")
+            .groupBy((F.col("pos0") + 1).cast("int").alias("pos"))
+            .agg(F.round(F.sum(F.col("val") * F.col("d")), 6).alias("sval"))
+        )
+        nrm = s.agg(F.sqrt(F.sum(F.col("sval") * F.col("sval"))).alias("nrm"))
+        v = (
+            s.crossJoin(nrm)
+            .select("pos", F.round(F.col("sval") / F.col("nrm"), 6).alias("vv"))
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "vv"))),
+                    lambda t: t.vv,
+                ).alias("v")
+            )
+        )
+    final = s.crossJoin(nrm)
+    return final.select(
+        F.col("pos").alias("dim_pos"),
+        F.round(F.col("sval") / F.col("nrm"), 6).alias("component"),
+    )
+
+
+# (from llm_extra3.py)
+# --------------------------------------------------------------------------
+# ann_recall_at_k — index-quality evaluation (IVF vs exact)
+# --------------------------------------------------------------------------
+
+
+def _ann_recall_sql() -> str:
+    """Composes the two already-proven oracles (exact brute-force top-10
+    and IVF top-10) and computes per-query overlap — the oracle inherits
+    their bit-exactness, so recall itself is exact."""
+    from kafka_streams_example_spark import registry
+
+    exact_sql = registry.ORACLES["similarity_cosine_topk"]
+    ivf_sql = registry.ORACLES["similarity_ivf_topk"]
+    return f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({exact_sql}) x),
+approx AS (SELECT q_id, vec_id FROM ({ivf_sql}) a),
+base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1),
+hits AS (SELECT a.q_id, count(*) AS n_hits
+         FROM approx a JOIN exact e USING (q_id, vec_id) GROUP BY 1)
+SELECT b.q_id, b.n_exact,
+       coalesce(h.n_hits, 0) AS n_hits,
+       round(coalesce(h.n_hits, 0) / 10.0, 6) AS recall_at_10
+FROM base b LEFT JOIN hits h USING (q_id)
+"""
+
+
+@register("ann_recall_at_k", _ann_recall_sql())
+def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Index-quality evaluation: recall@10 of the IVF index against the
+    exact brute-force top-10, per query — the acceptance gate before an
+    approximate index replaces exact search in a retrieval pipeline.
+    Same parameters as the registered similarity_ivf_topk (16 cells,
+    nprobe=4, queries = vec_id < 8).
+
+    Both sides reuse the existing operators, so the eval costs one exact
+    pass over the query set (queries are a sample — exact search over a
+    sample is the standard recall protocol) plus the IVF path being
+    measured; the overlap join is per-query×k rows, trivially small."""
+    from kafka_streams_example_spark.operators import similarity as sim
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    # queries × rows × nprobe/cells: the window input unions all 8
+    # query vectors' probed cells
+    est = 8 * table_row_count(spark, sf_dir, "embeddings") * 4 // 16
+    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    approx = sim.ivf_topk(
+        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64,
+        candidate_rows=est,
+    ).select("q_id", "vec_id")
+    base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits")
+    )
+    return base.join(hits, "q_id", "left").select(
+        "q_id",
+        "n_exact",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / 10.0, 6).alias("recall_at_10"),
+    )
+
+
+# (from llm_extra3.py)
+# --------------------------------------------------------------------------
+# similarity_pair_histogram — dedup-threshold calibration curve
+# --------------------------------------------------------------------------
+
+
+@register(
+    "similarity_pair_histogram",
+    f"""
+WITH d AS (
+    SELECT doc_id, lang, source, {_NGRAMS3} AS ng
+    FROM (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+pairs AS (
+    SELECT floor(len(list_intersect(a.ng, b.ng))
+           / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)
+           * 1000000.0 + 0.5) / 1000000.0 AS jac
+    FROM nz a JOIN nz b
+      ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))
+          / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.2
+)
+SELECT CAST(least(floor(jac * 10), 9) AS INT) AS bucket,
+       round(least(floor(jac * 10), 9) / 10.0, 1) AS bucket_lo,
+       count(*) AS n_pairs,
+       min(jac) AS min_jac,
+       max(jac) AS max_jac
+FROM pairs
+GROUP BY 1, 2
+""",
+)
+def similarity_pair_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-threshold calibration: the similarity histogram of candidate
+    pairs (blocked 3-gram Jaccard ≥ 0.2, bucketed by 0.1) — the curve you
+    read before choosing the near-dup cutoff, instead of cargo-culting
+    0.8. One pair computation feeds every bucket; at 100 TB the pair
+    source swaps to the MinHash candidate path like every other consumer
+    of the pair generator."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    blk = F.concat(
+        F.base64(F.encode(F.col("lang"), "utf-8")),
+        F.lit("|"),
+        F.base64(F.encode(F.col("source"), "utf-8")),
+    )
+    pairs = dd.ngram_jaccard_pairs(docs, block_key=blk, threshold=0.2)
+    bucket = F.least(F.floor(F.col("jaccard") * 10), F.lit(9)).cast("int")
+    return (
+        pairs.withColumn("bucket", bucket)
+        .withColumn("bucket_lo", F.round(F.col("bucket") / 10.0, 1))
+        .groupBy("bucket", "bucket_lo")
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.min("jaccard").alias("min_jac"),
+            F.max("jaccard").alias("max_jac"),
+        )
+    )
+
+
+# (from llm_extra4.py)
+# --------------------------------------------------------------------------
+# inverted_index_postings — token -> doc_freq / total_tf / capped postings
+# --------------------------------------------------------------------------
+
+
+@register(
+    "inverted_index_postings",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS tok FROM documents
+),
+td AS (
+    SELECT tok, doc_id, count(*) AS tf FROM toks GROUP BY 1, 2
+)
+SELECT tok,
+       CAST(count(*) AS BIGINT) AS doc_freq,
+       CAST(sum(tf) AS BIGINT) AS total_tf,
+       array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings_csv
+FROM td
+GROUP BY tok
+HAVING count(*) >= 2
+""",
+)
+def inverted_index_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted-index build: per token, document frequency, total term
+    frequency and the first 8 postings (ascending doc_id) as a CSV string.
+
+    100 TB shape: the corpus-sized token stream shuffles once into the
+    map-side-combined (tok, doc) pre-aggregate; the postings-capping
+    row_number re-shuffles only that deduplicated table on tok and the
+    final aggregate reuses the window's partitioning (exchange reuse).
+    Per-token executor state is bounded to 8 postings even for
+    stopwords; doc_freq/total_tf come from counters, not lists."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    td = toks.groupBy("tok", "doc_id").agg(F.count("*").alias("tf"))
+    rn = F.row_number().over(Window.partitionBy("tok").orderBy("doc_id"))
+    return (
+        td.withColumn("rn", rn)
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("doc_freq"),
+            F.sum("tf").cast("bigint").alias("total_tf"),
+            F.array_join(
+                F.array_sort(F.collect_list(F.when(F.col("rn") <= 8, F.col("doc_id")))),
+                ",",
+            ).alias("postings_csv"),
+        )
+        .filter(F.col("doc_freq") >= 2)
+    )
+
+
+# (from llm_extra12.py)
+# --------------------------------------------------------------------------
+# hard_negative_mining — contrastive negatives by label-filtered top-k
+# --------------------------------------------------------------------------
+
+_HN_K = 5
+
+
+@register(
+    "hard_negative_mining",
+    f"""
+WITH q AS (SELECT vec_id AS q_id, label AS q_label, embedding AS qv
+           FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, q.q_label, e.vec_id, e.label AS neg_label,
+           {_duck_cosine("q.qv", "e.embedding")} AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.label <> q.q_label
+)
+SELECT q_id, q_label, vec_id, neg_label, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= {_HN_K}
+""",
+)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative selection for contrastive training: per query
+    vector (vec_id < 8), the top-5 most-cosine-similar vectors carrying
+    a DIFFERENT label — the negatives that actually move a contrastive
+    loss, vs easy random negatives.
+
+    100 TB shape: cosine_topk's broadcast-queries / scan-corpus shape;
+    the label inequality prunes candidates BEFORE the rank window, and
+    norms fold once per side before the pairing join."""
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = (
+        emb.filter(F.col("vec_id") < 8)
+        .select(
+            F.col("vec_id").alias("q_id"),
+            F.col("label").alias("q_label"),
+            F.col("embedding").alias("q_vec"),
+        )
+        .withColumn("q_nrm", sim.norm(F.col("q_vec"), 64))
+    )
+    c = ensure_min_partitions(
+        emb.select("vec_id", "label", "embedding")
+    ).withColumn("nrm", sim.norm(F.col("embedding"), 64))
+    scored = (
+        c.join(F.broadcast(q), F.col("label") != F.col("q_label"))
+        .withColumn(
+            "score",
+            sim.dot(F.col("q_vec"), F.col("embedding"), 64)
+            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _HN_K)
+        .select(
+            "q_id",
+            "q_label",
+            "vec_id",
+            F.col("label").alias("neg_label"),
+            "rnk",
+            F.round("score", 6).alias("score"),
+        )
+    )
+
+
+# (from llm_extra12.py)
+# --------------------------------------------------------------------------
+# embedding_norm_outliers — embedding-space health check
+# --------------------------------------------------------------------------
+
+
+@register(
+    "embedding_norm_outliers",
+    """
+WITH norms AS (
+    SELECT label,
+           round(sqrt(list_aggregate(list_transform(generate_series(1, 64),
+               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)),
+               'sum')), 6) AS nrm
+    FROM embeddings
+),
+stats AS (
+    SELECT label,
+           count(*) AS n_vecs,
+           round(avg(nrm), 6) AS mean_norm,
+           round(stddev_pop(nrm), 6) AS std_norm
+    FROM norms GROUP BY label
+)
+SELECT s.label,
+       CAST(s.n_vecs AS BIGINT) AS n_vecs,
+       s.mean_norm, s.std_norm,
+       CAST(count(*) FILTER (WHERE abs(n.nrm - s.mean_norm) > 2 * s.std_norm)
+            AS BIGINT) AS n_outliers
+FROM norms n JOIN stats s USING (label)
+GROUP BY s.label, s.n_vecs, s.mean_norm, s.std_norm
+""",
+)
+def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding-norm statistics with 2-sigma outlier counts —
+    the embedding-space health check (collapsed or exploded norms ruin
+    cosine retrieval) run before any similarity index is built.
+
+    Fences (mean, std) are ROUNDED to 6dp before the outlier comparison
+    and norms are rounded the same, so engine summation order cannot
+    flip a boundary membership (the robust_scaler discipline).
+
+    100 TB shape: norms fold in the scan; label stats are a
+    label-cardinality broadcast back onto the norm stream."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    norms = emb.select(
+        "label", F.round(sim.norm(F.col("embedding"), 64), 6).alias("nrm")
+    )
+    stats = norms.groupBy("label").agg(
+        F.count("*").alias("n_vecs"),
+        F.round(F.avg("nrm"), 6).alias("mean_norm"),
+        F.round(F.stddev_pop("nrm"), 6).alias("std_norm"),
+    )
+    return (
+        norms.join(F.broadcast(stats), "label")
+        .groupBy("label", "n_vecs", "mean_norm", "std_norm")
+        .agg(
+            F.sum(
+                F.when(
+                    F.abs(F.col("nrm") - F.col("mean_norm"))
+                    > 2 * F.col("std_norm"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_outliers")
+        )
+        .select(
+            "label",
+            F.col("n_vecs").cast("bigint").alias("n_vecs"),
+            "mean_norm",
+            "std_norm",
+            "n_outliers",
+        )
+    )
+
+
+# (from llm_extra13.py)
+# --------------------------------------------------------------------------
+# bm25_topk_docs — classic IR scoring over the proven postings shapes
+# --------------------------------------------------------------------------
+
+_BM25_TERMS = ["slow", "batch", "hash"]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_K = 10
+
+
+@register(
+    "bm25_topk_docs",
+    f"""
+WITH d AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+ln_ AS (SELECT doc_id, toks, len(toks) AS dl FROM d),
+stats AS (SELECT count(*) AS n, avg(dl) AS avgdl FROM ln_),
+tf AS (
+    SELECT doc_id, dl,
+           {", ".join(
+               f"len(list_filter(toks, x -> x = '{t}')) AS tf_{i}"
+               for i, t in enumerate(_BM25_TERMS))}
+    FROM ln_
+),
+df AS (
+    SELECT {", ".join(
+        f"count(*) FILTER (WHERE tf_{i} > 0) AS df_{i}"
+        for i in range(len(_BM25_TERMS)))}
+    FROM tf
+),
+scored AS (
+    SELECT doc_id,
+           {" + ".join(
+               f"(ln(1.0 + (n - df_{i} + 0.5) / (df_{i} + 0.5))"
+               f" * tf_{i} * ({_BM25_K1} + 1.0)"
+               f" / (tf_{i} + {_BM25_K1} * (1.0 - {_BM25_B}"
+               f" + {_BM25_B} * dl / avgdl)))"
+               for i in range(len(_BM25_TERMS)))} AS score
+    FROM tf CROSS JOIN df CROSS JOIN stats
+)
+SELECT doc_id, round(score, 6) AS score
+FROM scored
+ORDER BY round(score, 6) DESC, doc_id
+LIMIT {_BM25_K}
+""",
+)
+def bm25_topk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 (k1=1.2, b=0.75, Lucene idf = ln(1+(N-df+0.5)/(df+0.5)))
+    top-10 documents for the fixed query {{slow, batch, hash}} — the
+    classic lexical retrieval scorer, fully engine-portable: tf/df/N/dl
+    are integers, avgdl is an exact integer-sum division, so both
+    engines feed identical doubles into the same expression tree;
+    ordering uses the 6dp-rounded score (doc_id tiebreak).
+
+    100 TB shape: per-term df is one tiny aggregate broadcast back with
+    the 1-row (N, avgdl) stats; scoring is map-only; the top-k is a
+    distributed TakeOrdered, not a global sort."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks")
+    ).withColumn("dl", F.size("toks"))
+    def _tf(term: str):
+        # one-arg lambda: a second parameter would be read as the index
+        return F.size(F.filter(F.col("toks"), lambda x: x == F.lit(term)))
+
+    tf = base.select(
+        "doc_id",
+        "dl",
+        *[_tf(t).alias(f"tf_{i}") for i, t in enumerate(_BM25_TERMS)],
+    )
+    df_row = tf.agg(
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_BM25_TERMS))
+        ]
+    )
+    stats = base.agg(
+        F.count("*").alias("n"), F.avg("dl").alias("avgdl")
+    )
+    scored = tf.crossJoin(F.broadcast(df_row)).crossJoin(F.broadcast(stats))
+    score = None
+    for i in range(len(_BM25_TERMS)):
+        idf = F.log(
+            F.lit(1.0)
+            + (F.col("n") - F.col(f"df_{i}") + F.lit(0.5))
+            / (F.col(f"df_{i}") + F.lit(0.5))
+        )
+        term = (
+            idf
+            * F.col(f"tf_{i}")
+            * (F.lit(_BM25_K1) + 1.0)
+            / (
+                F.col(f"tf_{i}")
+                + F.lit(_BM25_K1)
+                * (
+                    F.lit(1.0)
+                    - F.lit(_BM25_B)
+                    # nullif: an all-empty-token corpus has avgdl=0 and
+                    # must yield NULL scores (oracle x/0 -> NULL), not
+                    # an ANSI divide error
+                    + F.lit(_BM25_B)
+                    * F.col("dl")
+                    / F.nullif(F.col("avgdl"), F.lit(0.0))
+                )
+            )
+        )
+        score = term if score is None else score + term
+    return (
+        scored.select("doc_id", F.round(score, 6).alias("score"))
+        .orderBy(F.desc("score"), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+# (from llm_extra14.py)
+# --------------------------------------------------------------------------
+# rrf_hybrid_retrieval — lexical + semantic rank fusion
+# --------------------------------------------------------------------------
+
+_RRF_TERMS = ["slow", "batch", "hash"]  # same fixed query as bm25_topk_docs
+_RRF_K = 60  # the standard RRF damping constant (Cormack et al. 2009)
+_RRF_TOP = 10
+
+
+def _duck_tf(term: str) -> str:
+    return f"len(list_filter(t, x -> x = '{term}'))"
+
+
+@register(
+    "rrf_hybrid_retrieval",
+    f"""
+WITH base AS (
+    SELECT d.doc_id, {_TOKS} AS t, e.embedding
+    FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+    WHERE e.vec_id > 0
+),
+q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+n AS (SELECT count(*) AS n_docs FROM base),
+dfreq AS (
+    SELECT {", ".join(
+        f"count(*) FILTER (WHERE {_duck_tf(t)} > 0) AS df_{i}"
+        for i, t in enumerate(_RRF_TERMS))}
+    FROM base
+),
+scored AS (
+    SELECT doc_id,
+           round({" + ".join(
+               f"{_duck_tf(t)} * ln((n_docs + 1.0) / (df_{i} + 1.0))"
+               for i, t in enumerate(_RRF_TERMS))}, 6) AS s_lex,
+           round({_duck_cosine("base.embedding", "q.qv")}, 6) AS s_sem
+    FROM base, q, n, dfreq
+),
+ranked AS (
+    SELECT doc_id,
+           row_number() OVER (ORDER BY s_lex DESC, doc_id) AS rank_lex,
+           row_number() OVER (ORDER BY s_sem DESC, doc_id) AS rank_sem
+    FROM scored
+)
+SELECT doc_id,
+       CAST(rank_lex AS BIGINT) AS rank_lex,
+       CAST(rank_sem AS BIGINT) AS rank_sem,
+       round(1.0 / ({_RRF_K} + rank_lex) + 1.0 / ({_RRF_K} + rank_sem), 6)
+           AS rrf_score
+FROM ranked
+ORDER BY round(1.0 / ({_RRF_K} + rank_lex) + 1.0 / ({_RRF_K} + rank_sem), 6) DESC,
+         doc_id
+LIMIT {_RRF_TOP}
+""",
+)
+def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al. 2009,
+    public method): a lexical arm (smoothed tf·idf over the fixed query
+    terms) and a semantic arm (cosine to the vec_id-0 query embedding)
+    each rank the embedded subset of the corpus; RRF fuses the two rank
+    lists — 1/(60+r_lex) + 1/(60+r_sem) — and the top-10 fused docs come
+    out. The production RAG/hard-negative shape: sparse and dense
+    retrieval disagree productively, and rank fusion needs no score
+    calibration between them.
+
+    Scale shape: the lexical arm is one scan + a broadcast (df, N) row;
+    the semantic arm reuses the broadcast-query cosine; both ranks are
+    full-order windows over the CANDIDATE subset (already bounded — at
+    100 TB the arms each emit their own top-R via TakeOrdered first and
+    RRF fuses R-sized lists, the standard two-stage layout). Ordering is
+    on 6dp-rounded scores with doc_id tiebreaks on both engines."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    qv = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("qv"),
+        sim.norm(F.col("embedding"), 64).alias("qn"),
+    )
+    base = (
+        docs.join(
+            emb.filter(F.col("vec_id") > 0),
+            docs["doc_id"] == emb["vec_id"],
+        )
+        .select(
+            "doc_id",
+            tx.tokens(F.lower(F.col("text"))).alias("t"),
+            "embedding",
+        )
+    )
+    def _tf(term: str):
+        # one-arg lambda: a second parameter would be read as the index
+        return F.size(F.filter(F.col("t"), lambda x: x == F.lit(term)))
+
+    tf = base.select(
+        "doc_id",
+        "embedding",
+        *[_tf(term).alias(f"tf_{i}") for i, term in enumerate(_RRF_TERMS)],
+    )
+    stats = tf.agg(
+        F.count("*").alias("n_docs"),
+        *[
+            F.sum(F.when(F.col(f"tf_{i}") > 0, 1).otherwise(0)).alias(f"df_{i}")
+            for i in range(len(_RRF_TERMS))
+        ],
+    )
+    s_lex = None
+    for i in range(len(_RRF_TERMS)):
+        term = F.col(f"tf_{i}") * F.log(
+            (F.col("n_docs") + F.lit(1.0)) / (F.col(f"df_{i}") + F.lit(1.0))
+        )
+        s_lex = term if s_lex is None else s_lex + term
+    scored = (
+        tf.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(qv))
+        .select(
+            "doc_id",
+            F.round(s_lex, 6).alias("s_lex"),
+            F.round(
+                sim.dot(F.col("embedding"), F.col("qv"), 64)
+                / F.nullif(sim.norm(F.col("embedding"), 64) * F.col("qn"), F.lit(0.0)),
+                6,
+            ).alias("s_sem"),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number().over(Window.orderBy(F.desc("s_lex"), "doc_id")).alias("rank_lex"),
+        F.row_number().over(Window.orderBy(F.desc("s_sem"), "doc_id")).alias("rank_sem"),
+    )
+    rrf = F.round(
+        1.0 / (F.lit(_RRF_K) + F.col("rank_lex"))
+        + 1.0 / (F.lit(_RRF_K) + F.col("rank_sem")),
+        6,
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            F.col("rank_lex").cast("long").alias("rank_lex"),
+            F.col("rank_sem").cast("long").alias("rank_sem"),
+            rrf.alias("rrf_score"),
+        )
+        .orderBy(F.desc("rrf_score"), "doc_id")
+        .limit(_RRF_TOP)
+    )

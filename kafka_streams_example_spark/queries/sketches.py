@@ -1,26 +1,18 @@
-"""Sixteenth query tranche: engine-level primitives a 100 TB pipeline
-leans on — a distributed Bloom-filter build + probe join (the runtime-
-filter / semi-join-pruning shape), a Johnson–Lindenstrauss random-
-projection distortion audit (the dimensionality-reduction contract
-behind every ANN shortcut), and a fixed-weight logistic quality
-classifier (fasttext-style model scoring as pure column expressions).
+"""Probabilistic-sketch queries: Count-Min heavy hitters, KMV and
+theta distinct sketches, Bloom-filter probe joins (runtime-filter
+shape), Johnson-Lindenstrauss projection distortion audits, and
+feature hashing.
 
-All three are fully oracle-checked: the Bloom positions, JL signs and
-logistic features are md5-/constant-derived on both engines, so even the
-"probabilistic" outputs reproduce bit-exactly.
-
-Reference parity note: the reference engine (Kafka Streams DSL,
-SolarConsumer.java) has no analogue — these extend the engine toward the
-LLM-data-pipeline north star (SURVEY.md §2, beyond-reference table).
+Regrouped from the numbered query tranches in round 7 (code unchanged;
+registration order pinned by query_order.py). Every sketch here is
+mergeable (fixed cells, map-side combine) and each query carries the
+accuracy audit its estimate must satisfy, so the driver hash-verifies
+the sketch's contract, not a float coincidence.
 """
 
-from __future__ import annotations
-
 import hashlib
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-
 from kafka_streams_example_spark.operators import similarity as sim
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import (
@@ -29,6 +21,8 @@ from kafka_streams_example_spark.registry import (
     register,
 )
 
+
+# (from llm_extra15.py)
 # --------------------------------------------------------------------------
 # bloom_filter_probe_join — distributed Bloom build + broadcast probe
 # --------------------------------------------------------------------------
@@ -165,6 +159,7 @@ def bloom_filter_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (from llm_extra15.py)
 # --------------------------------------------------------------------------
 # jl_projection_distortion — Johnson–Lindenstrauss pair-distance audit
 # --------------------------------------------------------------------------
@@ -277,106 +272,7 @@ def jl_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# --------------------------------------------------------------------------
-# quality_logreg_score — fixed-weight logistic quality classifier
-# --------------------------------------------------------------------------
-
-# Published-style fixed weights (fasttext-like linear quality model):
-# bias, ln(1+tokens), stopword ratio, special-char ratio, avg token len.
-_LR_W = {
-    "bias": -2.0,
-    "log_tokens": 0.8,
-    "stop_ratio": 3.0,
-    "special_ratio": -5.0,
-    "avg_tok_len": -0.1,
-}
-_LR_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
-
-
-@register(
-    "quality_logreg_score",
-    f"""
-WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
-feat AS (
-    SELECT doc_id,
-           CAST(len(toks) AS BIGINT) AS n_tokens,
-           ln(1.0 + len(toks)) AS f_log_tokens,
-           CASE WHEN len(toks) > 0 THEN
-               len(list_filter(toks, x -> list_contains([{_LR_STOPS}], x)))
-               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS f_stop,
-           CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
-               length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
-               / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END AS f_special,
-           CASE WHEN len(toks) > 0 THEN
-               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
-               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS f_avg_len
-    FROM t
-),
-scored AS (
-    SELECT doc_id, n_tokens,
-           round(f_stop, 6) AS stop_ratio,
-           round(f_special, 6) AS special_ratio,
-           round(f_avg_len, 6) AS avg_tok_len,
-           round(1.0 / (1.0 + exp(-({_LR_W["bias"]}
-               + {_LR_W["log_tokens"]} * f_log_tokens
-               + {_LR_W["stop_ratio"]} * f_stop
-               + {_LR_W["special_ratio"]} * f_special
-               + {_LR_W["avg_tok_len"]} * f_avg_len))), 6) AS quality_prob
-    FROM feat
-)
-SELECT doc_id, n_tokens, stop_ratio, special_ratio, avg_tok_len,
-       quality_prob, quality_prob >= 0.5 AS kept
-FROM scored
-""",
-)
-def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Fixed-weight logistic-regression quality classifier (the
-    fasttext-style linear scorer every corpus pipeline runs before
-    training): engineered features — log token count, stopword ratio,
-    special-char ratio, mean token length — dotted with published
-    weights through a sigmoid, entirely as JVM column expressions (zero
-    Python in the hot path; a learned model swaps the literal weights
-    for a broadcast weight row, same plan). `kept` is the boolean the
-    downstream filter consumes, decided on the 6dp-rounded probability
-    so both engines threshold the same value.
-
-    Scale: map-only scan, no shuffle, whole-stage-codegen'd; the
-    features reuse text_quality_stats' exact definitions (registry.py)
-    so the classifier can never drift from the published feature
-    semantics."""
-    docs = _load_parallel(spark, sf_dir, "documents")
-    toks = tx.tokens(F.lower(F.col("text")))
-    n_tok = F.size(toks)
-    f_log_tokens = F.log(F.lit(1.0) + n_tok)
-    f_stop = tx.stopword_ratio(F.col("text"), "en")
-    f_special = tx.special_char_ratio(F.col("text"))
-    tok_chars = F.aggregate(
-        F.transform(toks, lambda t: F.length(t).cast("long")),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    f_avg_len = F.when(
-        n_tok > 0, tok_chars / n_tok.cast("double")
-    ).otherwise(F.lit(0.0))
-    z = (
-        F.lit(_LR_W["bias"])
-        + F.lit(_LR_W["log_tokens"]) * f_log_tokens
-        + F.lit(_LR_W["stop_ratio"]) * f_stop
-        + F.lit(_LR_W["special_ratio"]) * f_special
-        + F.lit(_LR_W["avg_tok_len"]) * f_avg_len
-    )
-    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
-    return docs.select(
-        "doc_id",
-        n_tok.cast("long").alias("n_tokens"),
-        F.round(f_stop, 6).alias("stop_ratio"),
-        F.round(f_special, 6).alias("special_ratio"),
-        F.round(f_avg_len, 6).alias("avg_tok_len"),
-        prob.alias("quality_prob"),
-        (prob >= 0.5).alias("kept"),
-    )
-
-
+# (from llm_extra15.py)
 # --------------------------------------------------------------------------
 # kmv_distinct_sketch — k-minimum-values cardinality estimate
 # --------------------------------------------------------------------------
@@ -466,64 +362,346 @@ def kmv_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# (from llm_extra16.py)
 # --------------------------------------------------------------------------
-# shard_manifest — reproducible dataset manifest with content checksums
+# countmin_heavy_hitters — Count-Min sketch + exact heavy-hitter audit
 # --------------------------------------------------------------------------
 
-_MAN_SHARDS = 16
-_MAN_MOD = (1 << 60) - 1  # commutative-checksum modulus
+_CM_D = 4  # hash rows
+_CM_W = 64  # counters per row
+_CM_TOPK = 20
+
+
+def _spark_cm_pos(tok, d: int):
+    """Counter position for hash row d: md5-derived 60-bit value mod w —
+    the engine-portable flavor (functions/hashing.py:stable_long)."""
+    return (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"cm{d}:"), tok)), 1, 15), 16, 10
+        ).cast("long")
+        % _CM_W
+    )
+
+
+def _duck_cm_pos(tok: str, d: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5('cm' || {d} || ':' || {tok}), 1, 15)) AS BIGINT)"
+        f" % {_CM_W}"
+    )
 
 
 @register(
-    "shard_manifest",
+    "countmin_heavy_hitters",
     f"""
-WITH t AS (
-    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
-               % {_MAN_SHARDS} AS shard,
-           n_chars,
-           CAST(('0x' || substr(md5(trim(regexp_replace(lower(text),
-                '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) AS fph
-    FROM documents
+WITH tok AS (
+    SELECT unnest({_TOKS}) AS token FROM documents
+),
+counts AS (
+    SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY token
+),
+cells AS (
+    SELECT d.d, {_duck_cm_pos("token", "d.d")} AS pos, sum(cnt) AS cell
+    FROM counts, (SELECT unnest(generate_series(0, {_CM_D - 1})) AS d) d
+    GROUP BY d.d, pos
+),
+topk AS (
+    SELECT token, cnt FROM counts ORDER BY cnt DESC, token LIMIT {_CM_TOPK}
+),
+probe_pos AS (
+    SELECT t.token, t.cnt, d.d, {_duck_cm_pos("t.token", "d.d")} AS pos
+    FROM topk t
+    CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D - 1})) AS d) d
+),
+probe AS (
+    SELECT p.token, p.cnt, min(c.cell) AS est
+    FROM probe_pos p JOIN cells c ON c.d = p.d AND c.pos = p.pos
+    GROUP BY p.token, p.cnt
 )
-SELECT CAST(shard AS BIGINT) AS shard,
-       CAST(count(*) AS BIGINT) AS n_docs,
-       CAST(sum(n_chars) AS BIGINT) AS total_chars,
-       CAST(sum(fph) % {_MAN_MOD} AS BIGINT) AS content_checksum
-FROM t
-GROUP BY shard
+SELECT token,
+       cnt AS exact_count,
+       CAST(est AS BIGINT) AS cm_estimate,
+       CAST(est - cnt AS BIGINT) AS overcount,
+       est >= cnt AS never_undercounts
+FROM probe
 """,
 )
-def shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Reproducible dataset manifest — the versioning record a training
-    run pins before reading a corpus: docs assign to {_MAN_SHARDS} shards
-    by id hash, and each shard publishes its doc count, byte budget and a
-    content checksum (sum of 60-bit normalized-text fingerprints mod
-    2^60-1). The checksum is ORDER-INDEPENDENT (commutative sum), so it
-    is insensitive to scan order, partitioning and shuffle — two runs
-    over the same data always agree, any changed/dropped/added doc flips
-    it. That commutativity is what makes it computable as an ordinary
-    map-side-combined aggregate at 100 TB, where a concatenation-based
-    hash (string_agg ORDER BY) would need a per-shard global sort.
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (Cormode & Muthukrishnan 2005, public method)
+    over the corpus token stream, audited against exact counts for the
+    top-{_CM_TOPK} heavy hitters: every token increments d={_CM_D}
+    counters (one per hash row, w={_CM_W} wide), a probe reads the MIN
+    of its {_CM_D} counters, and the defining one-sided guarantee —
+    estimate >= true count, always — is emitted as a column the oracle
+    pins TRUE.
 
-    DuckDB's sum() promotes to HUGEINT (128-bit) and Spark's sum of
-    longs wraps at 2^63 — so fingerprints stay in [0, 2^60) and the
-    Spark side sums DECIMAL(38,0) to match the exact wide sum before the
-    final modulus."""
+    Scale shape: the sketch is a FIXED d*w = {_CM_D * _CM_W}-cell
+    aggregate with map-side combine (the groupBy key space is bounded,
+    so partial aggregation collapses each partition to <= d*w rows
+    before the exchange), mergeable across shards by cell-wise sum —
+    the standard mergeable-summary layout. The probe set (top-k via
+    TakeOrderedAndProject) and the cell table both broadcast; nothing
+    wide shuffles twice. The exact `counts` CTE is the audit twin — a
+    production run publishes only the sketch."""
     docs = _load_parallel(spark, sf_dir, "documents")
-    from kafka_streams_example_spark.functions.hashing import (
-        normalize_text,
-        stable_long,
+    from kafka_streams_example_spark.operators import text as tx
+
+    counts = (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+    counts = counts.cache()
+    ds = F.explode(F.array(*[F.lit(d) for d in range(_CM_D)])).alias("d")
+
+    def pos_for_d(tok):
+        expr = F.when(F.col("d") == 0, _spark_cm_pos(tok, 0))
+        for d in range(1, _CM_D - 1):
+            expr = expr.when(F.col("d") == d, _spark_cm_pos(tok, d))
+        return expr.otherwise(_spark_cm_pos(tok, _CM_D - 1))
+
+    cells = (
+        counts.select("token", "cnt", ds)
+        .select("d", pos_for_d(F.col("token")).alias("pos"), "cnt")
+        .groupBy("d", "pos")
+        .agg(F.sum("cnt").alias("cell"))
+    )
+    topk = counts.orderBy(F.col("cnt").desc(), "token").limit(_CM_TOPK)
+    probed = (
+        topk.select("token", "cnt", ds)
+        .select("token", "cnt", "d", pos_for_d(F.col("token")).alias("pos"))
+        .join(F.broadcast(cells), ["d", "pos"])
+        .groupBy("token", "cnt")
+        .agg(F.min("cell").alias("est"))
+    )
+    return probed.select(
+        "token",
+        F.col("cnt").alias("exact_count"),
+        F.col("est").cast("long").alias("cm_estimate"),
+        (F.col("est") - F.col("cnt")).cast("long").alias("overcount"),
+        (F.col("est") >= F.col("cnt")).alias("never_undercounts"),
     )
 
-    t = docs.select(
-        (stable_long(F.col("doc_id").cast("string")) % _MAN_SHARDS).alias("shard"),
-        "n_chars",
-        stable_long(normalize_text(F.col("text"))).alias("fph"),
+
+# (from llm_extra16.py)
+# --------------------------------------------------------------------------
+# theta_sketch_set_ops — KMV union + intersection estimates across segments
+# --------------------------------------------------------------------------
+
+_TH_K = 32
+_TH_SPACE = float(1 << 60)
+
+_DUCK_UDAY = (
+    "CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || '@' || "
+    "CAST(CAST(floor(epoch(ts) / 86400) AS BIGINT) AS VARCHAR)), 1, 15)) AS BIGINT)"
+)
+
+
+@register(
+    "theta_sketch_set_ops",
+    f"""
+WITH ha AS (
+    SELECT DISTINCT {_DUCK_UDAY} AS h FROM events WHERE event_type = 'click'
+),
+hb AS (
+    SELECT DISTINCT {_DUCK_UDAY} AS h FROM events WHERE event_type = 'purchase'
+),
+hu AS (SELECT h FROM ha UNION SELECT h FROM hb),
+sk AS (SELECT h FROM hu ORDER BY h LIMIT {_TH_K}),
+kth AS (SELECT max(h) AS h_k, CAST(count(*) AS BIGINT) AS k_seen FROM sk),
+flags AS (
+    SELECT count(*) FILTER (WHERE a.h IS NOT NULL AND b.h IS NOT NULL)
+               AS c_both
+    FROM sk LEFT JOIN ha a ON sk.h = a.h LEFT JOIN hb b ON sk.h = b.h
+),
+ex AS (
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM hu) AS exact_union,
+           (SELECT CAST(count(*) AS BIGINT)
+            FROM ha JOIN hb ON ha.h = hb.h) AS exact_inter
+),
+est AS (
+    SELECT kth.k_seen, f.c_both, e.exact_union, e.exact_inter,
+           CASE WHEN kth.k_seen < {_TH_K} THEN CAST(kth.k_seen AS DOUBLE)
+                ELSE ({_TH_K} - 1) / (kth.h_k / {_TH_SPACE!r}) END AS u_raw
+    FROM kth, flags f, ex e
+)
+SELECT CAST({_TH_K} AS BIGINT) AS k,
+       k_seen,
+       exact_union,
+       round(u_raw, 2) AS est_union,
+       exact_inter,
+       round(c_both / CAST(k_seen AS DOUBLE) * u_raw, 2) AS est_inter,
+       round(abs(u_raw - exact_union) / exact_union, 6) AS union_rel_err,
+       abs(u_raw - exact_union) / exact_union <= 3.0 / sqrt({_TH_K})
+           AS union_within_bound
+FROM est
+""",
+)
+def theta_sketch_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theta/KMV sketch SET OPERATIONS (Dasgupta et al., the public
+    theta-sketch framework): estimate the distinct-count of the UNION
+    and the INTERSECTION of two segments — daily-active (user, day)
+    keys for clicks vs purchases — from two k={_TH_K} minimum-value
+    sketches, without ever computing the exact sets together. Union:
+    the k smallest of the merged sketch gives (k-1)/theta. Intersection:
+    the fraction of the union sketch's hashes present in BOTH sides
+    scales the union estimate (the standard theta-intersection rule).
+    Small-cardinality regime (k_seen < k) falls back to the exact
+    observed count, like kmv_distinct_sketch.
+
+    Both estimates are deterministic functions of the md5 hash values,
+    so the oracle reproduces them exactly; the exact union/intersection
+    columns are the audit twins, and the union's ~1/sqrt(k) error bound
+    is pinned as a boolean (3 sigma).
+
+    Scale shape: each side's sketch is a TakeOrderedAndProject top-k
+    over distinct 60-bit hashes (hash-only shuffle, no raw keys); the
+    union sketch and membership flags operate on <= 2k rows, broadcast.
+    Sketches are mergeable — per-shard sketches union by re-taking the
+    k smallest, which is how the 100 TB path would roll segments up."""
+    events = _load_parallel(spark, sf_dir, "events")
+    uday = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("user_id").cast("string"),
+                    F.lit("@"),
+                    F.floor(F.col("ts").cast("long") / 86400)
+                    .cast("long")
+                    .cast("string"),
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    ha = (
+        events.filter(F.col("event_type") == "click")
+        .select(uday.alias("h"))
+        .distinct()
     )
-    return t.groupBy("shard").agg(
-        F.count("*").cast("long").alias("n_docs"),
-        F.sum("n_chars").cast("long").alias("total_chars"),
-        (F.sum(F.col("fph").cast("decimal(38,0)")) % _MAN_MOD)
-        .cast("long")
-        .alias("content_checksum"),
+    hb = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(uday.alias("h"))
+        .distinct()
+    )
+    ha = ha.cache()
+    hb = hb.cache()
+    hu = ha.union(hb).distinct()
+    sk = hu.orderBy("h").limit(_TH_K)
+    kth = sk.agg(
+        F.max("h").alias("h_k"), F.count("*").cast("long").alias("k_seen")
+    )
+    flags = (
+        sk.join(ha.withColumn("in_a", F.lit(1)), "h", "left")
+        .join(hb.withColumn("in_b", F.lit(1)), "h", "left")
+        .agg(
+            F.count(
+                F.when(F.col("in_a").isNotNull() & F.col("in_b").isNotNull(), 1)
+            )
+            .cast("long")
+            .alias("c_both")
+        )
+    )
+    ex_u = hu.agg(F.count("*").cast("long").alias("exact_union"))
+    ex_i = ha.join(hb, "h").agg(F.count("*").cast("long").alias("exact_inter"))
+    u_raw = F.when(
+        F.col("k_seen") < _TH_K, F.col("k_seen").cast("double")
+    ).otherwise(F.lit(float(_TH_K - 1)) / (F.col("h_k") / F.lit(_TH_SPACE)))
+    rel = F.abs(u_raw - F.col("exact_union")) / F.col("exact_union")
+    return (
+        kth.crossJoin(F.broadcast(flags))
+        .crossJoin(F.broadcast(ex_u))
+        .crossJoin(F.broadcast(ex_i))
+        .select(
+            F.lit(_TH_K).cast("long").alias("k"),
+            "k_seen",
+            "exact_union",
+            F.round(u_raw, 2).alias("est_union"),
+            "exact_inter",
+            F.round(
+                F.col("c_both") / F.col("k_seen").cast("double") * u_raw, 2
+            ).alias("est_inter"),
+            F.round(rel, 6).alias("union_rel_err"),
+            (rel <= 3.0 / (_TH_K**0.5)).alias("union_within_bound"),
+        )
+    )
+
+
+# (from llm_extra16.py)
+# --------------------------------------------------------------------------
+# feature_hashing_sparse — hashing-trick sparse featurizer
+# --------------------------------------------------------------------------
+
+_FH_DIM = 16
+
+
+@register(
+    "feature_hashing_sparse",
+    f"""
+WITH tok AS (
+    SELECT doc_id, unnest({_TOKS}) AS token FROM documents
+),
+mapped AS (
+    SELECT doc_id,
+           CAST(('0x' || substr(md5('fh:' || token), 1, 15)) AS BIGINT)
+               % {_FH_DIM} AS dim,
+           CASE WHEN CAST(('0x' || substr(md5('fs:' || token), 1, 15))
+                     AS BIGINT) % 2 = 0 THEN 1 ELSE -1 END AS sign
+    FROM tok
+)
+SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+       CAST(sum(sign) AS BIGINT) AS weight
+FROM mapped
+GROUP BY doc_id, dim
+""",
+)
+def feature_hashing_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurizer (Weinberger et al. 2009, public method):
+    each token hashes to one of {_FH_DIM} buckets with a +-1 sign from an
+    independent hash, and the per-(doc, bucket) signed counts form the
+    sparse feature vector — the fixed-width, vocabulary-free text
+    representation downstream linear models train on at corpus scale
+    (no vocab table to build, ship, or version).
+
+    Output is the sparse COO layout (doc_id, dim, weight) — the honest
+    representation at 100 TB, where a dense 2^20-wide row would be
+    mostly zeros. Sign cancellation CAN produce explicit zero weights
+    for a touched bucket; they stay in the output (both engines emit the
+    same groups).
+
+    Scale shape: bucket and sign are computed MAP-SIDE from each token,
+    so only (doc_id, dim, sign) ints cross the exchange — never token
+    strings — and partial aggregation combines the <= {_FH_DIM} buckets
+    per doc before the shuffle. One shuffle total, keyed (doc_id, dim)."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    from kafka_streams_example_spark.operators import text as tx
+
+    tok = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    dim = (
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fh:"), F.col("token"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % _FH_DIM
+    )
+    sign = F.when(
+        F.conv(
+            F.substring(F.md5(F.concat(F.lit("fs:"), F.col("token"))), 1, 15),
+            16,
+            10,
+        ).cast("long")
+        % 2
+        == 0,
+        F.lit(1),
+    ).otherwise(F.lit(-1))
+    return (
+        tok.select("doc_id", dim.alias("dim"), sign.alias("sign"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sign").cast("long").alias("weight"))
+        .select("doc_id", F.col("dim").cast("long").alias("dim"), "weight")
     )

@@ -1,0 +1,1780 @@
+"""Text-analysis queries: tokenization and vocabulary statistics,
+n-gram language models (bigram/interpolated Kneser-Ney/stupid-backoff
+trigram), TF-IDF and PMI, token-graph centrality and clustering
+coefficients, BPE pair candidates, quality scoring and corpus rollups,
+Zipf fits, chunking and sequence packing, and fertility/coverage
+diagnostics.
+
+Regrouped from the numbered query tranches in round 7 (code unchanged;
+registration order pinned by query_order.py). Corpus-scale stages are
+single-scan token explodes into hash aggregates; LM smoothing math is
+expressed in exact integer sufficient statistics wherever the oracle
+must hash-match.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.registry import (
+    _QUALITY_SQL,
+    _TOKS,
+    _load_parallel,
+    register,
+)
+from pyspark.sql import DataFrame, SparkSession, Window
+from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+from kafka_streams_example_spark.sources.files import table_row_count
+from kafka_streams_example_spark.registry import (
+    _TOKS,
+    _duck_round_half_up,
+    _load_parallel,
+    register,
+)
+from kafka_streams_example_spark.registry import _NGRAMS, _TOKS, _load_parallel, register
+from kafka_streams_example_spark.registry import (
+    _NGRAMS,
+    _TOKS,
+    _duck_round_half_up,
+    _load_parallel,
+    register,
+)
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from kafka_streams_example_spark.registry import (
+    _TOKS,
+    ORACLES,
+    _duck_round_half_up,
+    _load_parallel,
+    register,
+)
+
+
+# (from llm_extra.py)
+@register(
+    "repetition_quality_stats",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+b AS (SELECT doc_id, toks,
+             CASE WHEN len(toks) >= 2 THEN
+                 list_transform(generate_series(1, len(toks) - 1),
+                                i -> toks[i] || ' ' || toks[i+1])
+             ELSE [] END AS bg
+      FROM t)
+SELECT doc_id, len(toks) AS n_words,
+       round(CASE WHEN len(toks) > 0 THEN
+           len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6)
+           AS distinct_ratio,
+       round(CASE WHEN len(toks) > 0 THEN
+           list_max(list_transform(list_distinct(toks),
+               w -> len(list_filter(toks, x -> x = w)))) / CAST(len(toks) AS DOUBLE)
+           ELSE 0.0 END, 6) AS top_unigram_frac,
+       round(CASE WHEN len(bg) > 0 THEN
+           list_max(list_transform(list_distinct(bg),
+               w -> len(list_filter(bg, x -> x = w)))) / CAST(len(bg) AS DOUBLE)
+           ELSE 0.0 END, 6) AS top_bigram_frac
+FROM b
+""",
+)
+def repetition_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals per document: distinct-word
+    ratio plus the fraction of tokens claimed by the most frequent unigram
+    and bigram (high values => boilerplate/spam, the classic repetition
+    filters of Rae et al. 2021 §A1.1, expressed as deterministic ratios).
+
+    Zero shuffles: nested higher-order array functions evaluate per row
+    inside whole-stage codegen — the cost is O(distinct x len) per doc on
+    natural-language vocabularies, and the operator scales linearly with
+    the corpus regardless of cluster size.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = tx.tokens(F.lower(F.col("text")))
+    # single-pass regex (see text.py:word_ngrams_all) — a sequence+element_at
+    # lambda would re-tokenize the doc once per bigram position
+    bigrams = tx.word_ngrams_all(F.col("text"), 2)
+
+    def _top_frac(arr: F.Column) -> F.Column:
+        top = F.array_max(
+            F.transform(
+                F.array_distinct(arr),
+                lambda w: F.size(F.filter(arr, lambda x: x == w)),
+            )
+        )
+        return F.when(F.size(arr) > 0, top / F.size(arr)).otherwise(F.lit(0.0))
+
+    stage = docs.select("doc_id", t.alias("t"), bigrams.alias("bg"))
+    tc = F.col("t")
+    return stage.select(
+        "doc_id",
+        F.size(tc).alias("n_words"),
+        F.round(
+            F.when(F.size(tc) > 0, F.size(F.array_distinct(tc)) / F.size(tc)).otherwise(
+                0.0
+            ),
+            6,
+        ).alias("distinct_ratio"),
+        F.round(_top_frac(tc), 6).alias("top_unigram_frac"),
+        F.round(_top_frac(F.col("bg")), 6).alias("top_bigram_frac"),
+    )
+
+
+# (from llm_extra.py)
+@register(
+    "vocab_stats_by_lang",
+    f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+tot AS (SELECT lang, count(*) AS n_docs,
+               CAST(sum(len(toks)) AS BIGINT) AS total_tokens
+        FROM t GROUP BY lang),
+v AS (SELECT lang, count(DISTINCT g) AS vocab_size
+      FROM (SELECT lang, unnest(toks) AS g FROM t) GROUP BY lang)
+SELECT lang, n_docs, total_tokens, vocab_size,
+       round(vocab_size / CAST(total_tokens AS DOUBLE), 6) AS ttr
+FROM tot JOIN v USING (lang)
+""",
+)
+def vocab_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary statistics per language: document count, total
+    token count, global vocabulary size (distinct tokens across all docs of
+    the language) and the type/token ratio.
+
+    Scale: token totals partial-aggregate map-side; the vocabulary count is
+    the one real shuffle (explode -> distinct per language). Both results
+    are a handful of rows, so the final combine join is trivial. The ttr
+    division is exact int/int — bit-identical across engines.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select("lang", tx.tokens(F.lower(F.col("text"))).alias("t"))
+    totals = t.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum(F.size("t")).alias("total_tokens")
+    )
+    vocab = (
+        t.select("lang", F.explode("t").alias("g"))
+        .groupBy("lang")
+        .agg(F.count_distinct("g").alias("vocab_size"))
+    )
+    return totals.join(vocab, "lang").select(
+        "lang",
+        "n_docs",
+        "total_tokens",
+        "vocab_size",
+        F.round(F.col("vocab_size") / F.col("total_tokens"), 6).alias("ttr"),
+    )
+
+
+@register(
+    "bpe_pair_candidates",
+    """
+WITH t AS (SELECT regexp_replace(lower(trim(text)), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g') AS s FROM documents),
+p AS (
+    SELECT unnest(list_transform(generate_series(1, greatest(length(s) - 1, 0)),
+                                 i -> substr(s, i, 2))) AS pair
+    FROM t
+)
+SELECT pair, count(*) AS cnt
+FROM p WHERE pair NOT LIKE '% %'
+GROUP BY pair ORDER BY cnt DESC, pair LIMIT 20
+""",
+)
+def bpe_pair_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First BPE merge iteration: corpus-wide counts of adjacent character
+    pairs (word-internal only — pairs spanning a space are pretoken
+    boundaries), top-20 merge candidates. The inner loop of tokenizer
+    vocabulary induction, expressed as explode + hash aggregation.
+
+    Scale: pair generation is zip_with over two references of the same
+    split array (argument position — evaluated once each, NOT per
+    element); the count shuffles only (pair, partial_count) pairs thanks
+    to map-side partial aggregation, and the top-20 is a
+    TakeOrderedAndProject, not a global sort.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"[ \t\n\x0B\f\r]+", " ")
+    stage = docs.select(norm.alias("s"))
+    chars = F.split(F.col("s"), "")
+    pairs = F.when(
+        F.size(chars) >= 2,
+        F.filter(
+            F.zip_with(
+                chars,
+                F.slice(chars, 2, F.size(chars)),
+                lambda a, b: F.concat(a, b),
+            ),
+            lambda p: p.isNotNull() & ~p.contains(" "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return (
+        stage.select(F.explode(pairs).alias("pair"))
+        .groupBy("pair")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy(F.col("cnt").desc(), F.col("pair"))
+        .limit(20)
+    )
+
+
+# (from llm_extra.py)
+@register(
+    "corpus_quality_rollup",
+    f"""
+WITH t AS (SELECT lang, source, n_chars, {_TOKS} AS toks, text FROM documents),
+scored AS (
+    SELECT lang, source, n_chars,
+           {_QUALITY_SQL}
+           AS quality
+    FROM t
+)
+SELECT coalesce(lang, 'ALL') AS lang,
+       coalesce(source, 'ALL') AS source,
+       count(*) AS n_docs,
+       CAST(round(sum(CAST(quality AS DECIMAL(8,4))), 6) AS DOUBLE) AS sum_quality,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars,
+       max(n_chars) AS max_chars
+FROM scored
+GROUP BY ROLLUP (lang, source)
+""",
+)
+def corpus_quality_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus quality dashboard: ROLLUP over (lang, source) of document
+    counts, summed quality score, and size stats — the
+    monitor-your-training-data query. Quality scores are 4-decimal by
+    construction, so the decimal-cast sum is exact across engines and
+    summation orders.
+
+    Scale: ROLLUP is one Expand + one shuffle with map-side partials;
+    quality scoring is per-row JVM expression work on the scan side.
+    """
+    from kafka_streams_example_spark.registry import _sum_dbl
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    scored = docs.withColumn("quality", tx.quality_score(F.col("text")))
+    return (
+        scored.rollup("lang", "source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            _sum_dbl(F.col("quality").cast("decimal(8,4)")).alias("sum_quality"),
+            F.sum("n_chars").alias("total_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+        .select(
+            F.coalesce("lang", F.lit("ALL")).alias("lang"),
+            F.coalesce("source", F.lit("ALL")).alias("source"),
+            "n_docs",
+            "sum_quality",
+            "total_chars",
+            "max_chars",
+        )
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# doc_chunking
+# --------------------------------------------------------------------------
+
+_CHUNK = 200  # chunk size (chars)
+_STRIDE = 150  # stride => 50-char overlap between consecutive chunks
+
+
+@register(
+    "doc_chunking",
+    f"""
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_id,
+       CAST(i * {_STRIDE} + 1 AS BIGINT) AS chunk_start,
+       CAST(length(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS INT) AS chunk_len,
+       md5(substr(text, CAST(i * {_STRIDE} + 1 AS BIGINT), {_CHUNK})) AS chunk_md5
+FROM documents, unnest(generate_series(0, CAST(floor((length(text) - 1) / {_STRIDE}) AS BIGINT))) AS u(i)
+WHERE length(text) > 0
+""",
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size overlapping character chunking: 200-char chunks every
+    150 chars (50-char overlap), the standard split before embedding or
+    context-window packing. One row per (doc, chunk) with the chunk's
+    content hash for downstream chunk-level dedup.
+
+    All JVM-side (sequence -> explode -> substring -> md5): the explode
+    multiplies rows by ~len/stride but never leaves whole-stage codegen,
+    and chunk hashing makes the output joinable without carrying text.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    n_chunks = F.floor((F.length("text") - F.lit(1)) / F.lit(_STRIDE))
+    chunked = (
+        docs.filter(F.length("text") > 0)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(0).cast("long"), n_chunks)).alias("i"),
+            "text",
+        )
+        .select(
+            "doc_id",
+            F.col("i").cast("int").alias("chunk_id"),
+            (F.col("i") * _STRIDE + 1).cast("bigint").alias("chunk_start"),
+            F.substring(
+                F.col("text"), (F.col("i") * _STRIDE + 1).cast("int"), _CHUNK
+            ).alias("chunk"),
+        )
+    )
+    return chunked.select(
+        "doc_id",
+        "chunk_id",
+        "chunk_start",
+        F.length("chunk").alias("chunk_len"),
+        F.md5(F.encode("chunk", "utf-8")).alias("chunk_md5"),
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# pack_sequences
+# --------------------------------------------------------------------------
+
+_CTX = 512  # token budget per packed training sequence
+_MIN_SHARDS = 16  # shard-count floor (small inputs)
+_DOCS_PER_SHARD = 4096  # target docs per packing shard (bounds window state)
+
+
+def pack_shard_count(n_docs: int) -> int:
+    """Data-dependent packing shard count: ~one shard per 4096 docs with a
+    floor of 16. A FIXED shard count caps window parallelism — at 100 TB
+    each window partition would hold corpus/16 rows sorted on one reducer;
+    deriving shards from input size keeps per-shard rows bounded
+    (~_DOCS_PER_SHARD for uniformly distributed doc_ids) so the prefix
+    sum scales out with the data."""
+    return max(_MIN_SHARDS, -(-n_docs // _DOCS_PER_SHARD))
+
+
+@register(
+    "pack_sequences",
+    f"""
+WITH s AS (
+    SELECT greatest({_MIN_SHARDS},
+                    CAST(ceil(count(*) / {_DOCS_PER_SHARD}.0) AS BIGINT)) AS n_shards
+    FROM documents
+),
+t AS (
+    SELECT doc_id,
+           doc_id % s.n_shards AS shard,
+           len({_TOKS}) AS n_tokens
+    FROM documents, s
+),
+c AS (
+    SELECT *,
+           sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - n_tokens AS cum_before
+    FROM t
+)
+SELECT shard,
+       CAST(floor(cum_before / {_CTX}) AS BIGINT) AS seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,  -- HUGEINT→float64 in pandas otherwise
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM c
+GROUP BY 1, 2
+""",
+)
+def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Offset-bucket sequence packing: within each deterministic shard
+    (doc_id % n_shards), docs are laid out in doc_id order and assigned to
+    the training sequence their starting token offset falls in
+    (seq_id = floor(cum_before / 512)). This is offset bucketing, NOT
+    greedy packing — a sequence's total_tokens can exceed the 512 budget
+    when a long doc lands on or straddles a boundary (true greedy packing
+    needs a stateful sequential pass; downstream truncation absorbs the
+    overflow). Emits per-sequence stats.
+
+    The running sum is a window over (shard); the shard count scales with
+    the input (pack_shard_count: ~4096 docs per shard) so each window
+    partition holds a bounded number of rows and packing parallelizes
+    with the cluster instead of serializing on a single global prefix sum.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    # footer-metadata count: zero Spark jobs, same value as count(*)
+    shards = pack_shard_count(table_row_count(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    c = t.withColumn("cum_before", F.sum("n_tokens").over(w) - F.col("n_tokens"))
+    return (
+        c.groupBy(
+            "shard",
+            F.floor(F.col("cum_before") / _CTX).cast("bigint").alias("seq_id"),
+        )
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# tfidf_top_terms
+# --------------------------------------------------------------------------
+
+
+@register(
+    "tfidf_top_terms",
+    f"""
+WITH toks AS (
+    SELECT doc_id, unnest({_TOKS}) AS term FROM documents
+),
+tf AS (
+    SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2
+),
+df AS (
+    SELECT term, count(DISTINCT doc_id) AS df FROM toks GROUP BY 1
+),
+n AS (SELECT count(*) AS n_docs FROM documents),
+scored AS (
+    SELECT tf.doc_id, tf.term, tf.tf, df.df,
+           round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+    FROM tf JOIN df USING (term) CROSS JOIN n
+)
+SELECT doc_id, term, tf, df, tfidf, CAST(rnk AS INT) AS rnk
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY tfidf DESC, term) AS rnk
+      FROM scored)
+WHERE rnk <= 3
+""",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-3 TF-IDF terms (idf = ln(N/df), deterministic
+    term-name tiebreak) — the classic corpus keyword extraction.
+
+    Two aggregations over the exploded token table (per-(doc,term) TF and
+    per-term DF); DF is vocabulary-sized — tiny next to the corpus — so it
+    broadcasts back onto TF, and the only large shuffles are the two
+    token-keyed groupBys with map-side partial aggregation.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    # scalar dimension from parquet footers — no Spark count job
+    n_docs = table_row_count(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    scored = tf.join(F.broadcast(df), "term").select(
+        "doc_id",
+        "term",
+        "tf",
+        "df",
+        F.round(
+            F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 6
+        ).alias("tfidf"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("doc_id", "term", "tf", "df", "tfidf", "rnk")
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# udtf_word_windows — Python UDTF surface (Spark 4)
+# --------------------------------------------------------------------------
+
+_WW = 5  # words per window (stride == size: non-overlapping)
+
+
+@register(
+    "udtf_word_windows",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       CAST(i AS INT) AS win_id,
+       array_to_string(toks[(i * {_WW} + 1):((i + 1) * {_WW})], ' ') AS window_text,
+       CAST(len(toks[(i * {_WW} + 1):((i + 1) * {_WW})]) AS INT) AS n_words
+FROM t, unnest(generate_series(0, CAST(ceil(len(toks) / {_WW}.0) - 1 AS BIGINT))) AS u(i)
+WHERE len(toks) > 0
+""",
+)
+def udtf_word_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Non-overlapping 5-word windows per document, produced by a Python
+    UDTF (Spark 4 user-defined table function) driven through a LATERAL
+    join — the 1-row-to-N-rows Python extension point, complementing
+    mapInPandas (operators/multimodal.py) on the N-to-M side.
+
+    The UDTF class is function-local so cloudpickle ships it by value
+    (see sources/pyds.py for the rationale). Deterministic output → full
+    DuckDB oracle parity even though the compute path is Python.
+    At scale the UDTF runs per-partition in Arrow-batched Python workers;
+    for this particular op the pure-JVM sequence/slice form (doc_chunking)
+    is preferred — this entry exists to keep the UDTF surface tested.
+    """
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="win_id int, window_text string, n_words int")
+    class WordWindows:
+        def eval(self, text: str):
+            toks = [t for t in (text or "").strip().lower().split() if t]
+            for i in range(0, len(toks), _WW):
+                win = toks[i : i + _WW]
+                yield i // _WW, " ".join(win), len(win)
+
+    spark.udtf.register("word_windows", WordWindows)
+    docs = _load_parallel(spark, sf_dir, "documents")
+    docs.createOrReplaceTempView("udtf_docs_in")
+    return spark.sql(
+        """
+        SELECT d.doc_id, w.win_id, w.window_text, w.n_words
+        FROM udtf_docs_in d, LATERAL word_windows(d.text) w
+        """
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# preference_pairs — RLHF-style chosen/rejected example assembly
+# --------------------------------------------------------------------------
+
+
+@register(
+    "preference_pairs",
+    """
+WITH e AS (
+    SELECT user_id,
+           CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+           event_id, value
+    FROM events
+),
+r AS (
+    SELECT *,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY value DESC, event_id) AS rb,
+           row_number() OVER (PARTITION BY user_id, day
+                              ORDER BY value ASC, event_id) AS rw
+    FROM e
+)
+SELECT b.user_id, b.day,
+       b.event_id AS chosen_id, w.event_id AS rejected_id,
+       round(b.value - w.value, 6) AS margin
+FROM (SELECT * FROM r WHERE rb = 1) b
+JOIN (SELECT * FROM r WHERE rw = 1) w USING (user_id, day)
+WHERE b.value > w.value
+""",
+)
+def preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair assembly (the RLHF/DPO dataset shape): per
+    (user, day) group, the highest-value event becomes `chosen` and the
+    lowest-value `rejected` (deterministic event_id tiebreaks), emitted
+    with the value margin; single-event days produce no pair.
+
+    Spark plan: ONE map-side-combinable aggregation — max_by/min_by on
+    (value, ±event_id) struct orderings — instead of the oracle's two
+    ranking windows + self-join: one shuffle on the pair key, constant
+    state per group, no sort. The oracle's window form is the same
+    result by construction."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    day = F.floor(F.unix_timestamp("ts") / 86400).cast("bigint").alias("day")
+    g = (
+        ev.select("user_id", day, "event_id", "value")
+        .groupBy("user_id", "day")
+        .agg(
+            F.max_by(
+                F.struct(F.col("event_id"), F.col("value")),
+                F.struct(F.col("value"), (-F.col("event_id")).alias("neg")),
+            ).alias("b"),
+            F.min_by(
+                F.struct(F.col("event_id"), F.col("value")),
+                F.struct(F.col("value"), F.col("event_id")),
+            ).alias("w"),
+        )
+    )
+    return g.filter(F.col("b.value") > F.col("w.value")).select(
+        "user_id",
+        "day",
+        F.col("b.event_id").alias("chosen_id"),
+        F.col("w.event_id").alias("rejected_id"),
+        F.round(F.col("b.value") - F.col("w.value"), 6).alias("margin"),
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# pack_sequences_greedy — true budget-disciplined packing (stateful)
+# --------------------------------------------------------------------------
+
+
+def greedy_pack(lengths: list[int], budget: int) -> list[int]:
+    """Reference greedy packer: walk docs in order, open a new sequence
+    whenever adding the next doc would exceed the budget (a doc longer
+    than the budget gets a sequence of its own). Returns the seq index
+    per doc. Pure Python — the per-shard kernel AND the test oracle."""
+    seq, used = 0, 0
+    out = []
+    for n in lengths:
+        if used > 0 and used + n > budget:
+            seq, used = seq + 1, 0
+        out.append(seq)
+        used += n
+    return out
+
+
+@register(
+    "pack_sequences_greedy",
+    f"""
+WITH RECURSIVE s AS (
+    SELECT greatest({_MIN_SHARDS},
+                    CAST(ceil(count(*) / {_DOCS_PER_SHARD}.0) AS BIGINT)) AS n_shards
+    FROM documents
+),
+t AS MATERIALIZED (
+    SELECT doc_id,
+           doc_id % s.n_shards AS shard,
+           len({_TOKS}) AS n_tokens,
+           row_number() OVER (PARTITION BY doc_id % s.n_shards
+                              ORDER BY doc_id) AS rn
+    FROM documents, s
+),
+pack AS (
+    SELECT shard, rn, doc_id, n_tokens,
+           CAST(0 AS BIGINT) AS seq_id, n_tokens AS used
+    FROM t WHERE rn = 1
+    UNION ALL
+    SELECT t.shard, t.rn, t.doc_id, t.n_tokens,
+           CASE WHEN p.used > 0 AND p.used + t.n_tokens > {_CTX}
+                THEN p.seq_id + 1 ELSE p.seq_id END,
+           CASE WHEN p.used > 0 AND p.used + t.n_tokens > {_CTX}
+                THEN t.n_tokens ELSE p.used + t.n_tokens END
+    FROM pack p JOIN t ON t.shard = p.shard AND t.rn = p.rn + 1
+)
+SELECT shard,
+       seq_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+       min(doc_id) AS first_doc,
+       max(doc_id) AS last_doc
+FROM pack
+GROUP BY 1, 2
+""",
+)
+def pack_sequences_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRUE greedy sequence packing (the budget-disciplined complement of
+    pack_sequences' offset bucketing): within each shard, docs are walked
+    in doc_id order and a sequence closes when the next doc would push it
+    past the 512-token budget — so no multi-doc sequence ever exceeds the
+    budget (only a single over-long doc can). Greedy packing is
+    inherently sequential, so it runs as an applyInPandas kernel per
+    shard; the shard count scales with the input (pack_shard_count),
+    bounding each kernel to ~4096 docs regardless of corpus size.
+
+    Python-kernel output is deterministic (sorted walk, pure function) —
+    checked against an independent per-shard reference in tests AND fully
+    hash-verified by the DuckDB oracle, which replays the same greedy fold
+    as a WITH RECURSIVE walk (one recursion step per doc rank, all shards
+    advancing in lockstep over a MATERIALIZED token-count table)."""
+    import pandas as pd
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    # footer-metadata count: zero Spark jobs, same value as count(*)
+    shards = pack_shard_count(table_row_count(spark, sf_dir, "documents"))
+    t = docs.select(
+        "doc_id",
+        (F.col("doc_id") % shards).alias("shard"),
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("n_tokens"),
+    )
+
+    budget = _CTX
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        # local copy of greedy_pack: the kernel ships to workers via
+        # cloudpickle, and a module-global reference would require this
+        # package on the WORKER's sys.path (see sources/pyds.py docstring)
+        def _greedy(lengths: list[int], b: int) -> list[int]:
+            seq, used = 0, 0
+            out = []
+            for n in lengths:
+                if used > 0 and used + n > b:
+                    seq, used = seq + 1, 0
+                out.append(seq)
+                used += n
+            return out
+
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf["seq_id"] = _greedy(pdf["n_tokens"].tolist(), budget)
+        g = pdf.groupby("seq_id", sort=True)
+        out = pd.DataFrame(
+            {
+                "shard": pdf["shard"].iloc[0],
+                "seq_id": g.size().index.astype("int64"),
+                "n_docs": g.size().to_numpy(),
+                "total_tokens": g["n_tokens"].sum().to_numpy(),
+                "first_doc": g["doc_id"].min().to_numpy(),
+                "last_doc": g["doc_id"].max().to_numpy(),
+            }
+        )
+        return out
+
+    return t.groupBy("shard").applyInPandas(
+        pack,
+        "shard BIGINT, seq_id BIGINT, n_docs BIGINT, total_tokens BIGINT, "
+        "first_doc BIGINT, last_doc BIGINT",
+    )
+
+
+# (from llm_extra2.py)
+# --------------------------------------------------------------------------
+# zipf_law_fit — corpus token-frequency power-law diagnostics
+# --------------------------------------------------------------------------
+
+_ZIPF_TOP = 500  # fit over the top-N ranks (the power-law regime)
+
+
+@register(
+    "zipf_law_fit",
+    f"""
+WITH tok AS (SELECT unnest({_TOKS}) AS term FROM documents),
+freq AS (SELECT term, count(*) AS f FROM tok GROUP BY 1),
+ranked AS (
+    SELECT f, row_number() OVER (ORDER BY f DESC, term) AS r FROM freq
+)
+SELECT count(*) AS n_terms,
+       round(regr_slope(ln(f), ln(r)), 5) AS zipf_slope,
+       round(regr_intercept(ln(f), ln(r)), 5) AS zipf_intercept,
+       round(regr_r2(ln(f), ln(r)), 5) AS fit_r2
+FROM ranked
+WHERE r <= {_ZIPF_TOP}
+""",
+)
+def zipf_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law diagnostics for a training corpus: OLS fit of
+    ln(frequency) against ln(rank) over the top-500 token ranks via the
+    regr_slope / regr_intercept / regr_r2 aggregate family — natural text
+    sits near slope -1; a corpus drifting far off is a synthetic-data /
+    boilerplate red flag.
+
+    The ranking window is VOCABULARY-sized (the token groupBy with
+    map-side combine collapses the corpus first), so the single-partition
+    sort it implies is over ~1e5-1e6 rows at any corpus scale — bounded,
+    unlike a corpus-wide global window. Tie-broken by term for
+    deterministic ranks on both engines."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("f"))
+    )
+    ranked = freq.withColumn(
+        "r", F.row_number().over(Window.orderBy(F.desc("f"), F.asc("term")))
+    ).filter(F.col("r") <= _ZIPF_TOP)
+    lf, lr = F.log(F.col("f")), F.log(F.col("r"))
+    return ranked.agg(
+        F.count("*").alias("n_terms"),
+        F.round(F.regr_slope(lf, lr), 5).alias("zipf_slope"),
+        F.round(F.regr_intercept(lf, lr), 5).alias("zipf_intercept"),
+        F.round(F.regr_r2(lf, lr), 5).alias("fit_r2"),
+    )
+
+
+# (from llm_extra3.py)
+# --------------------------------------------------------------------------
+# vocab_coverage_oov — tokenizer-fit / OOV-rate signal
+# --------------------------------------------------------------------------
+
+_VOCAB_K = 100
+
+
+@register(
+    "vocab_coverage_oov",
+    f"""
+WITH toks AS (
+    SELECT doc_id, lang, unnest({_TOKS}) AS tok FROM documents
+),
+vocab AS (
+    SELECT tok FROM (
+        SELECT tok, count(*) AS c FROM toks GROUP BY 1
+        ORDER BY c DESC, tok
+        LIMIT {_VOCAB_K})
+),
+per_doc AS (
+    SELECT t.doc_id, t.lang,
+           count(*) AS n_toks,
+           count(*) FILTER (WHERE v.tok IS NULL) AS n_oov
+    FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+    GROUP BY 1, 2
+)
+SELECT lang,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS total_oov,
+       round(avg(n_oov / CAST(n_toks AS DOUBLE)), 6) AS avg_oov_ratio
+FROM per_doc
+GROUP BY lang
+""",
+)
+def vocab_coverage_oov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary coverage: build the top-100 corpus vocabulary (count
+    desc, token asc — deterministic) and report per-language OOV rates —
+    the signal for sizing a tokenizer vocabulary against a corpus mix.
+
+    The vocabulary is a distributed top-K (TakeOrdered over the
+    map-side-combined token counts, never a global sort) and joins back
+    BROADCAST, so the corpus-scale token stream shuffles once (the
+    per-doc aggregate); empty-token documents drop out of the token
+    explode on both engines identically."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "lang", F.explode(tx.tokens(F.lower(F.col("text")))).alias("tok")
+    )
+    vocab = (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(_VOCAB_K)
+        .select("tok", F.lit(True).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "tok", "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.count("*").alias("n_toks"),
+            F.count(F.when(F.col("in_vocab").isNull(), 1)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_toks").cast("bigint").alias("total_tokens"),
+        F.sum("n_oov").cast("bigint").alias("total_oov"),
+        F.round(F.avg(F.col("n_oov") / F.col("n_toks").cast("double")), 6).alias(
+            "avg_oov_ratio"
+        ),
+    )
+
+
+# (from llm_extra4.py)
+# --------------------------------------------------------------------------
+# token_pmi_pairs — collocation mining via PMI
+# --------------------------------------------------------------------------
+
+
+@register(
+    "token_pmi_pairs",
+    f"""
+WITH t AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+n AS (SELECT count(DISTINCT doc_id) AS nd FROM t),
+f AS (SELECT tok, count(*) AS df FROM t GROUP BY 1),
+pc AS (
+    SELECT a.tok AS tok_a, b.tok AS tok_b, count(*) AS pair_docs
+    FROM t a JOIN t b USING (doc_id)
+    WHERE a.tok < b.tok
+    GROUP BY 1, 2
+)
+SELECT tok_a, tok_b,
+       CAST(pair_docs AS BIGINT) AS pair_docs,
+       round(ln(CAST(pair_docs * nd AS DOUBLE)
+                / CAST(fa.df * fb.df AS DOUBLE)), 6) AS pmi
+FROM pc
+CROSS JOIN n
+JOIN f fa ON fa.tok = pc.tok_a
+JOIN f fb ON fb.tok = pc.tok_b
+WHERE pair_docs >= 5
+""",
+)
+def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise mutual information of distinct-token pairs co-occurring
+    in a document: pmi = ln(P(a,b) / (P(a)P(b))).
+
+    100 TB shape: pairs are generated per-document with JVM higher-order
+    array functions (bounded by the per-doc distinct-token count squared,
+    never a corpus self-join); the token-frequency table is
+    vocabulary-sized and broadcast; the doc count joins as a 1-row
+    broadcast scalar. The integer products stay < 2^53 so the double
+    division is exact on both engines."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tx.tokens(F.lower(F.col("text"))))).alias("ts"),
+    )
+    exploded = t.select("doc_id", F.explode("ts").alias("tok"))
+    nd = exploded.agg(F.countDistinct("doc_id").alias("nd"))
+    freq = exploded.groupBy("tok").agg(F.count("*").alias("df"))
+    pairs = t.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                " transform(slice(ts, i + 2, size(ts)),"
+                " y -> struct(x AS tok_a, y AS tok_b))))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.tok_a", "p.tok_b")
+    pc = (
+        pairs.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("pair_docs"))
+        .filter(F.col("pair_docs") >= 5)
+    )
+    fa = F.broadcast(freq.withColumnRenamed("tok", "tok_a").withColumnRenamed("df", "df_a"))
+    fb = F.broadcast(freq.withColumnRenamed("tok", "tok_b").withColumnRenamed("df", "df_b"))
+    return (
+        pc.join(fa, "tok_a")
+        .join(fb, "tok_b")
+        .join(F.broadcast(nd))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("pair_docs").cast("bigint").alias("pair_docs"),
+            F.round(
+                F.log(
+                    (F.col("pair_docs") * F.col("nd")).cast("double")
+                    / (F.col("df_a") * F.col("df_b")).cast("double")
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+
+
+# (from llm_extra5.py)
+# --------------------------------------------------------------------------
+# bigram_lm_probs — add-k smoothed bigram LM
+# --------------------------------------------------------------------------
+
+_LM_K = 0.5  # add-k smoothing constant (exactly representable)
+
+
+@register(
+    "bigram_lm_probs",
+    f"""
+WITH d AS (SELECT {_TOKS} AS t FROM documents),
+bg AS (
+    SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+    FROM d, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+),
+v AS (
+    SELECT count(DISTINCT tok) AS vocab
+    FROM (SELECT tok_a AS tok FROM bg UNION SELECT tok_b FROM bg)
+),
+pre AS (SELECT tok_a, count(*) AS n_a FROM bg GROUP BY 1),
+pair AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2)
+SELECT pair.tok_a, pair.tok_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       CAST(n_a AS BIGINT) AS n_a,
+       round((n_ab + {_LM_K}) / (n_a + {_LM_K} * vocab), 6) AS prob
+FROM pair
+JOIN pre USING (tok_a)
+CROSS JOIN v
+WHERE n_ab >= 5
+""",
+)
+def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Add-k-smoothed bigram conditional probabilities
+    P(b|a) = (c(a,b)+k) / (c(a·)+k·|V|) over whitespace tokens — the
+    n-gram language model behind perplexity-style corpus quality scores
+    (doc_perplexity_proxy consumes exactly this shape).
+
+    100 TB shape: bigrams come from a per-document JVM zip_with (no
+    self-join, no Python); the prefix-count table and |V| are
+    vocabulary-sized broadcasts; counts stay < 2^53 so the smoothed
+    division is exact on both engines."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(tx.tokens(F.lower(F.col("text"))).alias("t"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS tok_a, y AS tok_b))"
+            )
+        ).alias("b")
+    ).select("b.tok_a", "b.tok_b")
+    vocab = (
+        bg.select(F.col("tok_a").alias("tok"))
+        .union(bg.select("tok_b"))
+        .agg(F.countDistinct("tok").alias("vocab"))
+    )
+    pre = bg.groupBy("tok_a").agg(F.count("*").alias("n_a"))
+    pair = (
+        bg.groupBy("tok_a", "tok_b")
+        .agg(F.count("*").alias("n_ab"))
+        .filter(F.col("n_ab") >= 5)
+    )
+    return (
+        pair.join(F.broadcast(pre), "tok_a")
+        .join(F.broadcast(vocab))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("bigint").alias("n_ab"),
+            F.col("n_a").cast("bigint").alias("n_a"),
+            F.round(
+                (F.col("n_ab") + F.lit(_LM_K))
+                / (F.col("n_a") + F.lit(_LM_K) * F.col("vocab")),
+                6,
+            ).alias("prob"),
+        )
+    )
+
+
+# (from llm_extra5.py)
+# --------------------------------------------------------------------------
+# cooccurrence_triangles — triangles on the token co-occurrence graph
+# --------------------------------------------------------------------------
+
+_TRI_SUPPORT = 10  # min co-occurring docs for an edge
+
+
+@register(
+    "cooccurrence_triangles",
+    f"""
+WITH t AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+e AS (
+    SELECT a.tok AS u, b.tok AS v, count(*) AS support
+    FROM t a JOIN t b USING (doc_id)
+    WHERE a.tok < b.tok
+    GROUP BY 1, 2
+    HAVING count(*) >= {_TRI_SUPPORT}
+)
+SELECT e1.u AS tok_a, e1.v AS tok_b, e2.v AS tok_c,
+       CAST(least(e1.support, e2.support, e3.support) AS BIGINT)
+           AS min_support
+FROM e e1
+JOIN e e2 ON e2.u = e1.v
+JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+""",
+)
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration on the token co-occurrence graph (edges =
+    token pairs sharing >= 10 documents), with each triangle's weakest
+    edge support — the clustering-coefficient / community-structure
+    building block, and the graph op beyond connected-component dedup.
+
+    100 TB shape: the only corpus-scale work is the bounded per-document
+    pair count (the PMI shape); the resulting vocabulary graph is tiny,
+    so both triangle joins are broadcasts — no corpus-sized three-way
+    join ever exists. The a<b<c orientation makes each triangle appear
+    exactly once."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tx.tokens(F.lower(F.col("text"))))).alias("ts"),
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                " transform(slice(ts, i + 2, size(ts)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _TRI_SUPPORT)
+    )
+    e1 = e.select(F.col("u").alias("tok_a"), F.col("v").alias("tok_b"),
+                  F.col("support").alias("s1"))
+    e2 = e.select(F.col("u").alias("tok_b"), F.col("v").alias("tok_c"),
+                  F.col("support").alias("s2"))
+    e3 = e.select(F.col("u").alias("tok_a"), F.col("v").alias("tok_c"),
+                  F.col("support").alias("s3"))
+    return (
+        e1.join(F.broadcast(e2), "tok_b")
+        .join(F.broadcast(e3), ["tok_a", "tok_c"])
+        .select(
+            "tok_a",
+            "tok_b",
+            "tok_c",
+            F.least("s1", "s2", "s3").cast("bigint").alias("min_support"),
+        )
+    )
+
+
+# (from llm_extra6.py)
+# --------------------------------------------------------------------------
+# ngram_novelty_curve — corpus saturation diagnostic
+# --------------------------------------------------------------------------
+
+_NOVELTY_BATCH = 50  # docs per ingestion batch (by doc_id order)
+
+
+@register(
+    "ngram_novelty_curve",
+    f"""
+WITH d AS (
+    SELECT doc_id // {_NOVELTY_BATCH} AS batch, {_NGRAMS} AS ng
+    FROM (SELECT doc_id, {_TOKS} AS t FROM documents)
+),
+dp AS (
+    SELECT DISTINCT batch, unnest(ng) AS gram FROM d
+),
+first_seen AS (
+    SELECT gram, min(batch) AS first_batch FROM dp GROUP BY 1
+),
+per_batch AS (
+    SELECT batch, count(*) AS n_distinct FROM dp GROUP BY 1
+),
+novel AS (
+    SELECT first_batch AS batch, count(*) AS n_novel
+    FROM first_seen GROUP BY 1
+)
+SELECT p.batch,
+       CAST(p.n_distinct AS BIGINT) AS n_distinct,
+       CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+       round(coalesce(n.n_novel, 0) * 1.0 / p.n_distinct, 6) AS novelty
+FROM per_batch p LEFT JOIN novel n USING (batch)
+""",
+)
+def ngram_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus saturation curve: documents arrive in ingestion batches (50
+    docs by id); for each batch, the count of distinct 3-grams it
+    contains and how many of them were never seen in ANY earlier batch —
+    the novelty fraction that tells you when additional crawl stops
+    contributing new content (the decision input for stopping ingestion
+    or re-weighting sources).
+
+    100 TB shape: only (gram, batch) pairs shuffle (never text); the
+    first-occurrence min-aggregate and the per-batch counts are
+    map-side-combined aggregates over that deduplicated pair set."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        (F.col("doc_id") / _NOVELTY_BATCH).cast("long").alias("batch"),
+        F.explode(tx.word_ngrams(F.col("text"), 3)).alias("gram"),
+    )
+    dp = d.distinct()
+    first_seen = dp.groupBy("gram").agg(F.min("batch").alias("first_batch"))
+    per_batch = dp.groupBy("batch").agg(F.count("*").alias("n_distinct"))
+    novel = first_seen.groupBy(F.col("first_batch").alias("batch")).agg(
+        F.count("*").alias("n_novel")
+    )
+    return per_batch.join(novel, "batch", "left").select(
+        "batch",
+        F.col("n_distinct").cast("bigint").alias("n_distinct"),
+        F.coalesce("n_novel", F.lit(0)).cast("bigint").alias("n_novel"),
+        F.round(F.coalesce("n_novel", F.lit(0)) * 1.0 / F.col("n_distinct"), 6).alias(
+            "novelty"
+        ),
+    )
+
+
+# (from llm_extra12.py)
+# --------------------------------------------------------------------------
+# tokenizer_fertility_by_lang — tokenizer-fit readout
+# --------------------------------------------------------------------------
+
+# same explicit-whitespace BPE-ish pattern as token_count (registry
+# n_tokens_bpe): letter runs | single digits | any other non-space char
+_BPE_RE_SQL = r"[A-Za-z]+|[0-9]|[^A-Za-z0-9 \t\n\x0B\f\r]"
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    f"""
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(len({_TOKS})) AS BIGINT) AS n_words,
+       CAST(sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}'))) AS BIGINT)
+           AS n_tokens_bpe,
+       {_duck_round_half_up(
+           f"sum(len(regexp_extract_all(text, '{_BPE_RE_SQL}')))"
+           f" / CAST(nullif(sum(len({_TOKS})), 0) AS DOUBLE)", 6)} AS fertility,
+       {_duck_round_half_up(
+           f"sum(n_chars) / CAST(nullif(sum(len(regexp_extract_all("
+           f"text, '{_BPE_RE_SQL}'))), 0) AS DOUBLE)", 6)} AS chars_per_token
+FROM documents
+GROUP BY lang
+""",
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility per language: BPE-ish tokens per whitespace
+    word (how many subword pieces a word shatters into) and characters
+    per token — the two numbers that say whether a tokenizer fits a
+    language before committing vocab budget. High fertility = the
+    language pays more sequence length per word.
+
+    100 TB shape: one scan, per-row JVM regexp counts, a
+    langs-cardinality aggregate — no shuffle beyond the tiny key."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        "n_chars",
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("nw"),
+        tx.token_count(F.col("text")).alias("nt"),
+    )
+    # nullif guards: a lang whose docs all tokenize empty must yield
+    # NULL ratios (the oracle's x/0 -> NULL), not an ANSI divide error
+    return per.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("nw").cast("bigint").alias("n_words"),
+        F.sum("nt").cast("bigint").alias("n_tokens_bpe"),
+        tx.round_half_up(
+            F.sum("nt") / F.nullif(F.sum("nw"), F.lit(0)).cast("double"), 6
+        ).alias("fertility"),
+        tx.round_half_up(
+            F.sum("n_chars") / F.nullif(F.sum("nt"), F.lit(0)).cast("double"), 6
+        ).alias("chars_per_token"),
+    )
+
+
+# (from llm_extra13.py)
+# --------------------------------------------------------------------------
+# token_pagerank_centrality — unrolled power iteration on the token graph
+# --------------------------------------------------------------------------
+
+_PR_SUPPORT = 10   # same co-occurrence support floor as the triangle query
+_PR_D = 0.85
+_PR_ITERS = 3
+_PR_K = 20
+
+
+def _pr_sql() -> str:
+    base = f"""
+t AS (SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents),
+e AS (
+    SELECT a.tok AS u, b.tok AS v
+    FROM t a JOIN t b USING (doc_id)
+    WHERE a.tok < b.tok
+    GROUP BY 1, 2
+    HAVING count(*) >= {_PR_SUPPORT}
+),
+und AS (SELECT u, v FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT u AS tok FROM und),
+n AS (SELECT count(*) AS cnt FROM nodes),
+deg AS (SELECT u, count(*) AS d FROM und GROUP BY u),
+r0 AS (SELECT tok, 1.0 / (SELECT cnt FROM n) AS r FROM nodes)"""
+    steps = []
+    for i in range(_PR_ITERS):
+        steps.append(
+            f"""r{i + 1} AS (
+    SELECT nodes.tok,
+           (1.0 - {_PR_D}) / (SELECT cnt FROM n)
+           + {_PR_D} * coalesce(c.s, 0.0) AS r
+    FROM nodes LEFT JOIN (
+        SELECT und.v AS tok, sum(r{i}.r / deg.d) AS s
+        FROM und JOIN r{i} ON r{i}.tok = und.u
+                 JOIN deg ON deg.u = und.u
+        GROUP BY und.v) c USING (tok))"""
+        )
+    return (
+        "WITH " + base + ",\n" + ",\n".join(steps) + f"""
+SELECT tok, round(r, 6) AS rank
+FROM r{_PR_ITERS}
+ORDER BY round(r, 6) DESC, tok
+LIMIT {_PR_K}
+"""
+    )
+
+
+@register("token_pagerank_centrality", _pr_sql())
+def token_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank centrality (damping 0.85, 3 power iterations, uniform
+    init) over the token co-occurrence graph (edges = token pairs
+    sharing >= 10 documents, both directions), top-20 tokens — the graph
+    centrality primitive beyond connected components (dedup_clusters)
+    and triangles (cooccurrence_triangles). Iterations are UNROLLED so
+    the oracle is plain SQL and the Spark plan is a fixed join chain.
+
+    100 TB shape: the corpus-scale work is the same bounded per-document
+    pair count PMI/triangles pay; the graph itself is vocabulary-sized,
+    so every iteration is a broadcast-scale join. Ordering uses the
+    6dp-ROUNDED rank (token tiebreak) on both engines so last-ulp
+    summation noise can't flip the LIMIT boundary."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tx.tokens(F.lower(F.col("text"))))).alias("ts"),
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                " transform(slice(ts, i + 2, size(ts)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    # the edge table feeds 4+ consumers (both und directions, deg,
+    # nodes, every unrolled iteration's src join) and is the ONLY
+    # corpus-scale stage — cache so the explode+aggregate runs once
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _PR_SUPPORT)
+        .select("u", "v")
+        .cache()
+    )
+    und = e.union(e.select(F.col("v"), F.col("u"))).select(
+        F.col("u"), F.col("v")
+    )
+    nodes = und.select(F.col("u").alias("tok")).distinct()
+    n = nodes.agg(F.count("*").alias("cnt"))
+    deg = und.groupBy("u").agg(F.count("*").alias("d"))
+    src = und.join(deg, "u")  # (u, v, d): contribution edges with out-degree
+    r = nodes.crossJoin(F.broadcast(n)).select(
+        "tok", (F.lit(1.0) / F.col("cnt")).alias("r")
+    )
+    for _ in range(_PR_ITERS):
+        contrib = (
+            src.join(r.select(F.col("tok").alias("u"), "r"), "u")
+            .groupBy(F.col("v").alias("tok"))
+            .agg(F.sum(F.col("r") / F.col("d")).alias("s"))
+        )
+        r = (
+            nodes.join(contrib, "tok", "left")
+            .crossJoin(F.broadcast(n))
+            .select(
+                "tok",
+                (
+                    (F.lit(1.0) - F.lit(_PR_D)) / F.col("cnt")
+                    + F.lit(_PR_D) * F.coalesce(F.col("s"), F.lit(0.0))
+                ).alias("r"),
+            )
+        )
+    return (
+        r.select("tok", F.round("r", 6).alias("rank"))
+        .orderBy(F.desc("rank"), "tok")
+        .limit(_PR_K)
+    )
+
+
+# (from llm_extra13.py)
+# --------------------------------------------------------------------------
+# phrase_blocklist_rates — policy-filter impact report
+# --------------------------------------------------------------------------
+
+_BLOCK_PHRASES = ["slow scan", "slow merge", "big join", "hash join"]
+
+
+@register(
+    "phrase_blocklist_rates",
+    f"""
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(*) FILTER (WHERE {" OR ".join(
+           f"contains(lower(coalesce(text, '')), '{p}')"
+           for p in _BLOCK_PHRASES)}) AS BIGINT) AS n_flagged,
+       {_duck_round_half_up(
+           "count(*) FILTER (WHERE " + " OR ".join(
+               f"contains(lower(coalesce(text, '')), '{p}')"
+               for p in _BLOCK_PHRASES)
+           + ") / CAST(count(*) AS DOUBLE)", 6)} AS flagged_rate
+FROM documents
+GROUP BY source
+""",
+)
+def phrase_blocklist_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source impact of a phrase blocklist (substring match against
+    a fixed policy lexicon): documents flagged and the flagged share —
+    the report you read BEFORE enabling a policy filter, so a phrase
+    that would delete 40% of one source gets caught in review, not in
+    production.
+
+    100 TB shape: one scan, per-row contains() flags folded into a
+    source-cardinality aggregate; the lexicon is a compile-time constant
+    (a real deployment broadcasts it)."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    text = F.lower(F.coalesce(F.col("text"), F.lit("")))
+    flagged = None
+    for p in _BLOCK_PHRASES:
+        c = F.contains(text, F.lit(p))
+        flagged = c if flagged is None else flagged | c
+    return docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum(F.when(flagged, 1).otherwise(0)).cast("bigint").alias("n_flagged"),
+        tx.round_half_up(
+            F.sum(F.when(flagged, 1).otherwise(0)) / F.count("*").cast("double"),
+            6,
+        ).alias("flagged_rate"),
+    )
+
+
+# (from llm_extra15.py)
+# --------------------------------------------------------------------------
+# quality_logreg_score — fixed-weight logistic quality classifier
+# --------------------------------------------------------------------------
+
+# Published-style fixed weights (fasttext-like linear quality model):
+# bias, ln(1+tokens), stopword ratio, special-char ratio, avg token len.
+_LR_W = {
+    "bias": -2.0,
+    "log_tokens": 0.8,
+    "stop_ratio": 3.0,
+    "special_ratio": -5.0,
+    "avg_tok_len": -0.1,
+}
+_LR_STOPS = ", ".join(f"'{w}'" for w in tx.STOPWORDS["en"])
+
+
+@register(
+    "quality_logreg_score",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks, text FROM documents),
+feat AS (
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           ln(1.0 + len(toks)) AS f_log_tokens,
+           CASE WHEN len(toks) > 0 THEN
+               len(list_filter(toks, x -> list_contains([{_LR_STOPS}], x)))
+               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS f_stop,
+           CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+               length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+               / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END AS f_special,
+           CASE WHEN len(toks) > 0 THEN
+               list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+               / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS f_avg_len
+    FROM t
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           round(f_stop, 6) AS stop_ratio,
+           round(f_special, 6) AS special_ratio,
+           round(f_avg_len, 6) AS avg_tok_len,
+           round(1.0 / (1.0 + exp(-({_LR_W["bias"]}
+               + {_LR_W["log_tokens"]} * f_log_tokens
+               + {_LR_W["stop_ratio"]} * f_stop
+               + {_LR_W["special_ratio"]} * f_special
+               + {_LR_W["avg_tok_len"]} * f_avg_len))), 6) AS quality_prob
+    FROM feat
+)
+SELECT doc_id, n_tokens, stop_ratio, special_ratio, avg_tok_len,
+       quality_prob, quality_prob >= 0.5 AS kept
+FROM scored
+""",
+)
+def quality_logreg_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-weight logistic-regression quality classifier (the
+    fasttext-style linear scorer every corpus pipeline runs before
+    training): engineered features — log token count, stopword ratio,
+    special-char ratio, mean token length — dotted with published
+    weights through a sigmoid, entirely as JVM column expressions (zero
+    Python in the hot path; a learned model swaps the literal weights
+    for a broadcast weight row, same plan). `kept` is the boolean the
+    downstream filter consumes, decided on the 6dp-rounded probability
+    so both engines threshold the same value.
+
+    Scale: map-only scan, no shuffle, whole-stage-codegen'd; the
+    features reuse text_quality_stats' exact definitions (registry.py)
+    so the classifier can never drift from the published feature
+    semantics."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    n_tok = F.size(toks)
+    f_log_tokens = F.log(F.lit(1.0) + n_tok)
+    f_stop = tx.stopword_ratio(F.col("text"), "en")
+    f_special = tx.special_char_ratio(F.col("text"))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("long")),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x,
+    )
+    f_avg_len = F.when(
+        n_tok > 0, tok_chars / n_tok.cast("double")
+    ).otherwise(F.lit(0.0))
+    z = (
+        F.lit(_LR_W["bias"])
+        + F.lit(_LR_W["log_tokens"]) * f_log_tokens
+        + F.lit(_LR_W["stop_ratio"]) * f_stop
+        + F.lit(_LR_W["special_ratio"]) * f_special
+        + F.lit(_LR_W["avg_tok_len"]) * f_avg_len
+    )
+    prob = F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-z)), 6)
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        F.round(f_stop, 6).alias("stop_ratio"),
+        F.round(f_special, 6).alias("special_ratio"),
+        F.round(f_avg_len, 6).alias("avg_tok_len"),
+        prob.alias("quality_prob"),
+        (prob >= 0.5).alias("kept"),
+    )
+
+
+# (from llm_extra18.py)
+# --------------------------------------------------------------------------
+# kneser_ney_bigram — interpolated Kneser-Ney bigram LM
+# --------------------------------------------------------------------------
+
+_KN_D = 0.75  # absolute discount (exactly representable)
+_KN_MIN_COUNT = 8  # report bigrams at/above this raw count
+
+# identical formula text on both engines: discounted count + D-weighted
+# continuation mass, one division by the prefix total
+_KN_EXPR = (
+    f"(greatest(CAST(n_ab AS DOUBLE) - {_KN_D}, 0.0)"
+    f" + {_KN_D} * n1_fwd * (CAST(n1_back AS DOUBLE) / n_types))"
+    " / CAST(c_a AS DOUBLE)"
+)
+
+
+@register(
+    "kneser_ney_bigram",
+    f"""
+WITH d AS (SELECT {_TOKS} AS t FROM documents),
+bg AS (
+    SELECT t[i] AS tok_a, t[i + 1] AS tok_b
+    FROM d, unnest(generate_series(1, greatest(len(t) - 1, 0))) AS g(i)
+),
+pair AS (SELECT tok_a, tok_b, count(*) AS n_ab FROM bg GROUP BY 1, 2),
+pre AS (
+    SELECT tok_a, sum(n_ab) AS c_a, count(*) AS n1_fwd
+    FROM pair GROUP BY 1
+),
+back AS (SELECT tok_b, count(*) AS n1_back FROM pair GROUP BY 1),
+types AS (SELECT count(*) AS n_types FROM pair)
+SELECT pair.tok_a, pair.tok_b,
+       CAST(n_ab AS BIGINT) AS n_ab,
+       {_duck_round_half_up(_KN_EXPR, 6)} AS p_kn
+FROM pair
+JOIN pre USING (tok_a)
+JOIN back USING (tok_b)
+CROSS JOIN types
+WHERE n_ab >= {_KN_MIN_COUNT}
+""",
+)
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram probabilities — the smoothing
+    n-gram corpus scorers actually use (absolute discount D=0.75 plus
+    continuation probability), vs bigram_lm_probs' add-k:
+    P_kn(b|a) = (max(c(ab)-D, 0) + D * N1+(a.) * N1+(.b)/N1+(..)) / c(a.).
+    Every statistic (pair counts, prefix totals, forward/backward type
+    counts, total bigram types) is an exact integer; the formula text is
+    byte-identical on both engines so the IEEE evaluation order — and
+    therefore the 6dp half-up rounding — matches bit-for-bit. Stats
+    come from the UNFILTERED pair table; the >= 8 count filter applies
+    only to the reported rows.
+
+    100 TB shape: bigrams come from a per-document JVM zip_with (no
+    self-join, no Python); after the one corpus-wide pair aggregation,
+    everything is vocabulary-bounded — pre/back/types are broadcast
+    joins. Reference: Kneser & Ney (1995); Chen & Goodman (1999) for
+    the interpolated form."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(tx.tokens(F.lower(F.col("text"))).alias("t"))
+    bg = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS tok_a, y AS tok_b))"
+            )
+        ).alias("b")
+    ).select("b.tok_a", "b.tok_b")
+    pair = bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    pre = pair.groupBy("tok_a").agg(
+        F.sum("n_ab").alias("c_a"), F.count("*").alias("n1_fwd")
+    )
+    back = pair.groupBy("tok_b").agg(F.count("*").alias("n1_back"))
+    types = pair.agg(F.count("*").alias("n_types"))
+    return (
+        pair.filter(F.col("n_ab") >= _KN_MIN_COUNT)
+        .join(F.broadcast(pre), "tok_a")
+        .join(F.broadcast(back), "tok_b")
+        .join(F.broadcast(types))
+        .select(
+            "tok_a",
+            "tok_b",
+            F.col("n_ab").cast("long").alias("n_ab"),
+            tx.round_half_up(F.expr(_KN_EXPR), 6).alias("p_kn"),
+        )
+    )
+
+
+# (from llm_extra20.py)
+# --------------------------------------------------------------------------
+# token_clustering_coefficient — local clustering on the co-occurrence graph
+# --------------------------------------------------------------------------
+
+_TCC_SUPPORT = 10  # same edge support floor as cooccurrence_triangles
+
+
+@register(
+    "token_clustering_coefficient",
+    f"""
+WITH t AS (
+    SELECT doc_id, unnest(list_distinct({_TOKS})) AS tok FROM documents
+),
+e AS (
+    SELECT a.tok AS u, b.tok AS v
+    FROM t a JOIN t b USING (doc_id)
+    WHERE a.tok < b.tok
+    GROUP BY 1, 2
+    HAVING count(*) >= {_TCC_SUPPORT}
+),
+deg AS (
+    SELECT tok, CAST(count(*) AS BIGINT) AS degree
+    FROM (SELECT u AS tok FROM e UNION ALL SELECT v FROM e)
+    GROUP BY 1
+),
+tri AS (
+    SELECT unnest([e1.u, e1.v, e2.v]) AS tok
+    FROM e e1
+    JOIN e e2 ON e2.u = e1.v
+    JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v
+),
+tcnt AS (SELECT tok, CAST(count(*) AS BIGINT) AS n_triangles FROM tri GROUP BY 1)
+SELECT d.tok, d.degree,
+       CAST(coalesce(tc.n_triangles, 0) AS BIGINT) AS n_triangles,
+       {_duck_round_half_up(
+           "CAST(2 * coalesce(tc.n_triangles, 0) AS DOUBLE)"
+           " / (d.degree * (d.degree - 1))", 6)} AS clustering_coeff
+FROM deg d LEFT JOIN tcnt tc USING (tok)
+WHERE d.degree >= 2
+""",
+)
+def token_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient per token on the co-occurrence
+    graph (same edges as cooccurrence_triangles): C(v) = 2·T(v) /
+    (deg(v)·(deg(v)−1)) — how close each token's neighborhood is to a
+    clique, the community-structure signal that separates topical hub
+    words (low C) from fixed-phrase members (high C). Triangles are
+    enumerated once in a<b<c orientation and credited to all three
+    vertices; both ratio operands are exact integers.
+
+    100 TB shape: identical to the triangles query — the only
+    corpus-scale stage is the per-document pair count; the vocabulary
+    graph is tiny, so the triangle joins broadcast and the degree/
+    triangle-count aggregates are vocabulary-sized."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        F.array_sort(F.array_distinct(tx.tokens(F.lower(F.col("text"))))).alias("ts"),
+    )
+    pairs = t.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(ts, (x, i) ->"
+                " transform(slice(ts, i + 2, size(ts)),"
+                " y -> struct(x AS u, y AS v))))"
+            )
+        ).alias("p")
+    ).select("p.u", "p.v")
+    e = (
+        pairs.groupBy("u", "v")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= _TCC_SUPPORT)
+        .select("u", "v")
+    )
+    deg = (
+        e.select(F.col("u").alias("tok"))
+        .unionByName(e.select(F.col("v").alias("tok")))
+        .groupBy("tok")
+        .agg(F.count("*").alias("degree"))
+    )
+    e1 = e.select(F.col("u").alias("ta"), F.col("v").alias("tb"))
+    e2 = e.select(F.col("u").alias("tb"), F.col("v").alias("tc"))
+    e3 = e.select(F.col("u").alias("ta"), F.col("v").alias("tc"))
+    tri = (
+        e1.join(F.broadcast(e2), "tb")
+        .join(F.broadcast(e3), ["ta", "tc"])
+        .select(F.explode(F.array("ta", "tb", "tc")).alias("tok"))
+    )
+    tcnt = tri.groupBy("tok").agg(F.count("*").alias("n_triangles"))
+    return (
+        deg.filter(F.col("degree") >= 2)
+        .join(tcnt, "tok", "left")
+        .select(
+            "tok",
+            F.col("degree").cast("long").alias("degree"),
+            F.coalesce(F.col("n_triangles"), F.lit(0))
+            .cast("long")
+            .alias("n_triangles"),
+            tx.round_half_up(
+                (2 * F.coalesce(F.col("n_triangles"), F.lit(0))).cast("double")
+                / (F.col("degree") * (F.col("degree") - 1)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )
+
+
+# (from llm_extra20.py)
+# --------------------------------------------------------------------------
+# trigram_backoff_lm — stupid-backoff trigram scores
+# --------------------------------------------------------------------------
+
+_SB_ALPHA = 0.4  # Brants et al. backoff weight (exactly representable? 0.4
+# is not a dyadic rational, but the PARSED double literal is identical on
+# both engines, and multiplication is IEEE-exact on identical operands)
+_SB_MIN_COUNT = 5
+
+
+@register(
+    "trigram_backoff_lm",
+    f"""
+WITH d AS (SELECT {_TOKS} AS t FROM documents),
+tg AS (
+    SELECT t[i] AS w1, t[i + 1] AS w2, t[i + 2] AS w3
+    FROM d, unnest(generate_series(1, greatest(len(t) - 2, 0))) AS g(i)
+),
+c3 AS (SELECT w1, w2, w3, CAST(count(*) AS BIGINT) AS n_123 FROM tg GROUP BY 1, 2, 3),
+c12 AS (SELECT w1, w2, CAST(sum(n_123) AS BIGINT) AS n_12 FROM c3 GROUP BY 1, 2),
+c23 AS (SELECT w2, w3, CAST(sum(n_123) AS BIGINT) AS n_23 FROM c3 GROUP BY 1, 2),
+c2 AS (SELECT w2, CAST(sum(n_123) AS BIGINT) AS n_2 FROM c3 GROUP BY 1)
+SELECT c3.w1, c3.w2, c3.w3, n_123,
+       {_duck_round_half_up("CAST(n_123 AS DOUBLE) / n_12", 6)} AS s_ml,
+       {_duck_round_half_up(
+           f"{_SB_ALPHA} * (CAST(n_23 AS DOUBLE) / n_2)", 6)} AS s_backoff
+FROM c3
+JOIN c12 USING (w1, w2)
+JOIN c23 USING (w2, w3)
+JOIN c2 USING (w2)
+WHERE n_123 >= {_SB_MIN_COUNT}
+""",
+)
+def trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff trigram scores (Brants et al. 2007): for each
+    frequent trigram, the ML trigram score c(w1w2w3)/c(w1w2·) and the
+    alpha-weighted bigram backoff 0.4·c(·w2w3)/c(·w2·) it would fall
+    back to — the smoothing used at web scale precisely because every
+    statistic is a plain count ratio that distributes as map-side-
+    combinable aggregation (no normalization pass, unlike Kneser-Ney).
+    All context counts derive from the ONE trigram-event table, so the
+    score algebra is self-consistent and every ratio divides exact
+    integers.
+
+    100 TB shape: trigrams come from per-document JVM zip_with slices
+    (no self-join, no Python); after the corpus-wide trigram count,
+    c12/c23/c2 are vocabulary-bounded broadcast joins — the same
+    topology as the bigram tiers, one order deeper."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select(tx.tokens(F.lower(F.col("text"))).alias("t"))
+    tg = t.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 2, 0)),"
+                " zip_with(slice(t, 2, greatest(size(t) - 2, 0)),"
+                "          slice(t, 3, greatest(size(t) - 2, 0)),"
+                "          (y, z) -> struct(y AS w2, z AS w3)),"
+                " (x, p) -> struct(x AS w1, p.w2 AS w2, p.w3 AS w3))"
+            )
+        ).alias("g")
+    ).select("g.w1", "g.w2", "g.w3")
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n_123"))
+    c12 = c3.groupBy("w1", "w2").agg(F.sum("n_123").alias("n_12"))
+    c23 = c3.groupBy("w2", "w3").agg(F.sum("n_123").alias("n_23"))
+    c2 = c3.groupBy("w2").agg(F.sum("n_123").alias("n_2"))
+    return (
+        c3.filter(F.col("n_123") >= _SB_MIN_COUNT)
+        .join(F.broadcast(c12), ["w1", "w2"])
+        .join(F.broadcast(c23), ["w2", "w3"])
+        .join(F.broadcast(c2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "w3",
+            F.col("n_123").cast("long").alias("n_123"),
+            tx.round_half_up(
+                F.col("n_123").cast("double") / F.col("n_12"), 6
+            ).alias("s_ml"),
+            tx.round_half_up(
+                _SB_ALPHA * (F.col("n_23").cast("double") / F.col("n_2")), 6
+            ).alias("s_backoff"),
+        )
+    )

@@ -2457,95 +2457,49 @@ def regex_extraction(spark, sf_dir):
 # stay at the bottom of this file).
 from kafka_streams_example_spark import relational_extra  # noqa: E402,F401
 
-# Additional training-data-pipeline operators (decontamination, repetition
-# quality, stratified sampling, vocabulary stats, range join) — same
-# self-registration pattern.
-from kafka_streams_example_spark import llm_extra  # noqa: E402,F401
+# Thematic query packages (round-7 consolidation of the former numbered
+# tranches — same self-registration pattern, code unchanged, order pinned
+# by query_order.py). `text` must import before `stats`/`eval`: both patch
+# an oracle with ORACLES["quality_logreg_score"], which text registers.
+from kafka_streams_example_spark.queries import text  # noqa: E402,F401
+from kafka_streams_example_spark.queries import retrieval  # noqa: E402,F401
+from kafka_streams_example_spark.queries import dedup  # noqa: E402,F401
+from kafka_streams_example_spark.queries import sketches  # noqa: E402,F401
+from kafka_streams_example_spark.queries import stats  # noqa: E402,F401
+from kafka_streams_example_spark.queries import timeseries  # noqa: E402,F401
+from kafka_streams_example_spark.queries import eval as eval_queries  # noqa: E402,F401
+from kafka_streams_example_spark.queries import events  # noqa: E402,F401
+from kafka_streams_example_spark.queries import multimodal  # noqa: E402,F401
+from kafka_streams_example_spark.queries import operational  # noqa: E402,F401
 
-# Third tranche (chunking, packing, TF-IDF, histogram, EWMA, PII scrub,
-# end-to-end near-dup dedup) — same self-registration pattern.
-from kafka_streams_example_spark import llm_extra2  # noqa: E402,F401
-
-# Fourth tranche (survivorship, deterministic splits, sketch-accuracy
-# audit, power iteration, time-weighted averages, vocabulary coverage).
-from kafka_streams_example_spark import llm_extra3  # noqa: E402,F401
-
-# Fifth tranche (inverted index, PMI collocations, cohort retention,
-# median/MAD outliers, SCD2 history, winsorized stats, deterministic
-# sampling, interval-overlap join, column profiling).
-from kafka_streams_example_spark import llm_extra4  # noqa: E402,F401
-
-# Sixth tranche (bigram LM, co-occurrence triangles, weighted sampling,
-# key-skew diagnosis, robust feature scaling).
-from kafka_streams_example_spark import llm_extra5  # noqa: E402,F401
-
-# Seventh tranche (LOCF resampling, mixture re-balancing, novelty curve).
-from kafka_streams_example_spark import llm_extra6  # noqa: E402,F401
-
-# Eighth tranche (edit-distance near-dup, Markov transitions, seasonal
-# anomalies, DAU/WAU, RFM segmentation).
-from kafka_streams_example_spark import llm_extra7  # noqa: E402,F401
-
-# Ninth tranche (session paths, bounded funnel, Pareto curve, basket lift).
-from kafka_streams_example_spark import llm_extra8  # noqa: E402,F401
-
-# Tenth tranche (error bursts, WoW trend, A/B analysis).
-from kafka_streams_example_spark import llm_extra9  # noqa: E402,F401
-
-# Spark 4 SQL-surface tranche (SQL scalar UDFs, pipe syntax).
+# SQL-surface battery registered after the relational/tranche sets it
+# cross-references.
 from kafka_streams_example_spark import sql_surface  # noqa: E402,F401
 
-# Eleventh tranche (lang-id confusion, filter ablation, transitivity
-# audit, shard balance).
-from kafka_streams_example_spark import llm_extra10  # noqa: E402,F401
+# ---------------------------------------------------------------------------
+# Canonical ordering: registration order is FROZEN as data (query_order.py)
+# so the physical module layout can change without churning the driver's
+# bounded verification window (its rotation tiebreaks on this order).
+# Genuinely new queries may be registered before being added to the frozen
+# list — they sort after it, in registration order — but CI
+# (tests/test_bench_contract.py) requires the list to be updated in the
+# same change, so the canonical file stays the single source of truth.
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.query_order import CANONICAL_ORDER  # noqa: E402
 
-# Twelfth tranche (fulfillment latency, activity heatmap, purchase gaps).
-from kafka_streams_example_spark import llm_extra11  # noqa: E402,F401
 
-# Thirteenth tranche (contamination audits, hard negatives, SemDeDup,
-# tokenizer fertility, mixture entropy, filter threshold sweep).
-from kafka_streams_example_spark import llm_extra12  # noqa: E402,F401
+def _canonicalize() -> None:
+    missing = [n for n in CANONICAL_ORDER if n not in QUERIES]
+    assert not missing, f"canonical queries not registered: {missing}"
+    rank = {n: i for i, n in enumerate(CANONICAL_ORDER)}
+    fallback = {n: i for i, n in enumerate(QUERIES)}
+    ordered = sorted(QUERIES, key=lambda n: (rank.get(n, len(rank)), fallback[n]))
+    q = {n: QUERIES[n] for n in ordered}
+    o = {n: ORACLES[n] for n in ordered if n in ORACLES}
+    QUERIES.clear()
+    QUERIES.update(q)
+    ORACLES.clear()
+    ORACLES.update(o)
 
-# Fourteenth tranche (sketch recall, PageRank, islands, BM25, blocklist,
-# dedup accounting).
-from kafka_streams_example_spark import llm_extra13  # noqa: E402,F401
 
-# Fifteenth tranche (real stdlib media codecs: PNG/WAV roundtrip audits).
-from kafka_streams_example_spark import llm_extra14  # noqa: E402,F401
-
-# Sixteenth tranche (distributed Bloom-filter probe join, JL projection
-# distortion audit, fixed-weight logistic quality scoring).
-from kafka_streams_example_spark import llm_extra15  # noqa: E402,F401
-
-# Seventeenth tranche (Count-Min heavy hitters, theta-sketch set ops,
-# Benford audit, ACF/CUSUM series diagnostics, feature hashing,
-# classifier calibration bins).
-from kafka_streams_example_spark import llm_extra16  # noqa: E402,F401
-
-# Eighteenth tranche (exact ROC-AUC, per-nation OLS trends, Cohen's
-# kappa, chi-square independence, eval-split bigram cross-entropy,
-# batch watermark-lateness audit).
-from kafka_streams_example_spark import llm_extra17  # noqa: E402,F401
-
-# Nineteenth tranche (sorted-neighborhood near-dup, Z-order locality
-# audit, k-anonymity risk, seeded-DP noisy counts, incremental agg-state
-# merge proof, leave-one-source-out influence, Kneser-Ney bigram LM).
-from kafka_streams_example_spark import llm_extra18  # noqa: E402,F401
-
-# Twentieth tranche (data-contract validation suite, PSI drift monitor,
-# nDCG retrieval eval, context-budget report, corpus snapshot diff,
-# last-touch attribution).
-from kafka_streams_example_spark import llm_extra19  # noqa: E402,F401
-
-# Twenty-first tranche (Hamilton-apportionment stratified sample,
-# phonetic blocking pairs, local clustering coefficients, WOE/IV
-# feature scoring, stupid-backoff trigram LM).
-from kafka_streams_example_spark import llm_extra20  # noqa: E402,F401
-
-# Twenty-second tranche (Kaplan-Meier conversion survival, Mann-Whitney
-# U test, b-bit MinHash compression audit).
-from kafka_streams_example_spark import llm_extra21  # noqa: E402,F401
-
-# Twenty-third tranche (Theil-Sen robust trend, Holt linear smoothing
-# trace, token-budget mixture allocation, ER merge survivorship).
-from kafka_streams_example_spark import llm_extra22  # noqa: E402,F401
+_canonicalize()

@@ -1,5 +1,5 @@
 """Streaming ingest contract gate — the data-contract validation suite
-(llm_extra19.py:data_contract_validation) as a standing Structured
+(queries/operational.py:data_contract_validation) as a standing Structured
 Streaming program. Violation counts are plain sums, so they aggregate
 incrementally in update mode and the cumulative stream state always
 equals the batch suite run over the union of everything ingested —
@@ -73,7 +73,7 @@ def streaming_psi_monitor(
     reference_cells: DataFrame,
     state_dir: str | None = None,
 ) -> tuple[DataFrame, "callable"]:
-    """The PSI drift monitor (llm_extra19.py:psi_value_drift) as a
+    """The PSI drift monitor (queries/operational.py:psi_value_drift) as a
     standing stream: the reference window is a STATIC per-(type, bin)
     count table (computed once, never rescanned); the current window is
     the stream's cumulative (type, bin) counts in update mode. Returns
@@ -89,7 +89,7 @@ def streaming_psi_monitor(
     This is the incremental shape SCALE.md §14 describes: cell counts
     merge as sums, so the monitor's per-batch work is the micro-batch
     aggregation + a bins×types-sized PSI evaluation."""
-    from kafka_streams_example_spark.llm_extra19 import (
+    from kafka_streams_example_spark.queries.operational import (
         _PSI_ALERT,
         _PSI_BIN_WIDTH,
         _PSI_BINS,
@@ -190,7 +190,7 @@ def streaming_psi_monitor(
 
 
 def streaming_shard_manifest(docs_stream: DataFrame) -> DataFrame:
-    """The reproducible shard manifest (llm_extra15.py:shard_manifest)
+    """The reproducible shard manifest (queries/operational.py:shard_manifest)
     as a streaming accumulator: because the content checksum is a
     COMMUTATIVE mod-sum, it aggregates incrementally in update mode and
     the cumulative stream state equals the batch manifest over
@@ -207,10 +207,10 @@ def streaming_shard_manifest(docs_stream: DataFrame) -> DataFrame:
         normalize_text,
         stable_long,
     )
-    from kafka_streams_example_spark import registry  # noqa: F401 — tranche
-    # modules bootstrap through the registry; importing llm_extra15
+    from kafka_streams_example_spark import registry  # noqa: F401 — query
+    # modules bootstrap through the registry; importing queries.operational
     # directly before registry loads would hit a partial ORACLES table
-    from kafka_streams_example_spark.llm_extra15 import _MAN_MOD, _MAN_SHARDS
+    from kafka_streams_example_spark.queries.operational import _MAN_MOD, _MAN_SHARDS
 
     t = docs_stream.select(
         (stable_long(F.col("doc_id").cast("string")) % _MAN_SHARDS).alias(

@@ -186,12 +186,12 @@ def running_panel_totals_tws(stream_df: DataFrame, ts_col: str = "ts") -> DataFr
 
 ATTR_SCHEMA = "user_id LONG, channel STRING, cents LONG"
 ATTR_STATE = "last_sec LONG, last_type STRING"
-ATTR_WINDOW_S = 1800  # same lookback as llm_extra19.sessionized_attribution
+ATTR_WINDOW_S = 1800  # same lookback as queries.events.sessionized_attribution
 
 
 def last_touch_attribution(stream_df: DataFrame) -> DataFrame:
     """Streaming twin of the batch ``sessionized_attribution`` query
-    (llm_extra19.py): per user, every purchase credits the most recent
+    (queries/events.py): per user, every purchase credits the most recent
     non-purchase event within the 30-minute lookback ('direct' when
     none), revenue in half-up cents. The per-key state is ONE (last_sec,
     last_type) pair carried across micro-batches, so the operator

@@ -143,3 +143,18 @@ def test_driver_verification_backlog_fits_window():
         f"driver verification row — more than one 50-query window can "
         f"drain. Do not register more queries this round: {backlog[50:]}"
     )
+
+
+def test_registration_order_is_frozen_canonical():
+    """QUERIES/ORACLES iterate in the order pinned by query_order.py —
+    the physical module layout must not be able to churn the driver's
+    verification window (rotation tiebreaks on this order). A new query
+    must be APPENDED to CANONICAL_ORDER in the same change that
+    registers it."""
+    from kafka_streams_example_spark import query_order, registry
+
+    assert list(registry.QUERIES) == query_order.CANONICAL_ORDER
+    assert list(registry.ORACLES) == [
+        n for n in query_order.CANONICAL_ORDER if n in registry.ORACLES
+    ]
+    assert len(query_order.CANONICAL_ORDER) == len(set(query_order.CANONICAL_ORDER))

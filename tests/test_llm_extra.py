@@ -14,7 +14,8 @@ from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra import _LANG_RATES, _TIERS
+from kafka_streams_example_spark.queries.events import _TIERS
+from kafka_streams_example_spark.queries.operational import _LANG_RATES
 
 
 def test_decontam_split_and_bounds(spark):

@@ -8,7 +8,7 @@ _DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LON
 
 
 def test_confusion_matrix_diagonal_is_recall(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra10 import langid_confusion_matrix
+    from kafka_streams_example_spark.queries.eval import langid_confusion_matrix
 
     # 3 docs labeled 'en' with English stopwords, 1 labeled 'en' with
     # German text (misclassified), 2 labeled 'de' with German text
@@ -31,7 +31,7 @@ def test_confusion_matrix_diagonal_is_recall(spark, tmp_path):
 
 
 def test_ablation_stages_are_monotone_and_attributable(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra10 import filter_ablation_report
+    from kafka_streams_example_spark.queries.eval import filter_ablation_report
 
     long_text = " ".join(["token"] * 20)  # 20 tokens, >50 chars
     rows = [
@@ -57,7 +57,7 @@ def test_ablation_stages_are_monotone_and_attributable(spark, tmp_path):
 
 
 def test_transitivity_flags_open_wedges(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra10 import neardup_transitivity_audit
+    from kafka_streams_example_spark.queries.dedup import neardup_transitivity_audit
 
     # b is a||c, so J(a,b)=J(b,c)=3/8=0.375 >= 0.3 but J(a,c)=0: open wedge.
     a = "alpha beta gamma delta epsilon"
@@ -75,7 +75,7 @@ def test_transitivity_flags_open_wedges(spark, tmp_path):
 
 
 def test_shard_balance_spreads_salted_hash(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra10 import output_shard_balance
+    from kafka_streams_example_spark.queries.operational import output_shard_balance
 
     rows = [(i, "t", "en", "w", 10) for i in range(6400)]
     spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(

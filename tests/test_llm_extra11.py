@@ -24,7 +24,7 @@ def _ts(s: str) -> datetime.datetime:
 
 
 def test_latency_uses_first_shipment_per_order(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra11 import order_to_ship_latency
+    from kafka_streams_example_spark.queries.events import order_to_ship_latency
 
     orders = [
         (1, 1, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
@@ -51,7 +51,7 @@ def test_latency_uses_first_shipment_per_order(spark, tmp_path):
 
 
 def test_heatmap_shares_sum_to_one(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra11 import hourly_activity_heatmap
+    from kafka_streams_example_spark.queries.events import hourly_activity_heatmap
 
     rows = [
         (1, _ts("2024-01-01T09:00:00"), 1, "a", 1.0, None),  # Mon 9
@@ -71,7 +71,7 @@ def test_heatmap_shares_sum_to_one(spark, tmp_path):
 
 
 def test_purchase_gaps_only_between_consecutive_purchases(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra11 import repeat_purchase_interval
+    from kafka_streams_example_spark.queries.events import repeat_purchase_interval
 
     rows = [
         (1, _ts("2024-01-01T00:00:00"), 1, "purchase", 1.0, None),

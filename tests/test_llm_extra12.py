@@ -29,7 +29,7 @@ def test_leakage_pairs_are_cross_split_subset_of_all_pairs(spark, tmp_path):
     """The leakage audit must report EXACTLY the near-dup pairs whose
     sides fall in different splits — verified against a Python replica
     of the split hash over the full pair set."""
-    from kafka_streams_example_spark.llm_extra12 import (
+    from kafka_streams_example_spark.queries.dedup import (
         _neardup_pairs,
         cross_split_leakage_pairs,
     )
@@ -60,7 +60,7 @@ def test_band_tuning_scurve_matches_formula_and_orders_configs(spark, tmp_path):
     """Per config, mean_p_detect must equal the Python-evaluated S-curve
     over the measured Jaccards, and at J ~ 0.5 fewer rows per band must
     detect MORE (the S-curve moves right as r grows)."""
-    from kafka_streams_example_spark.llm_extra12 import (
+    from kafka_streams_example_spark.queries.dedup import (
         _neardup_pairs,
         minhash_band_tuning_report,
     )
@@ -86,7 +86,7 @@ def test_band_tuning_scurve_matches_formula_and_orders_configs(spark, tmp_path):
 
 
 def test_hard_negatives_exclude_own_label_and_rank_by_score(spark):
-    from kafka_streams_example_spark.llm_extra12 import hard_negative_mining
+    from kafka_streams_example_spark.queries.retrieval import hard_negative_mining
 
     rows = hard_negative_mining(spark, "/root/testdata/sf0.001").collect()
     assert rows
@@ -102,9 +102,7 @@ def test_hard_negatives_exclude_own_label_and_rank_by_score(spark):
 
 
 def test_fertility_exact_on_planted_doc(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra12 import (
-        tokenizer_fertility_by_lang,
-    )
+    from kafka_streams_example_spark.queries.text import tokenizer_fertility_by_lang
 
     # "hello, world" -> words: [hello,, world]=2; BPE-ish tokens:
     # [hello][,][world] = 3; chars = 12
@@ -118,9 +116,7 @@ def test_fertility_exact_on_planted_doc(spark, tmp_path):
 def test_cluster_size_histogram_counts_planted_clusters(spark, tmp_path):
     """One exact-dup triple + one near-dup pair -> histogram
     {3: 1, 2: 1} (same blocking/thresholds as dedup_clusters)."""
-    from kafka_streams_example_spark.llm_extra12 import (
-        dedup_cluster_size_histogram,
-    )
+    from kafka_streams_example_spark.queries.dedup import dedup_cluster_size_histogram
 
     trip = "identical content repeated verbatim in three documents here"
     a = "the quick brown fox jumps over the lazy dog near the river bank"
@@ -141,7 +137,7 @@ def test_cluster_size_histogram_counts_planted_clusters(spark, tmp_path):
 
 
 def test_norm_outliers_flags_planted_extreme_vector(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra12 import embedding_norm_outliers
+    from kafka_streams_example_spark.queries.retrieval import embedding_norm_outliers
 
     # label 0: 9 unit-ish vectors + 1 extreme-norm vector
     rows = [(i, [1.0 + 0.01 * i] + [0.0] * 63, 0) for i in range(9)]
@@ -154,7 +150,7 @@ def test_norm_outliers_flags_planted_extreme_vector(spark, tmp_path):
 
 
 def test_mixture_entropy_uniform_cells_is_log2_k(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra12 import corpus_mixture_entropy
+    from kafka_streams_example_spark.queries.operational import corpus_mixture_entropy
 
     # 2 langs x 2 sources, 5 docs per cell -> both entropies exact
     rows = [
@@ -173,9 +169,7 @@ def test_mixture_entropy_uniform_cells_is_log2_k(spark, tmp_path):
 
 
 def test_threshold_sweep_is_monotone_and_shares_consistent(spark):
-    from kafka_streams_example_spark.llm_extra12 import (
-        quality_filter_threshold_sweep,
-    )
+    from kafka_streams_example_spark.queries.eval import quality_filter_threshold_sweep
 
     rows = sorted(
         quality_filter_threshold_sweep(spark, "/root/testdata/sf0.001").collect(),
@@ -192,7 +186,7 @@ def test_semdedup_drops_junior_in_cell_twin_keeps_cross_cell(spark, tmp_path):
     """A vector nearly identical to a lower-id vector in the SAME cell is
     dropped; the lowest-id twin survives; vectors without an in-cell
     senior twin survive — and every drop has an in-cell senior."""
-    from kafka_streams_example_spark.llm_extra12 import semdedup_prune
+    from kafka_streams_example_spark.queries.dedup import semdedup_prune
 
     def vec(*vals):
         v = [0.0] * 64
@@ -226,7 +220,7 @@ def test_semdedup_cell_count_scales_with_corpus():
     """Fixed k makes in-cell pair work quadratic in corpus size (r06
     scale sweep measured 14.6x time for 10x rows before the fix); the
     cell count must grow ~linearly with vectors above the floor."""
-    from kafka_streams_example_spark.llm_extra12 import sd_cell_count
+    from kafka_streams_example_spark.queries.dedup import sd_cell_count
 
     assert sd_cell_count(0) == 16
     assert sd_cell_count(200) == 16     # sf0.01 — floor
@@ -239,9 +233,7 @@ def test_semdedup_cell_count_scales_with_corpus():
 
 
 def test_cross_lingual_pairs_only_cross_language(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra12 import (
-        cross_lingual_neardup_pairs,
-    )
+    from kafka_streams_example_spark.queries.dedup import cross_lingual_neardup_pairs
 
     base = "shared boilerplate text common to both language labels here today"
     rows = [
@@ -264,9 +256,7 @@ def test_fertility_zero_token_lang_yields_null_not_error(spark, tmp_path):
     """A language whose docs all tokenize empty must produce NULL
     ratios (matching DuckDB's x/0 -> NULL), not an ANSI divide error
     (code-review r04 finding)."""
-    from kafka_streams_example_spark.llm_extra12 import (
-        tokenizer_fertility_by_lang,
-    )
+    from kafka_streams_example_spark.queries.text import tokenizer_fertility_by_lang
 
     rows = [(1, "   ", "zz", "w", 3), (2, "hello world", "en", "w", 11)]
     d = _write_docs(spark, tmp_path, rows)

@@ -23,7 +23,7 @@ def test_minhash_recall_identities(spark):
     """detected + missed bookkeeping must be internally consistent and
     detected must be a subset of exact (banding only PRUNES candidates;
     the verify stage enforces the same threshold)."""
-    from kafka_streams_example_spark.llm_extra13 import minhash_recall_report
+    from kafka_streams_example_spark.queries.dedup import minhash_recall_report
 
     (r,) = minhash_recall_report(spark, "/root/testdata/sf0.001").collect()
     assert r.n_exact >= r.n_detected >= 0
@@ -36,9 +36,7 @@ def test_pagerank_sums_to_one_and_hub_wins(spark, tmp_path):
     """On a star graph (hub co-occurring with every spoke, spokes only
     with the hub) the hub must rank first, and total rank mass must be
     ~1 (PageRank is a probability distribution)."""
-    from kafka_streams_example_spark.llm_extra13 import (
-        token_pagerank_centrality,
-    )
+    from kafka_streams_example_spark.queries.text import token_pagerank_centrality
 
     # 12 docs: each contains hub + one distinct spoke pair, repeated so
     # every (hub, spoke) pair passes the support floor of 10
@@ -57,7 +55,7 @@ def test_pagerank_sums_to_one_and_hub_wins(spark, tmp_path):
 
 
 def test_islands_merge_overlaps_and_split_gaps(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra13 import user_activity_islands
+    from kafka_streams_example_spark.queries.events import user_activity_islands
 
     base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
     rows = [
@@ -84,7 +82,7 @@ def test_islands_merge_overlaps_and_split_gaps(spark, tmp_path):
 def test_bm25_matches_python_reference(spark, tmp_path):
     """Spark BM25 must equal a straight Python implementation of the
     same formula on a small corpus."""
-    from kafka_streams_example_spark.llm_extra13 import (
+    from kafka_streams_example_spark.queries.retrieval import (
         _BM25_B,
         _BM25_K1,
         _BM25_TERMS,
@@ -125,7 +123,7 @@ def test_bm25_matches_python_reference(spark, tmp_path):
 
 
 def test_blocklist_rates_count_planted_phrases(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra13 import phrase_blocklist_rates
+    from kafka_streams_example_spark.queries.text import phrase_blocklist_rates
 
     rows = [
         (1, "a very slow scan indeed", "en", "s1", 23),
@@ -140,7 +138,7 @@ def test_blocklist_rates_count_planted_phrases(spark, tmp_path):
 
 
 def test_dedup_reduction_counts_planted_dups(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra13 import dedup_reduction_report
+    from kafka_streams_example_spark.queries.dedup import dedup_reduction_report
 
     dup = "same text here"
     rows = [

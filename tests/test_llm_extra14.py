@@ -56,7 +56,7 @@ def test_split_token_kl_properties(spark):
     token totals reconcile with a direct count."""
     rows = registry.QUERIES["split_token_kl"](spark, SF_SMOKE).collect()
     assert rows
-    from kafka_streams_example_spark.llm_extra3 import split_col
+    from kafka_streams_example_spark.queries.eval import split_col
     from kafka_streams_example_spark.operators import text as tx
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")

@@ -9,7 +9,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra15 import _BF_K, _BF_M, _JL_K
+from kafka_streams_example_spark.queries.sketches import _BF_K, _BF_M, _JL_K
 from tests.conftest import SF_SMOKE
 
 
@@ -75,7 +75,7 @@ def test_jl_distortion_concentrates_near_one(spark):
 
 
 def test_jl_sign_matrix_is_deterministic_constant():
-    from kafka_streams_example_spark.llm_extra15 import _JL, _jl_signs
+    from kafka_streams_example_spark.queries.sketches import _JL, _jl_signs
 
     again = _jl_signs()
     assert again == _JL

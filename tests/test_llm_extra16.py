@@ -11,14 +11,14 @@ import math
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra16 import (
-    _BENFORD_P,
+from kafka_streams_example_spark.queries.sketches import (
     _CM_D,
     _CM_TOPK,
     _CM_W,
     _FH_DIM,
     _TH_K,
 )
+from kafka_streams_example_spark.queries.stats import _BENFORD_P
 from tests.conftest import SF_SMOKE
 
 

@@ -13,7 +13,7 @@ from collections import Counter, defaultdict
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra17 import _WM_DELAY_S
+from kafka_streams_example_spark.queries.operational import _WM_DELAY_S
 from tests.conftest import SF_SMOKE
 
 
@@ -174,7 +174,7 @@ def test_bigram_crossentropy_bounds_and_mass(spark):
     independent count."""
     rows = registry.QUERIES["bigram_crossentropy_eval"](spark, SF_SMOKE).collect()
     assert rows
-    from kafka_streams_example_spark.llm_extra3 import split_col
+    from kafka_streams_example_spark.queries.eval import split_col
     from kafka_streams_example_spark.operators import text as tx
 
     docs = spark.read.parquet(f"{SF_SMOKE}/documents.parquet")

@@ -13,17 +13,18 @@ from collections import Counter, defaultdict
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra18 import (
-    _DP_B,
-    _DP_EPSILON,
-    _KN_D,
-    _KN_MIN_COUNT,
+from kafka_streams_example_spark.queries.dedup import (
     _SN_BLOCK_CHARS,
     _SN_HAM,
     _SN_WINDOW,
+)
+from kafka_streams_example_spark.queries.operational import (
+    _DP_B,
+    _DP_EPSILON,
     _Z_BLOCK_SHIFT,
     _z_interleave_spark,
 )
+from kafka_streams_example_spark.queries.text import _KN_D, _KN_MIN_COUNT
 from tests.conftest import SF_SMOKE
 
 

@@ -16,8 +16,8 @@ import pyspark.sql.functions as F
 import pytest
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra19 import (
-    _ATTR_WINDOW_S,
+from kafka_streams_example_spark.queries.events import _ATTR_WINDOW_S
+from kafka_streams_example_spark.queries.operational import (
     _CTX_LENGTHS,
     _CVD_CLONE_OFFSET,
     _CVD_MOD,

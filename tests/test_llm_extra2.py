@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from conftest import SF_SMOKE
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra2 import (
+from kafka_streams_example_spark.queries.text import (
     _CHUNK,
     _CTX,
     _DOCS_PER_SHARD,
@@ -176,7 +176,7 @@ def test_pack_sequences_greedy_budget_discipline(spark):
     """True greedy packing: per shard, the engine's sequences equal the
     pure-Python greedy reference; no multi-doc sequence exceeds the
     budget; tokens and docs conserve."""
-    from kafka_streams_example_spark.llm_extra2 import greedy_pack
+    from kafka_streams_example_spark.queries.text import greedy_pack
 
     rows = registry.QUERIES["pack_sequences_greedy"](spark, SF_SMOKE).collect()
     assert rows
@@ -222,7 +222,12 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     """Winnowing guarantee: two docs sharing a verbatim character run of
     length >= k + w - 1 (11 chars here) must share at least one
     fingerprint; disjoint-content docs should not collide."""
-    from kafka_streams_example_spark.llm_extra2 import _WIN_K, _WIN_P, _WIN_POWS, _WIN_W
+    from kafka_streams_example_spark.queries.dedup import (
+        _WIN_K,
+        _WIN_P,
+        _WIN_POWS,
+        _WIN_W,
+    )
 
     assert _WIN_K + _WIN_W - 1 == 11
     shared = "identical shared passage of text"

@@ -13,15 +13,13 @@ from collections import Counter, defaultdict
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra20 import (
-    _PA_N,
-    _PA_SALT,
-    _PH_ALPHA,
-    _PH_DIGITS,
+from kafka_streams_example_spark.queries.dedup import _PH_ALPHA, _PH_DIGITS
+from kafka_streams_example_spark.queries.operational import _PA_N, _PA_SALT
+from kafka_streams_example_spark.queries.stats import _WOE_BINS
+from kafka_streams_example_spark.queries.text import (
     _SB_ALPHA,
     _SB_MIN_COUNT,
     _TCC_SUPPORT,
-    _WOE_BINS,
 )
 from tests.conftest import SF_SMOKE
 
@@ -92,7 +90,7 @@ def _typo_py(name: str) -> str:
 
 
 def test_phonetic_census_matches_python_replay(spark):
-    from kafka_streams_example_spark.llm_extra20 import _PH_TYPO_MOD
+    from kafka_streams_example_spark.queries.dedup import _PH_TYPO_MOD
 
     parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").select(
         "p_partkey", "p_name"
@@ -131,7 +129,7 @@ def test_phonetic_blocking_reunites_every_typo_with_its_original(spark):
     """The recall contract: the typo transform is phonetically invariant,
     so every typo'd name must share a blocking pair with its source name
     (directly, as a (clean, typo) census row)."""
-    from kafka_streams_example_spark.llm_extra20 import _PH_TYPO_MOD
+    from kafka_streams_example_spark.queries.dedup import _PH_TYPO_MOD
 
     parts = spark.read.parquet(f"{SF_SMOKE}/part.parquet").select(
         "p_partkey", "p_name"

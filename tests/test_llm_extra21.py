@@ -13,7 +13,7 @@ from collections import defaultdict
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra21 import (
+from kafka_streams_example_spark.queries.dedup import (
     _BB_HASHES,
     _BB_SEED,
     _MERSENNE,

@@ -13,12 +13,9 @@ from collections import Counter, defaultdict
 import pyspark.sql.functions as F
 
 from kafka_streams_example_spark import registry
-from kafka_streams_example_spark.llm_extra20 import _PH_TYPO_MOD
-from kafka_streams_example_spark.llm_extra22 import (
-    _HW_ALPHA,
-    _HW_BETA,
-    _MB_BUDGET_SHARE,
-)
+from kafka_streams_example_spark.queries.dedup import _PH_TYPO_MOD
+from kafka_streams_example_spark.queries.operational import _MB_BUDGET_SHARE
+from kafka_streams_example_spark.queries.timeseries import _HW_ALPHA, _HW_BETA
 from tests.conftest import SF_SMOKE
 
 

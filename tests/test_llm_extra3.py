@@ -11,7 +11,7 @@ from pyspark.sql import functions as F
 
 
 def test_survivorship_elects_richest_then_lowest_id(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra3 import dedup_survivorship
+    from kafka_streams_example_spark.queries.dedup import dedup_survivorship
 
     docs = spark.createDataFrame(
         [
@@ -33,7 +33,7 @@ def test_survivorship_elects_richest_then_lowest_id(spark, tmp_path):
 def test_train_eval_split_is_layout_and_growth_stable(spark, tmp_path):
     """Split membership must be a pure function of doc_id: identical under
     repartitioning, and adding documents never moves an existing one."""
-    from kafka_streams_example_spark.llm_extra3 import _SPLIT_SALT
+    from kafka_streams_example_spark.queries.eval import _SPLIT_SALT
 
     def assign(df):
         bucket = (
@@ -69,7 +69,7 @@ def test_train_eval_split_is_layout_and_growth_stable(spark, tmp_path):
 
 
 def test_minhash_estimate_exact_for_identical_docs(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra3 import minhash_jaccard_estimate
+    from kafka_streams_example_spark.queries.dedup import minhash_jaccard_estimate
 
     text = "the quick brown fox jumps over the lazy dog again and again"
     docs = spark.createDataFrame(
@@ -91,7 +91,9 @@ def test_power_iteration_finds_dominant_direction(spark, tmp_path):
     top component must be ~±e0 and unit-norm."""
     import numpy as np
 
-    from kafka_streams_example_spark.llm_extra3 import power_iteration_top_component
+    from kafka_streams_example_spark.queries.retrieval import (
+        power_iteration_top_component,
+    )
 
     rng = np.random.RandomState(7)
     rows = []
@@ -112,7 +114,7 @@ def test_power_iteration_finds_dominant_direction(spark, tmp_path):
 
 
 def test_time_weighted_average_hand_computed(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra3 import time_weighted_average
+    from kafka_streams_example_spark.queries.timeseries import time_weighted_average
 
     rows = [
         # user 1: value 10 holds 10s, value 20 holds 30s → (100+600)/40 = 17.5
@@ -133,7 +135,7 @@ def test_time_weighted_average_hand_computed(spark, tmp_path):
 
 
 def test_vocab_coverage_zero_oov_when_vocab_covers_corpus(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra3 import vocab_coverage_oov
+    from kafka_streams_example_spark.queries.text import vocab_coverage_oov
 
     docs = spark.createDataFrame(
         [(1, "alpha beta", "en", "w", 10), (2, "beta gamma", "en", "w", 10)],
@@ -150,7 +152,7 @@ def test_blast_radius_hop_semantics(spark, tmp_path):
     """Chain A~B~C~D~E of near-identical docs: from A, B is 1 hop, C is
     2, D is 3, E is beyond the 3-hop cap. Min-hop dedup must collapse
     multi-path re-expansion to one row per (seed, doc)."""
-    from kafka_streams_example_spark.llm_extra3 import contamination_blast_radius
+    from kafka_streams_example_spark.queries.dedup import contamination_blast_radius
 
     shared = "one two three four five six seven eight nine ten eleven twelve"
     docs = spark.createDataFrame(

@@ -25,7 +25,7 @@ def _ts(s: str) -> datetime.datetime:
 
 
 def test_inverted_index_caps_postings_but_counts_everything(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import inverted_index_postings
+    from kafka_streams_example_spark.queries.retrieval import inverted_index_postings
 
     rows = [(i, "common filler", "en", "w", 10) for i in range(12)]
     rows.append((100, "rare rare filler", "en", "w", 10))
@@ -42,7 +42,7 @@ def test_inverted_index_caps_postings_but_counts_everything(spark, tmp_path):
 
 
 def test_token_pmi_positive_for_collocated_negative_for_independent(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import token_pmi_pairs
+    from kafka_streams_example_spark.queries.text import token_pmi_pairs
 
     # 'aa bb' always co-occur (10 docs); 'cc' co-occurs with 'aa' in only
     # 5 of 20 docs where independence would predict 10/20·15/20·20 = 7.5.
@@ -66,7 +66,7 @@ def test_token_pmi_positive_for_collocated_negative_for_independent(spark, tmp_p
 
 
 def test_cohort_retention_triangle(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import cohort_retention
+    from kafka_streams_example_spark.queries.events import cohort_retention
 
     # Two users join week of 2024-01-01 (Mon); one returns the next week.
     rows = [
@@ -90,7 +90,7 @@ def test_cohort_retention_triangle(spark, tmp_path):
 
 
 def test_median_mad_flags_only_the_planted_outlier(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import median_mad_outliers
+    from kafka_streams_example_spark.queries.stats import median_mad_outliers
 
     vals = [10.0, 11.0, 12.0, 13.0, 14.0, 1000.0]
     rows = [
@@ -110,7 +110,7 @@ def test_median_mad_flags_only_the_planted_outlier(spark, tmp_path):
 
 
 def test_scd2_collapses_runs_with_half_open_ranges(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import scd2_user_state
+    from kafka_streams_example_spark.queries.operational import scd2_user_state
 
     rows = [
         (1, _ts("2024-01-01T00:00:00"), 7, "on", 1.0, None),
@@ -131,7 +131,7 @@ def test_scd2_collapses_runs_with_half_open_ranges(spark, tmp_path):
 
 
 def test_winsorized_mean_resists_planted_giant(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import winsorized_chars_by_source
+    from kafka_streams_example_spark.queries.stats import winsorized_chars_by_source
 
     rows = [(i, "t", "en", "web", 100 + i) for i in range(20)]
     rows.append((99, "t", "en", "web", 1_000_000))  # the 500MB crawl artifact
@@ -146,7 +146,9 @@ def test_winsorized_mean_resists_planted_giant(spark, tmp_path):
 
 
 def test_group_sample_is_layout_invariant_and_bounded(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import deterministic_group_sample
+    from kafka_streams_example_spark.queries.operational import (
+        deterministic_group_sample,
+    )
 
     rows = [(i, "t", "en" if i % 3 else "de", "w", 5) for i in range(200)]
     spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
@@ -165,7 +167,7 @@ def test_group_sample_is_layout_invariant_and_bounded(spark, tmp_path):
 
 
 def test_order_window_overlaps_counts_only_true_overlaps(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import order_window_overlaps
+    from kafka_streams_example_spark.queries.events import order_window_overlaps
 
     rows = [
         (1, 7, "O", 1.0, _ts("2024-01-01T00:00:00"), "1-URGENT"),
@@ -184,7 +186,7 @@ def test_order_window_overlaps_counts_only_true_overlaps(spark, tmp_path):
 
 
 def test_column_profile_counts_nulls_and_distincts(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra4 import orders_column_profile
+    from kafka_streams_example_spark.queries.operational import orders_column_profile
 
     rows = [
         (1, 10, "O", 5.0, _ts("2024-01-01T00:00:00"), "HIGH"),
@@ -205,7 +207,9 @@ def test_column_profile_counts_nulls_and_distincts(spark, tmp_path):
 def test_lateral_matches_window_rank_equivalent(spark, tmp_path):
     from pyspark.sql import Window
 
-    from kafka_streams_example_spark.llm_extra4 import lateral_top_orders_per_segment
+    from kafka_streams_example_spark.queries.events import (
+        lateral_top_orders_per_segment,
+    )
     from kafka_streams_example_spark.sources.files import load_table
 
     cust = [(i, f"c{i}", 0, 0.0, "SEG_A" if i % 2 else "SEG_B") for i in range(10)]

@@ -18,7 +18,7 @@ _TS = datetime.datetime(2024, 1, 1)
 
 
 def test_bigram_probs_smoothed_and_conditional(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra5 import bigram_lm_probs
+    from kafka_streams_example_spark.queries.text import bigram_lm_probs
 
     # 'a b' x6, 'a c' x2 -> V = {a,b,c}; c(a·)=8
     rows = [(i, "a b", "en", "w", 3) for i in range(6)]
@@ -34,7 +34,7 @@ def test_bigram_probs_smoothed_and_conditional(spark, tmp_path):
 
 
 def test_triangles_enumerated_once_with_weakest_edge(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra5 import cooccurrence_triangles
+    from kafka_streams_example_spark.queries.text import cooccurrence_triangles
 
     # 'x y z' in 12 docs -> edges xy,xz,yz all support 12 -> one triangle;
     # 'x y' in 3 more docs raises xy to 15 but adds no new edge.
@@ -51,7 +51,7 @@ def test_triangles_enumerated_once_with_weakest_edge(spark, tmp_path):
 
 
 def test_weighted_sample_prefers_heavy_docs_and_is_layout_stable(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra5 import weighted_domain_sample
+    from kafka_streams_example_spark.queries.operational import weighted_domain_sample
 
     # 30 tiny docs (w=1) vs 10 huge docs (w=10_000): the top-20 sample
     # must include every huge doc with near-certainty (u^(1/10000) ~ 1).
@@ -74,7 +74,7 @@ def test_weighted_sample_prefers_heavy_docs_and_is_layout_stable(spark, tmp_path
 
 
 def test_key_skew_report_shares_and_hottest_cell(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra5 import key_skew_report
+    from kafka_streams_example_spark.queries.operational import key_skew_report
 
     rows = [(i, _TS, 1, "hot", 1.0, None) for i in range(6)]       # user 1 x6
     rows += [(10 + i, _TS, 2, "hot", 1.0, None) for i in range(2)]  # user 2 x2
@@ -92,7 +92,7 @@ def test_key_skew_report_shares_and_hottest_cell(spark, tmp_path):
 
 
 def test_robust_scaler_zero_spread_yields_null_not_inf(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra5 import robust_scaler_features
+    from kafka_streams_example_spark.queries.stats import robust_scaler_features
 
     # 'flat' lang: all lengths equal -> sigma = iqr = 0 -> NULL features.
     rows = [(i, "t", "flat", "w", 50) for i in range(4)]

@@ -18,7 +18,7 @@ def _ts(s: str) -> datetime.datetime:
 
 
 def test_resample_fills_gaps_with_last_observation(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra6 import resample_fill_forward
+    from kafka_streams_example_spark.queries.timeseries import resample_fill_forward
 
     rows = [
         (1, _ts("2024-01-01T08:00:00"), 7, "a", 1.0, None),
@@ -39,7 +39,7 @@ def test_resample_fills_gaps_with_last_observation(spark, tmp_path):
 
 
 def test_mixture_resample_flattens_toward_small_sources(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra6 import dataset_mixture_resample
+    from kafka_streams_example_spark.queries.operational import dataset_mixture_resample
 
     # 160 docs from 'big', 10 from 'small': sqrt temper -> small keeps all
     # (rate 1.0), big is downsampled.
@@ -63,7 +63,7 @@ def test_mixture_resample_flattens_toward_small_sources(spark, tmp_path):
 
 
 def test_novelty_curve_is_one_for_first_batch_and_drops(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra6 import ngram_novelty_curve
+    from kafka_streams_example_spark.queries.text import ngram_novelty_curve
 
     # batch 0 (doc_id < 50): introduces 'a b c'; batch 1 repeats it and
     # adds one new gram ('x y z').

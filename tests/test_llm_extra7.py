@@ -22,7 +22,7 @@ def _ts(s: str) -> datetime.datetime:
 
 
 def test_levenshtein_pairs_cross_band_and_filters(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra7 import neardup_levenshtein_pairs
+    from kafka_streams_example_spark.queries.dedup import neardup_levenshtein_pairs
 
     base = "the quick brown fox jumps over the dog"  # 38 chars -> band 4
     rows = [
@@ -45,7 +45,7 @@ def test_levenshtein_pairs_cross_band_and_filters(spark, tmp_path):
 
 
 def test_transition_matrix_rows_sum_to_one(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra7 import event_transition_matrix
+    from kafka_streams_example_spark.queries.events import event_transition_matrix
 
     seq = ["a", "b", "a", "b", "c"]  # transitions: a>b x2, b>a, b>c
     rows = [
@@ -63,7 +63,9 @@ def test_transition_matrix_rows_sum_to_one(spark, tmp_path):
 
 
 def test_seasonal_anomaly_is_slot_relative(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra7 import seasonal_residual_anomalies
+    from kafka_streams_example_spark.queries.timeseries import (
+        seasonal_residual_anomalies,
+    )
 
     # Monday baseline ~1.0; one Monday event at 100.0 is anomalous;
     # 100.0 on Tuesday (where it's the norm) is NOT. 12 clean points
@@ -88,7 +90,7 @@ def test_seasonal_anomaly_is_slot_relative(spark, tmp_path):
 
 
 def test_rolling_wau_counts_trailing_window(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra7 import rolling_active_users
+    from kafka_streams_example_spark.queries.timeseries import rolling_active_users
 
     rows = [
         (1, _ts("2024-01-01T10:00:00"), 1, "a", 1.0, None),
@@ -110,7 +112,7 @@ def test_rolling_wau_counts_trailing_window(spark, tmp_path):
 
 
 def test_rfm_quartiles_deterministic_and_monotone(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra7 import orders_rfm_segmentation
+    from kafka_streams_example_spark.queries.events import orders_rfm_segmentation
 
     rows = []
     k = 0

@@ -26,7 +26,7 @@ def _ts(s: str) -> datetime.datetime:
 
 
 def test_session_paths_split_on_gap_and_truncate_to_three(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra8 import top_session_paths
+    from kafka_streams_example_spark.queries.events import top_session_paths
 
     rows = []
     # 6 users, each: 4 quick events, then a 31-min gap, then 1 more —
@@ -44,7 +44,7 @@ def test_session_paths_split_on_gap_and_truncate_to_three(spark, tmp_path):
 
 
 def test_bounded_funnel_excludes_late_and_pre_signup_purchases(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra8 import funnel_time_bounded
+    from kafka_streams_example_spark.queries.events import funnel_time_bounded
 
     rows = [
         # user 1: converts after exactly 36 hours
@@ -69,7 +69,7 @@ def test_bounded_funnel_excludes_late_and_pre_signup_purchases(spark, tmp_path):
 
 
 def test_pareto_concentration_monotone_and_sums_to_one(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra8 import pareto_revenue_concentration
+    from kafka_streams_example_spark.queries.events import pareto_revenue_concentration
 
     # customer c spends 2^c: the top decile dominates
     rows = [
@@ -91,7 +91,7 @@ def test_pareto_concentration_monotone_and_sums_to_one(spark, tmp_path):
 
 
 def test_basket_lift_high_for_copurchased_parts(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra8 import basket_part_pairs_lift
+    from kafka_streams_example_spark.queries.events import basket_part_pairs_lift
 
     rows = []
     k = 0

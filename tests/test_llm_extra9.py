@@ -23,7 +23,7 @@ def _ts(s: str) -> datetime.datetime:
 
 
 def test_error_bursts_require_consecutive_and_in_span(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra9 import error_burst_detection
+    from kafka_streams_example_spark.queries.timeseries import error_burst_detection
 
     rows = [
         # user 1: err, err within minutes -> burst of 2
@@ -52,7 +52,7 @@ def test_error_bursts_require_consecutive_and_in_span(spark, tmp_path):
 
 
 def test_wow_pct_first_week_null_then_ratio(spark, tmp_path):
-    from kafka_streams_example_spark.llm_extra9 import weekly_revenue_wow
+    from kafka_streams_example_spark.queries.timeseries import weekly_revenue_wow
 
     rows = [
         (1, 1, "O", 100.0, _ts("2024-01-01T00:00:00"), "LOW"),  # week 1
@@ -72,7 +72,7 @@ def test_wow_pct_first_week_null_then_ratio(spark, tmp_path):
 def test_ab_assignment_deterministic_and_z_matches_reference(spark, tmp_path):
     import math
 
-    from kafka_streams_example_spark.llm_extra9 import ab_test_analysis
+    from kafka_streams_example_spark.queries.stats import ab_test_analysis
 
     # 40 users x 5 events each; values depend only on user id so the
     # reference can recompute per-variant stats from the same hash split

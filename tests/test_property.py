@@ -203,7 +203,7 @@ def test_chunking_tiles_and_packing_conserves(spark, docs_txt):
     """llm_extra2 invariants on randomized corpora: character chunks tile
     each doc exactly (stride-aligned starts, full coverage, correct
     lengths) and sequence packing conserves tokens and docs."""
-    from kafka_streams_example_spark.llm_extra2 import (
+    from kafka_streams_example_spark.queries.text import (
         _CHUNK,
         _CTX,
         _STRIDE,
@@ -292,7 +292,7 @@ def test_time_weighted_average_matches_python_reference(spark, events):
     independently in Python (last obs weightless; zero-span → plain mean)."""
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra3 import time_weighted_average
+    from kafka_streams_example_spark.queries.timeseries import time_weighted_average
 
     # place ts by offset via timestamp arithmetic (hypothesis gives seconds)
     pdf = pd.DataFrame(
@@ -433,7 +433,7 @@ def test_scd2_partitions_timeline_and_matches_python_collapse(spark, events):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra4 import scd2_user_state
+    from kafka_streams_example_spark.queries.operational import scd2_user_state
 
     pdf = pd.DataFrame(
         [
@@ -480,7 +480,7 @@ def test_median_mad_matches_python_reference(spark, values):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra4 import median_mad_outliers
+    from kafka_streams_example_spark.queries.stats import median_mad_outliers
 
     pdf = pd.DataFrame(
         [
@@ -517,7 +517,7 @@ def test_order_window_overlaps_matches_bruteforce(spark, orders):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra4 import order_window_overlaps
+    from kafka_streams_example_spark.queries.events import order_window_overlaps
 
     pdf = pd.DataFrame(
         [
@@ -563,7 +563,7 @@ def test_cohort_retention_conserves_activity(spark, pairs):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra4 import cohort_retention
+    from kafka_streams_example_spark.queries.events import cohort_retention
 
     pdf = pd.DataFrame(
         [
@@ -601,7 +601,7 @@ def test_banded_levenshtein_matches_bruteforce(spark, texts):
     import itertools
     import tempfile
 
-    from kafka_streams_example_spark.llm_extra7 import (
+    from kafka_streams_example_spark.queries.dedup import (
         _LEN_TOL,
         _LEV_MAX,
         neardup_levenshtein_pairs,
@@ -650,7 +650,7 @@ def test_transition_matrix_is_row_stochastic_and_conserves(spark, events):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra7 import event_transition_matrix
+    from kafka_streams_example_spark.queries.events import event_transition_matrix
 
     pdf = pd.DataFrame(
         [
@@ -691,7 +691,7 @@ def test_session_paths_match_python_sessionizer(spark, events):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra8 import (
+    from kafka_streams_example_spark.queries.events import (
         _PATH_MIN_SESSIONS,
         _SESSION_GAP_MIN,
         top_session_paths,
@@ -741,7 +741,7 @@ def test_basket_lift_matches_bruteforce(spark, items):
 
     import pandas as pd
 
-    from kafka_streams_example_spark.llm_extra8 import (
+    from kafka_streams_example_spark.queries.events import (
         _BASKET_MIN_PAIRS,
         basket_part_pairs_lift,
     )

@@ -15,8 +15,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from kafka_streams_example_spark.llm_extra18 import _z_interleave_sql
-from kafka_streams_example_spark.llm_extra20 import (
+from kafka_streams_example_spark.queries.operational import _z_interleave_sql
+from kafka_streams_example_spark.queries.dedup import (
     _PH_ALPHA,
     _PH_DIGITS,
     _phonetic_sql,

@@ -674,7 +674,7 @@ def test_levenshtein_band_join_shuffle_linear_and_candidates_pruned(
        distance off corpus-scale pair counts.
     """
     from kafka_streams_example_spark import registry
-    from kafka_streams_example_spark.llm_extra7 import _BAND, _LEN_TOL
+    from kafka_streams_example_spark.queries.dedup import _BAND, _LEN_TOL
 
     def write_docs(n: int) -> str:
         # lengths spread uniformly over ~20 bands; 3 langs x 4 sources

@@ -1232,7 +1232,7 @@ def test_streaming_psi_monitor_matches_batch_query(spark, tmp_path):
     import os as _os
 
     from kafka_streams_example_spark import registry
-    from kafka_streams_example_spark.llm_extra19 import (
+    from kafka_streams_example_spark.queries.operational import (
         _PSI_BIN_WIDTH,
         _PSI_BINS,
     )
@@ -1310,7 +1310,10 @@ def test_streaming_psi_monitor_state_stays_bounded(spark, tmp_path):
     import json as _json
     import os as _os
 
-    from kafka_streams_example_spark.llm_extra19 import _PSI_BIN_WIDTH, _PSI_BINS
+    from kafka_streams_example_spark.queries.operational import (
+        _PSI_BIN_WIDTH,
+        _PSI_BINS,
+    )
     from kafka_streams_example_spark.streaming.contract import streaming_psi_monitor
 
     import pyspark.sql.functions as F

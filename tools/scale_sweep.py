@@ -50,6 +50,17 @@ SWEEP = [
     "sessionized_attribution",
     "kaplan_meier_conversion",
     "er_merge_survivorship",
+    # round-7 additions (VERDICT r06 item 4): the unswept heavy tail —
+    # the two slowest iterative queries, the sketch queries whose audit
+    # twins carry exact-aggregation cost, and the streaming batch-twins'
+    # batch queries
+    "dedup_cluster_size_histogram",
+    "token_pagerank_centrality",
+    "approx_distinct_users",
+    "countmin_heavy_hitters",
+    "theta_sketch_set_ops",
+    "data_contract_validation",
+    "psi_value_drift",
 ]
 
 
