@@ -1254,7 +1254,7 @@ _BAND_CONFIGS = [(32, 1), (16, 2), (8, 4), (4, 8)]  # bands x rows = 32 hashes
 # S-curves, sqrt norms, log2 entropies) that cannot land exactly on a
 # 6dp half-boundary, so the portable floor-twin (`round_half_up` /
 # `_duck_round_half_up`) buys nothing; it is reserved for k/n rationals
-# (llm_extra5/12/13 detection ratios), which CAN hit boundaries exactly.
+# (queries/text + dedup detection ratios), which CAN hit boundaries exactly.
 
 
 @register(
@@ -1652,7 +1652,7 @@ _SN_BLOCK_CHARS = 12  # blocking key: normalized-text prefix
 _SN_HAM = 8  # max SimHash Hamming distance to report
 
 # DuckDB twin of the 60-bit SimHash fingerprint (same votes/majority CTE
-# shape as neardup_simhash_pairs' oracle, llm_extra2.py) + the
+# shape as neardup_simhash_pairs' oracle, this module) + the
 # window-lead neighborhood scan.
 _SN_LEAD_ARMS = "\nUNION ALL\n".join(
     f"""SELECT doc_id AS id_l, f AS f_l,

@@ -461,7 +461,7 @@ def split_token_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/eval token-distribution drift per language: add-1-smoothed
     KL divergence (both directions) between the train split's and the
     eval (valid+test) split's unigram distributions over their shared
-    vocabulary, using THE canonical split assignment (llm_extra3.
+    vocabulary, using THE canonical split assignment (eval.
     split_col). High KL = the eval set is not distributionally
     representative of training data — the check to run before trusting
     held-out loss as a proxy for training quality.
@@ -539,7 +539,7 @@ GROUP BY bin
 )
 def score_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Calibration audit of the fixed-weight quality classifier
-    (llm_extra15.quality_logreg_score) against a deterministic proxy
+    (queries.text.quality_logreg_score) against a deterministic proxy
     label (is-English): docs bucket into deciles of the 6dp-rounded
     predicted probability, and each bin reports its mean prediction vs
     the empirical label rate — the reliability-diagram table every

@@ -158,3 +158,28 @@ def test_registration_order_is_frozen_canonical():
         n for n in query_order.CANONICAL_ORDER if n in registry.ORACLES
     ]
     assert len(query_order.CANONICAL_ORDER) == len(set(query_order.CANONICAL_ORDER))
+
+
+def test_compare_bench_refuses_cross_protocol(tmp_path):
+    """compare_bench must refuse per-query diffs across timing protocols
+    (the r5 back-to-back -> r6 sweep change shifted per-query means ~1.1x
+    with zero plan changes) and flag regressions within one protocol."""
+    import subprocess
+    import sys as _sys
+
+    old = {"value": 10.0, "queries": {"q": 1.0}, "protocol": "sweep3"}
+    new = {"value": 12.0, "queries": {"q": 1.8}, "protocol": "sweep3"}
+    cross = dict(old, protocol="backtoback3")
+    o, n, c = tmp_path / "o.json", tmp_path / "n.json", tmp_path / "c.json"
+    o.write_text(json.dumps(old))
+    n.write_text(json.dumps(new))
+    c.write_text(json.dumps(cross))
+    run = lambda a, b: subprocess.run(
+        [_sys.executable, "/root/repo/tools/compare_bench.py", str(a), str(b)],
+        capture_output=True, text=True, check=True,
+    ).stdout
+    same = run(o, n)
+    assert "REGRESSIONS" in same and "q: 1.0s -> 1.8s" in same
+    crossed = run(c, n)
+    assert "REFUSING per-query comparison" in crossed
+    assert "REGRESSIONS" not in crossed
