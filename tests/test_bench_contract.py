@@ -183,3 +183,44 @@ def test_compare_bench_refuses_cross_protocol(tmp_path):
     crossed = run(c, n)
     assert "REFUSING per-query comparison" in crossed
     assert "REGRESSIONS" not in crossed
+
+
+def test_theme_modules_have_no_conflicting_top_level_shadows():
+    """After the round-7 regroup, each queries/<theme>.py concatenates
+    sections from several former tranches. A later top-level assignment
+    silently SHADOWS an earlier same-named one for every runtime (function
+    -body) reference — safe only when values are identical or every use is
+    import-time and sequential. Guard: any duplicated top-level constant
+    in a theme module must bind identical source text, except the known
+    _PAIRS_CTE pair (used only in import-time f-strings, verified in the
+    r07 notes)."""
+    import ast
+    import glob
+    import os
+
+    allowed = {("dedup", "_PAIRS_CTE")}
+    pkg = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "kafka_streams_example_spark",
+        "queries",
+    )
+    for p in sorted(glob.glob(os.path.join(pkg, "*.py"))):
+        theme = os.path.basename(p)[:-3]
+        src = open(p).read()
+        tree = ast.parse(src)
+        seen: dict[str, str] = {}
+        for node in tree.body:
+            targets = []
+            if isinstance(node, ast.Assign):
+                targets = [t.id for t in node.targets if isinstance(t, ast.Name)]
+            elif isinstance(node, (ast.FunctionDef, ast.ClassDef)):
+                targets = [node.name]
+            for name in targets:
+                text = ast.get_source_segment(src, node)
+                if name in seen and (theme, name) not in allowed:
+                    assert seen[name] == text, (
+                        f"{theme}.{name} is defined twice with DIFFERENT "
+                        f"source — later def shadows the earlier one for "
+                        f"all runtime references; rename or merge them"
+                    )
+                seen[name] = text
