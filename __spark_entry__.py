@@ -99,16 +99,11 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r07: the two r06
-# plan-changed queries (semdedup data-dependent cell count; threshold-
-# sweep DECIMAL->DOUBLE) stay fronted until their r07 driver rows land,
-# plus dp_noisy_counts (ADVICE r06: noise term pre-rounded to 6dp on both
-# engines before the integer floor).
-_TOUCHED_THIS_ROUND = {
-    "quality_filter_threshold_sweep",
-    "semdedup_prune",
-    "dp_noisy_counts",
-}
+# re-verify ahead of merely least-often-verified greens. r08: the three
+# r07 entries' driver rows landed green in CORRECTNESS_r07.json, so the
+# set was emptied per the documented lifecycle — the window now fronts
+# the least-recently-verified greens (the r03 cohort).
+_TOUCHED_THIS_ROUND: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
