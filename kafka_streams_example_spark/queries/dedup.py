@@ -28,7 +28,6 @@ from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.sources.files import table_row_count
 import random
 from kafka_streams_example_spark.sources.files import load_table, table_row_count
-from kafka_streams_example_spark.registry import _load_parallel, register
 from kafka_streams_example_spark.functions.hashing import fingerprint_md5
 from kafka_streams_example_spark.operators import similarity as sim
 from kafka_streams_example_spark.queries._shared import _NGRAMS3
@@ -43,14 +42,6 @@ from kafka_streams_example_spark.registry import (
     _load_parallel,
     register,
 )
-from kafka_streams_example_spark.sources.files import load_table
-from kafka_streams_example_spark.registry import (
-    _NGRAMS,
-    _TOKS,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
 from kafka_streams_example_spark.registry import (
     _TOKS,
     ORACLES,
@@ -58,17 +49,207 @@ from kafka_streams_example_spark.registry import (
     _load_parallel,
     register,
 )
-from kafka_streams_example_spark.registry import (
-    _TOKS,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
+
+
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact_docs",
+    """
+SELECT md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
+       min(doc_id) AS keep_id,
+       count(*) AS n_dups
+FROM documents
+GROUP BY 1
+""",
 )
-from kafka_streams_example_spark.registry import (
-    _duck_round_half_up,
-    _load_parallel,
-    register,
+def dedup_exact_docs(spark, sf_dir):
+    """Exact dedup: hash-groupBy on the normalized-content fingerprint,
+    keep-min survivor. One shuffle on an unskewed high-cardinality key."""
+    return dd.exact_dedup(_load_parallel(spark, sf_dir, "documents"))
+
+
+@register(
+    "doc_fingerprints",
+    """
+SELECT doc_id,
+       md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS fp,
+       length(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS n_chars_norm
+FROM documents
+""",
 )
+def doc_fingerprints(spark, sf_dir):
+    """Per-document content fingerprint (md5 of normalized text) — the
+    portable identity used by exact dedup and incremental pipelines."""
+    from kafka_streams_example_spark.functions.hashing import fingerprint_md5, normalize_text
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        fingerprint_md5(F.col("text")).alias("fp"),
+        F.length(normalize_text(F.col("text"))).alias("n_chars_norm"),
+    )
+
+
+@register(
+    "neardup_ngram_pairs",
+    f"""
+WITH d AS (
+    SELECT doc_id, lang, source, {_NGRAMS} AS ng
+    FROM (SELECT doc_id, lang, source, {_TOKS} AS t FROM documents)
+),
+nz AS (SELECT * FROM d WHERE len(ng) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.ng, b.ng))
+             / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM nz a JOIN nz b
+  ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+WHERE len(list_intersect(a.ng, b.ng))
+      / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.5
+""",
+)
+def neardup_ngram_pairs(spark, sf_dir):
+    """Exact 3-gram-Jaccard near-dup pairs within (lang, source) blocks —
+    the oracle-checkable verifier stage of the dedup stack (the MinHash-LSH
+    candidate generator below replaces the blocking at scale)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.ngram_jaccard_pairs(
+        docs,
+        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
+        threshold=0.5,
+    )
+
+
+@register("neardup_minhash_pairs")
+def neardup_minhash_pairs(spark, sf_dir):
+    """MinHash(32 hashes) + LSH(8 bands) candidate pairs verified at exact
+    3-gram Jaccard ≥ 0.5. Approximate candidate generation → rows-only
+    driver check; tests/test_operators.py asserts recall against the exact
+    blocked pairs instead."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dd.minhash_pairs(docs, threshold=0.5)
+
+
+@register(
+    "dedup_clusters",
+    f"""
+WITH RECURSIVE
+t AS (SELECT doc_id, lang, source, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id, lang, source,
+             list_distinct(list_transform(generate_series(1, greatest(len(toks) - 2, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng
+      FROM t),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+near_edges AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM nz a JOIN nz b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.ng, b.ng))
+          / CAST(len(list_distinct(list_concat(a.ng, b.ng))) AS DOUBLE) >= 0.5
+),
+fp AS (SELECT doc_id, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS f
+       FROM documents),
+fp_star AS (
+    SELECT g.keeper AS id_a, fp.doc_id AS id_b
+    FROM fp JOIN (SELECT f, min(doc_id) AS keeper FROM fp GROUP BY f) g USING (f)
+    WHERE fp.doc_id <> g.keeper
+),
+edges AS (SELECT * FROM near_edges UNION SELECT * FROM fp_star),
+undirected AS (SELECT id_a AS u, id_b AS v FROM edges
+               UNION SELECT id_b, id_a FROM edges),
+reach(id, lbl) AS (
+    SELECT u, u FROM undirected
+    UNION
+    SELECT e.u, r.lbl FROM undirected e JOIN reach r ON r.id = e.v
+)
+SELECT id AS doc_id, min(lbl) AS cluster_id,
+       (id = min(lbl)) AS is_keeper
+FROM reach GROUP BY id
+""",
+)
+def dedup_clusters(spark, sf_dir):
+    """End-to-end dedup decision: near-dup pairs (blocked 3-gram Jaccard
+    ≥ 0.5) + exact-dup star edges → connected components (iterative
+    min-label propagation, one shuffle per round, lineage cut per
+    iteration) → (doc, cluster, keeper). Oracle: recursive-CTE transitive
+    closure in DuckDB — same clusters, engine-independent."""
+    from kafka_streams_example_spark.functions.hashing import fingerprint_md5
+    from kafka_streams_example_spark.operators.graph import dedup_clusters as dc
+
+    docs = load_table(spark, sf_dir, "documents")
+    near = dd.ngram_jaccard_pairs(
+        docs,
+        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
+        threshold=0.5,
+    ).select("id_a", "id_b")
+    fp = docs.select("doc_id", fingerprint_md5(F.col("text")).alias("f"))
+    keepers = fp.groupBy("f").agg(F.min("doc_id").alias("keeper"))
+    fp_star = (
+        fp.join(keepers, "f")
+        .filter(F.col("doc_id") != F.col("keeper"))
+        .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
+    )
+    return dc(near.union(fp_star))
+
+
+def _duck_minhash_sql(
+    ngram: int = 3, num_hashes: int = 32, bands: int = 8, threshold: float = 0.5,
+    seed: int = 42,
+) -> str:
+    """DuckDB oracle for the FULL MinHash-LSH pipeline — same md5-derived
+    shingle hashes, same seeded permutations, same banding — so even the
+    *approximate* candidate set is bit-reproduced across engines."""
+    import random
+
+    P = (1 << 31) - 1
+    rng = random.Random(seed)
+    params = [(rng.randrange(1, P), rng.randrange(0, P)) for _ in range(num_hashes)]
+    rows = num_hashes // bands
+    sig_terms = ", ".join(
+        f"list_min(list_transform(h31, x -> ({a} * x + {b}) % {P}))"
+        for a, b in params
+    )
+    return f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+d AS (SELECT doc_id,
+             list_distinct(list_transform(generate_series(1, greatest(len(toks) - {ngram - 1}, 0)),
+                 i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) AS ng
+      FROM t),
+nz AS (SELECT * FROM d WHERE len(ng) > 0),
+hashed AS (
+    SELECT doc_id,
+           list_distinct(list_transform(ng, s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))) AS h60
+    FROM nz),
+sigs AS (
+    SELECT doc_id, h60, [{sig_terms}] AS sig
+    FROM (SELECT doc_id, h60, list_transform(h60, x -> x % {P}) AS h31 FROM hashed)),
+banded AS (
+    SELECT doc_id, b.band,
+           md5(array_to_string(sig[b.band * {rows} + 1 : b.band * {rows} + {rows}], ',')) AS bhash
+    FROM sigs, (SELECT unnest(generate_series(0, {bands - 1})) AS band) b),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bhash = r.bhash AND l.doc_id < r.doc_id),
+verified AS (
+    SELECT c.id_a, c.id_b,
+           len(list_intersect(a.h60, b.h60))
+           / CAST(len(a.h60) + len(b.h60) - len(list_intersect(a.h60, b.h60)) AS DOUBLE) AS jac
+    FROM cand c JOIN hashed a ON a.doc_id = c.id_a JOIN hashed b ON b.doc_id = c.id_b)
+SELECT id_a, id_b, floor(jac * 1000000.0 + 0.5) / 1000000.0 AS jaccard
+FROM verified WHERE jac >= {threshold}
+"""
+
+
+# Upgrade the MinHash query from rows-only to fully oracle-checked: the
+# permutations, shingle hashes and banding are engine-portable by
+# construction (functions/hashing.py), so even the approximate candidate
+# generation reproduces exactly.
+ORACLES["neardup_minhash_pairs"] = _duck_minhash_sql()
 
 
 # (from llm_extra.py)
@@ -1926,7 +2107,7 @@ def _bb_params() -> list[tuple[int, int]]:
 
 def _bb_duck_sql() -> str:
     """Same signature/banding CTEs as neardup_minhash_pairs' oracle
-    (registry._duck_minhash_sql), extended with the full-signature and
+    (_duck_minhash_sql above), extended with the full-signature and
     1-bit agreement estimates per candidate pair."""
     P = _MERSENNE
     rows = _BB_HASHES // _BB_BANDS
@@ -2186,4 +2367,117 @@ def er_merge_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("long")
             .alias("max_edit_distance"),
         )
+    )
+
+
+# (round 8)
+# --------------------------------------------------------------------------
+# substring_exact_spans — corpus-wide exact-substring dedup with EXACT span
+# boundaries (the Lee-et-al ExactSubstr pass)
+# --------------------------------------------------------------------------
+
+_XS_L = 16  # match threshold: every verbatim repeat of >= _XS_L tokens is found
+
+
+@register(
+    "substring_exact_spans",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (
+    SELECT doc_id, i,
+           md5(array_to_string(toks[(i + 1):(i + {_XS_L})], ' ')) AS h
+    FROM t, unnest(generate_series(0, len(toks) - {_XS_L})) AS u(i)
+    WHERE len(toks) >= {_XS_L}
+),
+freq AS (SELECT h, count(*) AS n_occ FROM w GROUP BY 1),
+dup AS (
+    SELECT w.doc_id, w.i, freq.n_occ
+    FROM w JOIN freq USING (h) WHERE freq.n_occ > 1
+),
+isl AS (
+    SELECT doc_id, i, n_occ,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM dup
+)
+SELECT doc_id,
+       min(i) AS span_start,
+       max(i) + {_XS_L} AS span_end,
+       max(i) + {_XS_L} - min(i) AS span_tokens,
+       max(n_occ) AS max_window_occ
+FROM isl GROUP BY doc_id, grp
+""",
+)
+def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with EXACT span boundaries — the standard
+    training-data pass of Lee et al., "Deduplicating Training Data Makes
+    Language Models Better" (arXiv:2107.06499): report every maximal token
+    span of length >= _XS_L that occurs verbatim more than once anywhere in
+    the corpus (other documents OR elsewhere in the same document), so the
+    repeated region can be cut at token precision rather than dropping the
+    whole document.
+
+    Semantics: a repeat of length m >= L produces m-L+1 consecutive
+    duplicated L-token windows (stride 1); merging consecutive duplicated
+    window starts per doc (gaps-and-islands) recovers the maximal span
+    [min_i, max_i + L) with exact boundaries — the same output the
+    suffix-array formulation yields, including overlapping-but-distinct
+    spans (a gap of even one unique window keeps islands apart).
+    ``substring_span_dupes`` above is the cheap strided tier of the same
+    signal (doc-level ratio, alignment-fuzzy); this query is the
+    token-precise cut list.
+
+    Spark-first shape (why NOT a distributed suffix array): the reference
+    algorithm sorts all corpus suffixes — a global sort with shard-boundary
+    merge passes. Here every window is an md5 of its 16-token slice computed
+    in the scan stage, so the plan is two hash exchanges and one per-doc
+    window, all map-side-combinable, no global sort:
+      scan -> explode window hashes (text never shuffles; only 16-byte
+      hashes + (doc_id, pos) move) -> groupBy(h) frequency (partial agg)
+      -> hash join back -> per-doc island merge (one exchange on doc_id,
+      partition-local sort on i).
+    Collision risk of equating md5(slice) with the slice itself is 2^-128 —
+    below any hardware error rate. At 100 TB the frequency table is
+    bucketable by h and the join is AQE-skew-safe (boilerplate spans like
+    license headers make h skewed; AQE splits those reducers).
+    """
+    from pyspark.sql import Window
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks")
+    ).filter(F.size("toks") >= _XS_L)
+    w = toks.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), (F.size("toks") - _XS_L).cast("long")
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.slice(F.col("toks"), (F.col("i") + 1).cast("int"), _XS_L),
+                    " ",
+                ),
+                "utf-8",
+            )
+        ).alias("h"),
+    )
+    freq = w.groupBy("h").agg(F.count("*").alias("n_occ"))
+    dup = w.join(freq, "h").filter(F.col("n_occ") > 1).select("doc_id", "i", "n_occ")
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    isl = dup.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
+    return (
+        isl.groupBy("doc_id", "grp")
+        .agg(
+            F.min("i").alias("span_start"),
+            (F.max("i") + _XS_L).alias("span_end"),
+            (F.max("i") + _XS_L - F.min("i")).alias("span_tokens"),
+            F.max("n_occ").alias("max_window_occ"),
+        )
+        .drop("grp")
     )

@@ -13,21 +13,15 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
+from kafka_streams_example_spark.queries.text import _duck_lang_sql
 from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.functions.hashing import fingerprint_md5, stable_long
-from kafka_streams_example_spark.registry import (
-    _TOKS,
-    _duck_lang_sql,
-    _load_parallel,
-    register,
-)
 from kafka_streams_example_spark.registry import (
     _TOKS,
     _duck_round_half_up,
     _load_parallel,
     register,
 )
-from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_example_spark.registry import (
     _TOKS,
     ORACLES,
@@ -38,26 +32,11 @@ from kafka_streams_example_spark.registry import (
     _TOKS,
     ORACLES,
     QUERIES,
-    _duck_lang_sql,
     _duck_round_half_up,
     _load_parallel,
     register,
 )
 from pyspark.sql import Column, DataFrame, SparkSession, Window
-from kafka_streams_example_spark.registry import (
-    _TOKS,
-    ORACLES,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
-from kafka_streams_example_spark.registry import (
-    ORACLES,
-    QUERIES,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
 
 
 # (from llm_extra2.py)

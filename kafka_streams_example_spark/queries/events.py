@@ -1233,3 +1233,394 @@ def sessionized_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("long").alias("n_purchases"),
         F.sum("cents").cast("long").alias("revenue_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.registry import _dec, _sum_dbl  # noqa: E402
+from kafka_streams_example_spark.sources.files import load_table  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# Event-stream operators over `events` (window shapes beyond the
+# reference's single tumbling window, as-of join, JSON extraction, dedup).
+# --------------------------------------------------------------------------
+
+
+@register(
+    "sliding_window_counts",
+    """
+SELECT (CAST(floor(epoch(ts) / 30) AS BIGINT) - i) * 30 AS w_start,
+       (CAST(floor(epoch(ts) / 30) AS BIGINT) - i) * 30 + 60 AS w_end,
+       event_type,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value
+FROM events CROSS JOIN (VALUES (0), (1)) offs(i)
+GROUP BY 1, 2, 3
+""",
+)
+def sliding_window_counts(spark, sf_dir):
+    """Sliding (hopping) window agg: 60s window, 30s slide — each event lands
+    in 2 windows (Catalyst's Expand operator; still one shuffle)."""
+    from kafka_streams_example_spark.operators.windows import sliding_agg
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    out = sliding_agg(
+        ev,
+        "ts",
+        "60 seconds",
+        "30 seconds",
+        ["event_type"],
+        [
+            F.count("*").alias("cnt"),
+            _sum_dbl(_dec("value")).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        F.col("w.start").cast("long").alias("w_start"),
+        F.col("w.end").cast("long").alias("w_end"),
+        "event_type",
+        "cnt",
+        "sum_value",
+    )
+
+
+@register(
+    "session_windows",
+    """
+WITH marked AS (
+    SELECT user_id, ts, value,
+           CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w > 300000000
+                  OR lag(ts) OVER w IS NULL
+                THEN 1 ELSE 0 END AS new_session
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+sessions AS (
+    SELECT user_id, ts, value,
+           sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                  ROWS UNBOUNDED PRECEDING) AS session_no
+    FROM marked
+)
+SELECT user_id,
+       epoch_us(min(ts)) AS session_start_us,
+       epoch_us(max(ts)) + 300000000 AS session_end_us,
+       count(*) AS n_events,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_value
+FROM sessions
+GROUP BY user_id, session_no
+""",
+)
+def session_windows(spark, sf_dir):
+    """Session windows with a 5-minute inactivity gap per user —
+    F.session_window handles merge semantics in batch AND streaming; the
+    oracle replicates it with the gaps-and-islands pattern."""
+    from kafka_streams_example_spark.operators.windows import session_agg
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    out = session_agg(
+        ev,
+        "ts",
+        "5 minutes",
+        ["user_id"],
+        [
+            F.count("*").alias("n_events"),
+            _sum_dbl(_dec("value")).alias("sum_value"),
+        ],
+    )
+    return out.select(
+        "user_id",
+        F.unix_micros(F.col("w.start")).alias("session_start_us"),
+        F.unix_micros(F.col("w.end")).alias("session_end_us"),
+        "n_events",
+        "sum_value",
+    )
+
+
+@register(
+    "asof_join_orders",
+    """
+SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+       o.o_orderkey, o.o_totalprice
+FROM events e LEFT JOIN orders o
+  ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts
+QUALIFY row_number() OVER (
+    PARTITION BY e.event_id
+    ORDER BY o.o_orderdate DESC NULLS LAST, o.o_orderkey DESC) = 1
+""",
+)
+def asof_join_orders(spark, sf_dir):
+    """As-of join: each event picks the customer's most recent order at or
+    before the event time (ties → max orderkey). Implemented as a union +
+    running last() — one shuffle, linear scan; no range join."""
+    from kafka_streams_example_spark.operators.joins import asof_join
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "user_id")
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate", "o_orderkey", "o_totalprice"
+    )
+    out = asof_join(
+        ev,
+        orders,
+        on="user_id",
+        left_ts="ts",
+        right_ts="o_orderdate",
+        right_payload=["o_orderkey", "o_totalprice"],
+        right_tiebreak="o_orderkey",
+    )
+    return out.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+
+
+@register(
+    "events_json_stats",
+    """
+SELECT event_type,
+       count(*) AS cnt,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS DOUBLE) / count(*) AS avg_k
+FROM events
+GROUP BY event_type
+""",
+)
+def events_json_stats(spark, sf_dir):
+    """Semi-structured JSON extraction (the reference's whole serde layer is
+    two expressions in Spark: from_json/get_json_object)."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("cnt"),
+        F.sum(k).alias("sum_k"),
+        (F.sum(k).cast("double") / F.count("*")).alias("avg_k"),
+    )
+
+
+@register(
+    "events_variant_extract",
+    """
+SELECT event_id,
+       CAST(props->>'k' AS BIGINT) AS k,
+       CAST(CAST(props->>'k' AS BIGINT) % 2 = 0 AS INT) AS k_even,
+       CAST(props->>'missing' IS NOT NULL AS INT) AS has_missing
+FROM events
+""",
+)
+def events_variant_extract(spark, sf_dir):
+    """Semi-structured extraction through Spark 4's VariantType: the raw
+    JSON payload parses ONCE into the binary variant encoding, and every
+    path extraction reads the variant (no re-parse per path — the scaling
+    point vs get_json_object, which re-parses the string for each field).
+    try_variant_get on an absent path yields NULL instead of erroring."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    v = F.parse_json(F.col("props"))
+    return ev.withColumn("v", v).select(
+        "event_id",
+        F.variant_get(F.col("v"), "$.k", "long").alias("k"),
+        (F.variant_get(F.col("v"), "$.k", "long") % 2 == 0)
+        .cast("int")
+        .alias("k_even"),
+        F.try_variant_get(F.col("v"), "$.missing", "string")
+        .isNotNull()
+        .cast("int")
+        .alias("has_missing"),
+    )
+
+
+@register(
+    "dedup_events_keyed",
+    """
+SELECT user_id, event_type, event_id, epoch_us(ts) AS ts_us
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id, event_type
+                           ORDER BY ts, event_id) = 1
+""",
+)
+def dedup_events_keyed(spark, sf_dir):
+    """Keyed dedup keeping the earliest row — the deterministic form of
+    dropDuplicates (which keeps an arbitrary row; fine for semantics, wrong
+    for reproducible pipelines).
+
+    Expressed as min(struct(ts, event_id)) per key rather than a
+    row_number window: struct comparison is lexicographic, so the min is
+    exactly the (ts, event_id)-first row, but the aggregate gets map-side
+    partial combine — at scale only one candidate per key per partition
+    shuffles, instead of every row sorting within its key partition."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    first = F.min(
+        F.struct(F.unix_micros(F.col("ts")).alias("ts_us"), F.col("event_id"))
+    ).alias("f")
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(first)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("f.event_id").alias("event_id"),
+            F.col("f.ts_us").alias("ts_us"),
+        )
+    )
+
+
+@register(
+    "distinct_counts",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS cnt
+FROM events
+GROUP BY event_type
+""",
+)
+def distinct_counts(spark, sf_dir):
+    """Exact distinct aggregation (count DISTINCT expands to a two-phase
+    agg in Catalyst)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users"),
+        F.count("*").alias("cnt"),
+    )
+
+
+@register(
+    "pivot_user_events",
+    """
+SELECT user_id,
+       count(*) FILTER (WHERE event_type = 'click')    AS click,
+       count(*) FILTER (WHERE event_type = 'error')    AS error,
+       count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+       count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+       count(*) FILTER (WHERE event_type = 'view')     AS view
+FROM events
+GROUP BY user_id
+""",
+)
+def pivot_user_events(spark, sf_dir):
+    """Pivot: event types to columns (Catalyst rewrites to conditional
+    aggregation — exactly the oracle's FILTER form)."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+    )
+
+
+@register(
+    "value_percentiles",
+    """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles(spark, sf_dir):
+    """Exact percentiles (linear interpolation — Spark `percentile` and
+    DuckDB `quantile_cont` share the definition; rounded to absorb the
+    interpolation's last-ULP arithmetic)."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+@register(
+    "funnel_signup_purchase",
+    """
+WITH firsts AS (
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup' THEN ts END) AS first_signup,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+    FROM events GROUP BY user_id
+)
+SELECT count(*) AS n_users,
+       count(first_signup) AS n_signed_up,
+       count(CASE WHEN first_purchase > first_signup THEN 1 END) AS n_converted
+FROM firsts
+""",
+)
+def funnel_signup_purchase(spark, sf_dir):
+    """Event-funnel analysis: users whose first purchase follows their
+    first signup — conditional-min aggregation, one shuffle."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "signup", F.col("ts"))).alias("first_signup"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return firsts.agg(
+        F.count("*").alias("n_users"),
+        F.count("first_signup").alias("n_signed_up"),
+        F.count(
+            F.when(F.col("first_purchase") > F.col("first_signup"), 1)
+        ).alias("n_converted"),
+    )
+
+
+@register(
+    "cumulative_user_value",
+    """
+SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+       CAST(round(sum(CAST(value AS DECIMAL(18,4)))
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING), 6) AS DOUBLE) AS running_total,
+       row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS event_no
+FROM events
+""",
+)
+def cumulative_user_value(spark, sf_dir):
+    """Running totals per user (window frame ROWS UNBOUNDED PRECEDING) —
+    exact decimal accumulation so every prefix sum matches bit-for-bit."""
+    from pyspark.sql import Window
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.unix_micros(F.col("ts")).alias("ts_us"),
+        F.round(F.sum(_dec("value")).over(w), 6).cast("double").alias("running_total"),
+        F.row_number().over(wo).alias("event_no"),
+    )
+
+
+@register(
+    "lag_lead_deltas",
+    """
+SELECT event_id, user_id,
+       epoch_us(ts) - lag(epoch_us(ts)) OVER w AS us_since_prev,
+       lead(event_type) OVER w AS next_event_type
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+""",
+)
+def lag_lead_deltas(spark, sf_dir):
+    """lag/lead window functions: inter-event gaps and next-event lookahead
+    per user — the building block of funnel and retention analyses."""
+    from pyspark.sql import Window
+
+    ev = _load_parallel(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        (ts_us - F.lag(ts_us).over(w)).alias("us_since_prev"),
+        F.lead("event_type").over(w).alias("next_event_type"),
+    )

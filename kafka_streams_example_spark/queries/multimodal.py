@@ -18,6 +18,108 @@ import pandas as pd
 from kafka_streams_example_spark.operators.multimodal import _ship_codecs
 
 
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.operators import multimodal as mm  # noqa: E402
+
+
+@register(
+    "multimodal_binary_meta",
+    """
+SELECT doc_id,
+       octet_length(encode(text)) AS n_bytes,
+       md5(text) AS content_md5,  -- DuckDB md5(VARCHAR) hashes the UTF-8 bytes == Spark md5(encode(text,'utf-8'))
+       'application/octet-stream' AS mime
+FROM documents
+""",
+)
+def multimodal_binary_meta(spark, sf_dir):
+    """Opaque-binary metadata pass: payload sizes + content fingerprints,
+    pure JVM expressions (operators/multimodal.py)."""
+    return mm.multimodal_meta(_load_parallel(spark, sf_dir, "documents"))
+
+
+def _md5_byte_sql(hex_col: str, i: int) -> str:
+    """DuckDB expression for byte ``i`` (0-based) of an md5 hex string —
+    reproduces hashlib.md5(...).digest()[i] so the fake-codec outputs get
+    an exact oracle."""
+    nib = "(strpos('0123456789abcdef', substr({h}, {p}, 1)) - 1)"
+    hi = nib.format(h=hex_col, p=2 * i + 1)
+    lo = nib.format(h=hex_col, p=2 * i + 2)
+    return f"(16 * {hi} + {lo})"
+
+
+@register(
+    "multimodal_byte_features",
+    f"""
+WITH h AS (
+    SELECT doc_id, hex(encode(text)) AS hx,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n
+    FROM documents
+),
+b AS (
+    SELECT doc_id,
+           16 * (strpos('0123456789ABCDEF', substr(hx, CAST(2*i-1 AS INT), 1)) - 1)
+              + (strpos('0123456789ABCDEF', substr(hx, CAST(2*i   AS INT), 1)) - 1) AS byte
+    FROM h, unnest(generate_series(1, n)) AS u(i)
+),
+cnt AS (SELECT doc_id, byte, count(*) AS c FROM b GROUP BY 1, 2),
+tot AS (SELECT doc_id, n FROM h),
+ag AS (
+    SELECT cnt.doc_id,
+           -sum((cnt.c / CAST(t.n AS DOUBLE)) * log2(cnt.c / CAST(t.n AS DOUBLE))) AS e,
+           sum(cnt.byte * cnt.c) / CAST(t.n AS DOUBLE) AS m
+    FROM cnt JOIN tot t USING (doc_id)
+    GROUP BY cnt.doc_id, t.n
+)
+SELECT t.doc_id, t.n AS n_bytes,
+       round(coalesce(ag.e, 0.0) + 0.0, 6) AS byte_entropy,
+       round(coalesce(ag.m, 0.0) + 0.0, 6) AS mean_byte
+FROM tot t LEFT JOIN ag USING (doc_id)
+""",
+)
+def multimodal_byte_features(spark, sf_dir):
+    """Arrow-batched mapInPandas feature extraction over binary payloads
+    (byte entropy, mean byte) — REAL numpy computation standing in for any
+    media embed/score pass. The payload is the UTF-8 text bytes; the oracle
+    histograms the SAME bytes (hex(encode(text)) parsed pairwise), so it is
+    exact for non-ASCII text too, not just code points ≤ 127. Rounded to 6dp
+    on both sides to collapse float-summation-order noise (+0.0 kills
+    -0.0)."""
+    docs = mm.with_binary_payload(_load_parallel(spark, sf_dir, "documents"))
+    feats = mm.byte_features(docs)
+    return feats.select(
+        "doc_id",
+        "n_bytes",
+        F.round(F.col("byte_entropy") + F.lit(0.0), 6).alias("byte_entropy"),
+        F.round(F.col("mean_byte") + F.lit(0.0), 6).alias("mean_byte"),
+    )
+
+
+@register(
+    "multimodal_decode_fake",
+    f"""
+WITH h AS (SELECT doc_id, md5(text) AS hx, text FROM documents)
+SELECT doc_id,
+       CAST(64 + {_md5_byte_sql('hx', 0)} % 192 AS INT) AS width,
+       CAST(64 + {_md5_byte_sql('hx', 1)} % 192 AS INT) AS height,
+       CAST(1 + {_md5_byte_sql('hx', 2)} % 4 AS INT) AS channels,
+       text IS NOT NULL AS ok
+FROM h
+""",
+)
+def multimodal_decode_fake(spark, sf_dir):
+    """Decode-stage plumbing (binary → width/height/channels) with the
+    deterministic fake codec; the real path raises NotImplementedError
+    until an image library is present (operators/multimodal.py). The fake
+    dims derive from md5 digest bytes, which DuckDB reproduces from the
+    hex string — so even the Python mapInPandas path is oracle-exact."""
+    docs = mm.with_binary_payload(_load_parallel(spark, sf_dir, "documents"))
+    return mm.decode_images(docs, fake=True)
+
+
 # (from llm_extra.py)
 @register(
     "multimodal_frame_sample",
@@ -47,7 +149,6 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # (from llm_extra.py)
 def _resize_fake_sql() -> str:
-    from kafka_streams_example_spark.registry import _md5_byte_sql
 
     # fake path: output blob = md5 digest (16B) repeated to 32*32 = 1024B,
     # i.e. exactly 64 repeats; its lowercase hex = repeat(md5-hex, 64), so

@@ -18,7 +18,6 @@ from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
 from kafka_streams_example_spark.registry import _load_parallel, register
 from pyspark.sql import DataFrame, SparkSession, Window
-from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import (
     _duck_round_half_up,
     _load_parallel,

@@ -898,3 +898,738 @@ def q20_excess_supply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .select("s_name", F.round("s_acctbal", 2).alias("acctbal"))
     )
+
+
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.operators import custom_agg as ca  # noqa: E402
+
+
+# --------------------------------------------------------------------------
+# Relational operator breadth over the TPC-H-ish tables (SURVEY.md §2 —
+# "operators the reference does NOT have", exposed per the north star).
+# Money math runs in exact decimal and casts to double at the end, so both
+# engines emit bit-identical values regardless of summation order.
+# --------------------------------------------------------------------------
+
+
+@register(
+    "q1_pricing_summary",
+    """
+SELECT l_returnflag, l_linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_base_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS sum_disc_price,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4)) * CAST(1 + l_tax AS DECIMAL(8,4))), 6) AS DOUBLE) AS sum_charge,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) / count(*) AS avg_qty,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) / count(*) AS avg_price,
+       CAST(round(sum(CAST(l_discount AS DECIMAL(18,4))), 6) AS DOUBLE) / count(*) AS avg_disc,
+       count(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+""",
+)
+def q1_pricing_summary(spark, sf_dir):
+    """Filter → multi-aggregate groupBy (TPC-H Q1 shape). Scan-side filter
+    is pushed to parquet; partial aggregation runs map-side before the
+    single exchange on the (tiny-cardinality) group key."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    disc = _dec("l_discount", "8,4")
+    tax = _dec("l_tax", "8,4")
+    one = F.lit(1).cast("decimal(8,4)")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        _sum_dbl(_dec("l_quantity")).alias("sum_qty"),
+        _sum_dbl(_dec("l_extendedprice")).alias("sum_base_price"),
+        _sum_dbl(_dec("l_extendedprice") * (one - disc)).alias("sum_disc_price"),
+        _sum_dbl(_dec("l_extendedprice") * (one - disc) * (one + tax)).alias("sum_charge"),
+        (F.round(F.sum(_dec("l_quantity")), 6).cast("double") / F.count("*")).alias("avg_qty"),
+        (F.round(F.sum(_dec("l_extendedprice")), 6).cast("double") / F.count("*")).alias("avg_price"),
+        (F.round(F.sum(_dec("l_discount")), 6).cast("double") / F.count("*")).alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@register(
+    "q3_top_orders",
+    """
+SELECT l_orderkey,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue,
+       epoch(o_orderdate)::BIGINT AS o_orderdate_s, o_orderpriority
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+)
+def q3_top_orders(spark, sf_dir):
+    """3-way join → agg → deterministic top-k (TPC-H Q3 shape). customer is
+    tiny → broadcast; orders⋈lineitem shuffles on the orderkey."""
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-03-15 00:00:00").cast("timestamp")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
+    )
+    one = F.lit(1).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            _sum_dbl(
+                _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.col("o_orderdate").cast("long").alias("o_orderdate_s"),
+            "o_orderpriority",
+        )
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+        .limit(10)
+    )
+
+
+@register(
+    "q5_region_revenue",
+    """
+SELECT n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY n_name
+""",
+)
+def q5_region_revenue(spark, sf_dir):
+    """6-way join with a dimension-chain filter (TPC-H Q5 shape). All
+    dimensions broadcast; the only shuffle is lineitem⋈orders + final agg."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1995-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    one = F.lit(1).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            _sum_dbl(
+                _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "ranking_top_customers",
+    """
+SELECT * FROM (
+    SELECT n_name, c_custkey, c_acctbal,
+           row_number()  OVER w AS rnk,
+           rank()        OVER w AS rnk_gaps,
+           dense_rank()  OVER w AS rnk_dense
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    WINDOW w AS (PARTITION BY n_name ORDER BY c_acctbal DESC, c_custkey)
+) WHERE rnk <= 3
+""",
+)
+def ranking_top_customers(spark, sf_dir):
+    """Ranking window functions: top-3 customers by balance per nation."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    w = Window.partitionBy("n_name").orderBy(
+        F.col("c_acctbal").desc(), F.col("c_custkey")
+    )
+    return (
+        cust.join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            "c_custkey",
+            "c_acctbal",
+            F.row_number().over(w).alias("rnk"),
+            F.rank().over(w).alias("rnk_gaps"),
+            F.dense_rank().over(w).alias("rnk_dense"),
+        )
+        .filter(F.col("rnk") <= 3)
+    )
+
+
+@register(
+    "rollup_returns",
+    """
+SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+       coalesce(l_linestatus, 'ALL') AS linestatus,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_qty,
+       count(*) AS cnt
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+""",
+)
+def rollup_returns(spark, sf_dir):
+    """Hierarchical grouping-sets aggregation (ROLLUP)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(_sum_dbl(_dec("l_quantity")).alias("sum_qty"), F.count("*").alias("cnt"))
+        .select(
+            F.coalesce("l_returnflag", F.lit("ALL")).alias("returnflag"),
+            F.coalesce("l_linestatus", F.lit("ALL")).alias("linestatus"),
+            "sum_qty",
+            "cnt",
+        )
+    )
+
+
+@register(
+    "set_ops_customers",
+    """
+SELECT 'union' AS op, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'intersect', c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'except', c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+""",
+)
+def set_ops_customers(spark, sf_dir):
+    """Set operators: UNION / INTERSECT / EXCEPT (distinct semantics),
+    tagged and stacked."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(
+        F.col("o_custkey").alias("c")
+    )
+    b = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c")
+    )
+    return (
+        a.union(b).distinct().select(F.lit("union").alias("op"), "c")
+        .unionAll(a.intersect(b).select(F.lit("intersect").alias("op"), "c"))
+        .unionAll(a.subtract(b).select(F.lit("except").alias("op"), "c"))
+    )
+
+
+@register(
+    "udaf_weighted_avg",
+    """
+SELECT l_returnflag,
+       CAST(sum(CAST(l_quantity AS BIGINT) * CAST(round(l_extendedprice * 100) AS BIGINT)) AS DOUBLE)
+           / sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS weighted_avg,
+       count(*) AS n
+FROM lineitem
+GROUP BY l_returnflag
+""",
+)
+def udaf_weighted_avg(spark, sf_dir):
+    """Custom UDA surface (U1): price-weighted mean quantity via Arrow
+    applyInPandas with integer-exact accumulation (order-independent, hence
+    oracle-checkable)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return ca.weighted_avg_in_pandas(
+        li, group_col="l_returnflag", value_col="l_quantity", weight_col="l_extendedprice"
+    )
+
+
+@register(
+    "cube_order_priority",
+    """
+SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+       coalesce(o_orderpriority, 'ALL') AS orderpriority,
+       count(*) AS cnt,
+       CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS sum_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+""",
+)
+def cube_order_priority(spark, sf_dir):
+    """CUBE grouping sets over orders."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("cnt"), _sum_dbl(_dec("o_totalprice")).alias("sum_price"))
+        .select(
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("orderstatus"),
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("orderpriority"),
+            "cnt",
+            "sum_price",
+        )
+    )
+
+
+@register(
+    "string_date_functions",
+    """
+SELECT o_orderkey,
+       upper(o_orderpriority) AS prio_upper,
+       substr(o_orderpriority, 1, 1) AS prio_code,
+       length(o_orderpriority) AS prio_len,
+       concat(o_orderstatus, '-', o_orderpriority) AS status_prio,
+       CAST(year(o_orderdate) AS INT) AS o_year,
+       CAST(month(o_orderdate) AS INT) AS o_month,
+       CAST(day(o_orderdate) AS INT) AS o_day,
+       CAST(quarter(o_orderdate) AS INT) AS o_quarter
+FROM orders
+WHERE o_orderkey <= 1000
+""",
+)
+def string_date_functions(spark, sf_dir):
+    """Scalar string/date function coverage (X1/X2 beyond the reference's
+    round/sqrt/abs/pow)."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 1000)
+    return orders.select(
+        "o_orderkey",
+        F.upper("o_orderpriority").alias("prio_upper"),
+        F.substring("o_orderpriority", 1, 1).alias("prio_code"),
+        F.length("o_orderpriority").alias("prio_len"),
+        F.concat_ws("-", "o_orderstatus", "o_orderpriority").alias("status_prio"),
+        F.year("o_orderdate").alias("o_year"),
+        F.month("o_orderdate").alias("o_month"),
+        F.dayofmonth("o_orderdate").alias("o_day"),
+        F.quarter("o_orderdate").alias("o_quarter"),
+    )
+
+
+@register(
+    "sql_q6_revenue_delta",
+    """
+SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS promo_revenue,
+       count(*) AS n
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def sql_q6_revenue_delta(spark, sf_dir):
+    """The engine's SQL-text surface (TPC-H Q6 shape): same catalog views,
+    same Catalyst plan as the DataFrame API."""
+    from kafka_streams_example_spark.sources.files import register_views
+
+    register_views(spark, sf_dir, tables=("lineitem",))
+    return spark.sql(
+        """
+        SELECT CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+                              * CAST(l_discount AS DECIMAL(8,4))), 6) AS DOUBLE)
+                   AS promo_revenue,
+               count(*) AS n
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """
+    )
+
+
+@register(
+    "semi_anti_joins",
+    """
+SELECT 'semi' AS op, c_custkey FROM customer
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+UNION ALL
+SELECT 'anti', c_custkey FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+""",
+)
+def semi_anti_joins(spark, sf_dir):
+    """Left-semi and left-anti joins (EXISTS / NOT EXISTS)."""
+    cust = load_table(spark, sf_dir, "customer")
+    fo = load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
+    semi = cust.join(fo, cust.c_custkey == fo.o_custkey, "left_semi").select(
+        F.lit("semi").alias("op"), "c_custkey"
+    )
+    anti = cust.join(fo, cust.c_custkey == fo.o_custkey, "left_anti").select(
+        F.lit("anti").alias("op"), "c_custkey"
+    )
+    return semi.unionAll(anti)
+
+
+@register(
+    "q4_order_priority_check",
+    """
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-10-01 00:00:00'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+GROUP BY o_orderpriority
+""",
+)
+def q4_order_priority_check(spark, sf_dir):
+    """Correlated EXISTS (TPC-H Q4 shape) → left-semi join on a compound
+    condition."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        orders.join(
+            li,
+            (orders.o_orderkey == li.l_orderkey) & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+    )
+
+
+@register(
+    "q12_shipmode_case_agg",
+    """
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' OR o_orderpriority = '2-HIGH'
+                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT' AND o_orderpriority <> '2-HIGH'
+                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY l_returnflag
+""",
+)
+def q12_shipmode_case_agg(spark, sf_dir):
+    """Conditional (CASE WHEN) aggregation over a join (TPC-H Q12 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp"))
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+    )
+
+
+@register(
+    "q14_promo_ratio",
+    """
+SELECT CAST(round(100.0 * sum(CASE WHEN p_type LIKE 'PROMO%%'
+               THEN CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))
+               ELSE CAST(0 AS DECIMAL(18,4)) END), 4) AS DOUBLE)
+       / CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 4) AS DOUBLE)
+       AS promo_revenue_pct,
+       count(*) AS n
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+""",
+)
+def q14_promo_ratio(spark, sf_dir):
+    """Ratio of conditional sums (TPC-H Q14 shape), decimal-exact on both
+    sides of the division."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp"))
+    )
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(8,4)")
+    rev = _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(
+        F.lit(0).cast("decimal(18,4)")
+    )
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .agg(
+            (
+                F.round(F.sum(promo) * F.lit(100).cast("decimal(8,4)"), 4).cast("double")
+                / F.round(F.sum(rev), 4).cast("double")
+            ).alias("promo_revenue_pct"),
+            F.count("*").alias("n"),
+        )
+    )
+
+
+@register(
+    "q18_large_orders",
+    """
+SELECT o_orderkey, o_custkey,
+       CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_qty
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+GROUP BY o_orderkey, o_custkey
+HAVING sum(l_quantity) > 150
+ORDER BY total_qty DESC, o_orderkey
+LIMIT 20
+""",
+)
+def q18_large_orders(spark, sf_dir):
+    """HAVING + deterministic top-k (TPC-H Q18 shape)."""
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(
+            _sum_dbl(_dec("l_quantity")).alias("total_qty"),
+            F.sum("l_quantity").alias("__raw_qty"),
+        )
+        .filter(F.col("__raw_qty") > 150)
+        .drop("__raw_qty")
+        .orderBy(F.col("total_qty").desc(), F.col("o_orderkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "scalar_subquery_above_avg",
+    """
+SELECT c_custkey, c_acctbal
+FROM customer
+WHERE c_acctbal > (SELECT CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) / count(*) FROM customer)
+""",
+)
+def scalar_subquery_above_avg(spark, sf_dir):
+    """Scalar subquery: customers above the mean balance. The mean is a
+    double; both engines compare against sum/count of identical values —
+    the comparison is strict-inequality on values well away from the mean
+    boundary at any realistic ULP, and the subquery evaluates once
+    (broadcast scalar)."""
+    cust = load_table(spark, sf_dir, "customer")
+    avg_bal = cust.agg((F.sum(_dec("c_acctbal")).cast("double") / F.count("*")).alias("a"))
+    return cust.join(F.broadcast(avg_bal)).filter(
+        F.col("c_acctbal") > F.col("a")
+    ).select("c_custkey", "c_acctbal")
+
+
+@register(
+    "q10_returned_items",
+    """
+SELECT c_custkey, c_name, n_name,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1996-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def q10_returned_items(spark, sf_dir):
+    """Returned-item revenue ranking (TPC-H Q10 shape)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01 00:00:00").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    nation = load_table(spark, sf_dir, "nation")
+    one = F.lit(1).cast("decimal(8,4)")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            _sum_dbl(
+                _dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey"))
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_filter",
+    """
+SELECT count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(8,4))), 6) AS DOUBLE) AS revenue
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 21)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 30)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 40)
+""",
+)
+def q19_disjunctive_filter(spark, sf_dir):
+    """Disjunctive multi-attribute predicate across a join (TPC-H Q19
+    shape) — exercises OR-predicate pushdown and CNF conversion."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    one = F.lit(1).cast("decimal(8,4)")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    cond = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15) & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25) & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35) & F.col("l_quantity").between(20, 40))
+    )
+    return j.filter(cond).agg(
+        F.count("*").alias("n"),
+        _sum_dbl(_dec("l_extendedprice") * (one - _dec("l_discount", "8,4"))).alias("revenue"),
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+WITH part_avg AS (
+    SELECT l_partkey, 0.5 * (CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*)) AS half_avg
+    FROM lineitem GROUP BY l_partkey
+)
+SELECT count(*) AS n,
+       CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 6) AS DOUBLE) AS revenue
+FROM lineitem JOIN part_avg USING (l_partkey)
+WHERE l_quantity < half_avg
+""",
+)
+def q17_small_quantity_revenue(spark, sf_dir):
+    """Correlated per-group aggregate subquery (TPC-H Q17 shape),
+    decorrelated into an aggregate + self-join — the form Catalyst's
+    subquery decorrelation produces anyway, written explicitly."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part_avg = li.groupBy("l_partkey").agg(
+        (
+            F.lit(0.5)
+            * (F.sum(_dec("l_quantity")).cast("double") / F.count("*"))
+        ).alias("half_avg")
+    )
+    return (
+        li.join(part_avg, "l_partkey")
+        .filter(F.col("l_quantity") < F.col("half_avg"))
+        .agg(
+            F.count("*").alias("n"),
+            _sum_dbl(_dec("l_extendedprice")).alias("revenue"),
+        )
+    )
+
+
+@register(
+    "set_ops_multiset",
+    """
+SELECT 'intersect_all' AS op, c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+UNION ALL
+SELECT 'except_all', c FROM (
+    SELECT o_custkey AS c FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT ALL
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'P')
+""",
+)
+def set_ops_multiset(spark, sf_dir):
+    """Multiset set operators (INTERSECT ALL / EXCEPT ALL) — bag
+    semantics with multiplicities, distinct from set_ops_customers."""
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_custkey").alias("c"))
+    b = orders.filter(F.col("o_orderstatus") == "P").select(F.col("o_custkey").alias("c"))
+    return (
+        a.intersectAll(b).select(F.lit("intersect_all").alias("op"), "c")
+        .unionAll(a.exceptAll(b).select(F.lit("except_all").alias("op"), "c"))
+    )
+
+
+@register(
+    "null_handling_outer_join",
+    """
+SELECT c.c_custkey,
+       coalesce(o.n_orders, 0) AS n_orders,
+       (o.n_orders IS NULL) AS never_ordered,
+       CAST(round(coalesce(o.total, CAST(0 AS DECIMAL(18,4))), 6) AS DOUBLE) AS total_spent
+FROM customer c
+LEFT JOIN (
+    SELECT o_custkey, count(*) AS n_orders,
+           sum(CAST(o_totalprice AS DECIMAL(18,4))) AS total
+    FROM orders GROUP BY o_custkey
+) o ON c.c_custkey = o.o_custkey
+""",
+)
+def null_handling_outer_join(spark, sf_dir):
+    """Outer-join NULL semantics: customers without orders surface as NULL
+    aggregates, normalized with coalesce — plus an explicit IS NULL flag
+    (NULL handling must be deliberate, not incidental, in a 100TB join)."""
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.sum(_dec("o_totalprice")).alias("total"),
+        )
+    )
+    return cust.join(per_cust, cust.c_custkey == per_cust.o_custkey, "left").select(
+        "c_custkey",
+        F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+        F.col("n_orders").isNull().alias("never_ordered"),
+        F.round(
+            F.coalesce(F.col("total"), F.lit(0).cast("decimal(18,4)")), 6
+        ).cast("double").alias("total_spent"),
+    )
+
+
+@register(
+    "date_arithmetic",
+    """
+SELECT o_orderkey,
+       date_diff('day', o_orderdate, TIMESTAMP '2000-01-01 00:00:00') AS days_to_y2k,
+       epoch(date_trunc('month', o_orderdate))::BIGINT AS month_start_s,
+       epoch(o_orderdate + INTERVAL 90 DAY)::BIGINT AS due_s,
+       CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm
+FROM orders WHERE o_orderkey <= 500
+""",
+)
+def date_arithmetic(spark, sf_dir):
+    """Date/interval arithmetic: day differences, month truncation,
+    interval addition — all tz-pinned (UTC session) so epoch outputs are
+    engine-portable."""
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") <= 500)
+    return orders.select(
+        "o_orderkey",
+        F.datediff(
+            F.lit("2000-01-01 00:00:00").cast("timestamp"), F.col("o_orderdate")
+        ).alias("days_to_y2k"),
+        F.date_trunc("month", F.col("o_orderdate")).cast("long").alias("month_start_s"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")).cast("long").alias("due_s"),
+        (F.year("o_orderdate") * 100 + F.month("o_orderdate")).alias("yyyymm"),
+    )

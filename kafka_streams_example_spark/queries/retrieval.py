@@ -26,7 +26,194 @@ from kafka_streams_example_spark.registry import (
     _load_parallel,
     register,
 )
-from kafka_streams_example_spark.sources.files import load_table
+
+
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.registry import ORACLES, _duck_dot  # noqa: E402
+
+
+@register(
+    "similarity_cosine_topk",
+    """
+WITH q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, e.vec_id,
+           list_aggregate(list_transform(generate_series(1, 64),
+               i -> CAST(qv[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')
+           / (sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> CAST(qv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE)), 'sum'))
+            * sqrt(list_aggregate(list_transform(generate_series(1, 64),
+                  i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE)), 'sum')))
+           AS score
+    FROM embeddings e CROSS JOIN q
+    WHERE e.vec_id <> q.q_id
+)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= 10
+""",
+)
+def similarity_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-10 per query vector (query set = vec_id < 8,
+    broadcast). The exact baseline the LSH path is measured against."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, dim=64)
+
+
+def _hyperplanes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:
+    import random
+
+    rng = random.Random(seed)
+    return [[rng.uniform(-1, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+@register("similarity_lsh_topk")
+def similarity_lsh_topk(spark, sf_dir):
+    """SimHash-bucketed approximate top-10 (6 hyperplanes → 64 buckets,
+    ~64x candidate pruning), exact cosine re-rank. Approximate → rows-only
+    driver check; recall vs the exact top-k is asserted in tests."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.lsh_bucketed_topk(
+        emb, emb.filter(F.col("vec_id") < 8), _hyperplanes(), k=10, dim=64
+    )
+
+
+@register("neardup_embeddings")
+def neardup_embeddings(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (SimHash buckets → exact cosine
+    ≥ threshold) — rows-only driver check, recall asserted in tests.
+    The synthetic corpus is near-orthogonal (max pairwise cosine ≈ 0.46),
+    so the demo threshold is 0.4; production near-dup uses ≥ 0.9."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return dd.embedding_neardup_pairs(emb, _hyperplanes(), threshold=0.4)
+
+
+@register("similarity_ivf_topk")
+def similarity_ivf_topk(spark, sf_dir):
+    """IVF approximate top-10: 16 coarse cells (deterministic demo
+    centroids: vec_id < 16; production trains k-means on a sample),
+    nprobe=4, exact cosine re-rank. Rows-only driver check; recall vs
+    brute force asserted in tests.
+
+    The footer-metadata row count (zero Spark jobs) sizes the candidate
+    estimate (queries × rows × nprobe/cells — the window input is the
+    UNION over all 8 query vectors' probed cells) so the Arrow
+    local-top-k prune only engages when the window shuffle it bounds
+    would actually be large (VERDICT r03 #3)."""
+    from kafka_streams_example_spark.sources.files import table_row_count
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    est = 8 * table_row_count(spark, sf_dir, "embeddings") * 4 // 16
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        centroids=emb.filter(F.col("vec_id") < 16),
+        nprobe=4,
+        k=10,
+        dim=64,
+        candidate_rows=est,
+    )
+
+
+def _duck_simhash_bucket(vec: str, planes: list[list[float]], dim: int = 64) -> str:
+    """Bucket id = sign pattern vs the same hyperplane constants the Spark
+    side uses — fold order and double arithmetic identical, so the bucket
+    assignment reproduces bit-exactly."""
+    expr = "0"
+    for p in planes:
+        arr = "[" + ", ".join(repr(float(x)) for x in p) + "]::DOUBLE[]"
+        expr = (
+            f"({expr}) * 2 + (CASE WHEN {_duck_dot(vec, arr, dim)} >= 0"
+            " THEN 1 ELSE 0 END)"
+        )
+    return expr
+
+
+def _duck_lsh_topk_sql(k: int = 10) -> str:
+    planes = _hyperplanes()
+    return f"""
+WITH c AS (SELECT vec_id, embedding,
+                  {_duck_simhash_bucket('embedding', planes)} AS bucket
+           FROM embeddings),
+q AS (SELECT vec_id AS q_id, embedding AS qv, bucket
+      FROM c WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, c.vec_id,
+           {_duck_cosine('q.qv', 'c.embedding')} AS score
+    FROM c JOIN q USING (bucket)
+    WHERE c.vec_id <> q.q_id)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rnk
+      FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+def _duck_embedding_neardup_sql(threshold: float = 0.4) -> str:
+    planes = _hyperplanes()
+    return f"""
+WITH c AS (SELECT vec_id AS id, embedding AS v,
+                  {_duck_simhash_bucket('embedding', planes)} AS bucket
+           FROM embeddings)
+SELECT l.id AS id_a, r.id AS id_b,
+       round({_duck_cosine('l.v', 'r.v')}, 6) AS cosine
+FROM c l JOIN c r ON l.bucket = r.bucket AND l.id < r.id
+WHERE {_duck_cosine('l.v', 'r.v')} >= {threshold}
+"""
+
+
+# Upgrade the SimHash-LSH ops from rows-only to fully oracle-checked: the
+# hyperplanes are seeded constants shared with the Spark side, and the
+# fold-order-identical double arithmetic makes buckets and cosines
+# bit-equal across engines.
+ORACLES["similarity_lsh_topk"] = _duck_lsh_topk_sql()
+
+
+ORACLES["neardup_embeddings"] = _duck_embedding_neardup_sql()
+
+
+def _duck_ivf_sql(n_centroids: int = 16, nprobe: int = 4, k: int = 10) -> str:
+    cos_c = _duck_cosine("c.embedding", "cent.cv")
+    cos_q = _duck_cosine("q.qv", "cent.cv")
+    cos_s = _duck_cosine("qp.qv", "a.embedding")
+    return f"""
+WITH cent AS (SELECT vec_id AS centroid_id, embedding AS cv
+              FROM embeddings WHERE vec_id < {n_centroids}),
+assign AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT c.vec_id, c.embedding, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {cos_c} DESC, cent.centroid_id) AS rn
+        FROM embeddings c CROSS JOIN cent)
+    WHERE rn = 1),
+qprobe AS (
+    SELECT q_id, qv, centroid_id FROM (
+        SELECT q.q_id, q.qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {cos_q} DESC, cent.centroid_id) AS rn
+        FROM (SELECT vec_id AS q_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 8) q
+        CROSS JOIN cent)
+    WHERE rn <= {nprobe}),
+scored AS (
+    SELECT qp.q_id, a.vec_id, {cos_s} AS score
+    FROM assign a JOIN qprobe qp USING (centroid_id)
+    WHERE a.vec_id <> qp.q_id)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+# IVF joins the fully-oracle-checked club as well: fixed centroids +
+# fold-order-identical cosine make assignment, probing and re-ranking
+# reproduce exactly.
+ORACLES["similarity_ivf_topk"] = _duck_ivf_sql()
 
 
 # (from llm_extra.py)

@@ -705,3 +705,144 @@ def feature_hashing_sparse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("sign").cast("long").alias("weight"))
         .select("doc_id", F.col("dim").cast("long").alias("dim"), "weight")
     )
+
+
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.sources.files import load_table  # noqa: E402
+
+
+@register(
+    "approx_distinct_users",
+    """
+SELECT event_type,
+       count(DISTINCT user_id) AS exact_users,
+       count(*) AS cnt,
+       TRUE AS approx_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def approx_distinct_users(spark, sf_dir):
+    """HyperLogLog++ approximate distinct, self-audited: the sketch bytes
+    are engine-specific so the estimate itself cannot be cross-checked in
+    DuckDB, but the estimate's ERROR BOUND can — the query emits the exact
+    count plus a boolean asserting |approx − exact| ≤ 5%·exact (rsd=0.01,
+    so 5% is a ≥5σ envelope). The oracle recomputes the exact side and
+    pins the boolean TRUE, making the sketch's accuracy contract itself
+    driver-hash-verifiable instead of a rows-only check."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count_distinct("user_id").alias("exact_users"),
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type",
+            "exact_users",
+            "cnt",
+            (
+                F.abs(F.col("approx_users") - F.col("exact_users"))
+                <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+            ).alias("approx_within_5pct"),
+        )
+    )
+
+
+@register(
+    "hll_sketch_rollup",
+    """
+SELECT event_type,
+       count(DISTINCT CAST(floor(floor(epoch(ts)) / 86400) AS BIGINT)) AS n_days,
+       count(DISTINCT user_id) AS exact_users,
+       TRUE AS rollup_within_5pct
+FROM events
+GROUP BY event_type
+""",
+)
+def hll_sketch_rollup(spark, sf_dir):
+    """Mergeable-sketch rollup — THE pattern for distinct counts at 100TB:
+    build one HLL sketch per (utc-day, event_type) partition, then merge
+    sketches across days per event_type instead of re-scanning raw data.
+    Self-audited for the driver: sketch bytes are engine-specific, so the
+    query joins the rolled-up estimate against the exact distinct count
+    and emits the exact side plus a boolean pinning the merged estimate
+    inside a 5% envelope — the rollup's accuracy contract is what the
+    DuckDB oracle hash-verifies. Day is the tz-independent epoch day
+    (floor(epoch/86400)) so both engines bucket identically."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    day = F.floor(F.col("ts").cast("long") / 86400).cast("long")
+    daily = ev.groupBy(day.alias("day"), "event_type").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    rolled = daily.groupBy("event_type").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est"),
+        F.count("*").alias("n_days"),
+    )
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").alias("exact_users")
+    )
+    return rolled.join(F.broadcast(exact), "event_type").select(
+        "event_type",
+        "n_days",
+        "exact_users",
+        (
+            F.abs(F.col("est") - F.col("exact_users"))
+            <= F.greatest(F.lit(1.0), 0.05 * F.col("exact_users"))
+        ).alias("rollup_within_5pct"),
+    )
+
+
+@register(
+    "value_percentiles_approx",
+    """
+SELECT event_type,
+       count(*) AS n,
+       TRUE AS p50_rank_ok,
+       TRUE AS p90_rank_ok,
+       TRUE AS p99_rank_ok
+FROM events
+GROUP BY event_type
+""",
+)
+def value_percentiles_approx(spark, sf_dir):
+    """approx_percentile (single-pass GK quantile sketch) — the streaming/
+    huge-cardinality alternative to exact percentiles — self-audited via
+    the sketch's own mathematical guarantee: a returned value must sit
+    within rank ε·n of the target rank (ε = 1/accuracy = 1e-4). The query
+    joins the approximate percentiles back to the data, counts rows
+    strictly-below / at-or-below each returned value, and emits booleans
+    asserting the rank bracket q·n ± tol holds (tol = 2%·n + 10, a wide
+    multiple of the sketch bound, tie-safe via the lt/le pair). The DuckDB
+    oracle recomputes n exactly and pins the booleans TRUE — turning an
+    engine-specific sketch into a driver-hash-verifiable contract."""
+    ev = _load_parallel(spark, sf_dir, "events")
+    ap = ev.groupBy("event_type").agg(
+        F.percentile_approx("value", [0.5, 0.9, 0.99], 10000).alias("p")
+    )
+    j = ev.join(F.broadcast(ap), "event_type")
+    aggs = [F.count("*").alias("n")]
+    for i, q in enumerate((0.5, 0.9, 0.99)):
+        v = F.col("p")[i]
+        aggs.append(
+            F.sum((F.col("value") < v).cast("long")).alias(f"lt_{i}")
+        )
+        aggs.append(
+            F.sum((F.col("value") <= v).cast("long")).alias(f"le_{i}")
+        )
+    g = j.groupBy("event_type").agg(*aggs)
+    tol = 0.02 * F.col("n") + 10
+    out = ["event_type", F.col("n")]
+    for i, (q, label) in enumerate(((0.5, "p50"), (0.9, "p90"), (0.99, "p99"))):
+        target = q * F.col("n")
+        out.append(
+            (
+                (F.col(f"lt_{i}") <= target + tol)
+                & (F.col(f"le_{i}") >= target - tol)
+            ).alias(f"{label}_rank_ok")
+        )
+    return g.select(*out)

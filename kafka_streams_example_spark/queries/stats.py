@@ -14,7 +14,6 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import _load_parallel, register
-from pyspark.sql import DataFrame, SparkSession
 from kafka_streams_example_spark.functions.hashing import stable_long
 from kafka_streams_example_spark.registry import (
     _duck_round_half_up,
@@ -23,12 +22,6 @@ from kafka_streams_example_spark.registry import (
 )
 import math
 from kafka_streams_example_spark.registry import ORACLES, _load_parallel, register
-from kafka_streams_example_spark.registry import (
-    ORACLES,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
 
 
 # (from llm_extra2.py)

@@ -16,13 +16,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import (
-    _QUALITY_SQL,
     _TOKS,
     _load_parallel,
     register,
 )
 from pyspark.sql import DataFrame, SparkSession, Window
-from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
 from kafka_streams_example_spark.sources.files import table_row_count
 from kafka_streams_example_spark.registry import (
     _TOKS,
@@ -31,13 +29,6 @@ from kafka_streams_example_spark.registry import (
     register,
 )
 from kafka_streams_example_spark.registry import _NGRAMS, _TOKS, _load_parallel, register
-from kafka_streams_example_spark.registry import (
-    _NGRAMS,
-    _TOKS,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from kafka_streams_example_spark.registry import (
     _TOKS,
@@ -46,6 +37,19 @@ from kafka_streams_example_spark.registry import (
     _load_parallel,
     register,
 )
+
+
+# Portable HALF_UP quality rounding: floor(x*10^4+0.5)/10^4 — the SAME
+# double ops Spark's operators/text.py:round_half_up performs, so both
+# engines round decimal-boundary quality scores identically (plain
+# round() diverges: Spark rounds the decimal repr, DuckDB the binary).
+_QUALITY_SQL = """floor((0.4 * least(1.0, len(toks) / 100.0)
+               + 0.3 * (CASE WHEN len(toks) > 0 THEN
+                     len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+                     / CAST(len(toks) AS DOUBLE) ELSE 0.0 END)
+               + 0.3 * (1.0 - CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+                     length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+                     / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END)) * 10000.0 + 0.5) / 10000.0"""
 
 
 # (from llm_extra.py)
@@ -1777,4 +1781,306 @@ def trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _SB_ALPHA * (F.col("n_23").cast("double") / F.col("n_2")), 6
             ).alias("s_backoff"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# (from registry.py, round-8 consolidation — query sections moved verbatim;
+# registration order stays pinned by query_order.py)
+# ---------------------------------------------------------------------------
+from kafka_streams_example_spark.sources.files import load_table  # noqa: E402
+
+
+@register(
+    "text_quality_stats",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_words,
+       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]')) AS n_tokens_bpe,
+       round(CASE WHEN len(toks) > 0 THEN
+           len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is'], x)))
+           / CAST(len(toks) AS DOUBLE) ELSE 0.0 END, 6) AS stop_ratio,
+       round(CASE WHEN length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) > 0 THEN
+           length(regexp_replace(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g'), '[A-Za-z0-9]', '', 'g'))
+           / CAST(length(regexp_replace(text, '[ \\t\\n\\x0B\\f\\r]+', '', 'g')) AS DOUBLE) ELSE 0.0 END, 6) AS special_ratio
+FROM t
+""",
+)
+def text_quality_stats(spark, sf_dir):
+    """Text-quality features: word count, BPE-ish token count, stopword
+    ratio, special-char ratio — all JVM-side expressions, no Python UDFs."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        tx.word_count(F.col("text")).alias("n_words"),
+        tx.token_count(F.col("text")).alias("n_tokens_bpe"),
+        F.round(tx.stopword_ratio(F.col("text"), "en"), 6).alias("stop_ratio"),
+        F.round(tx.special_char_ratio(F.col("text")), 6).alias("special_ratio"),
+    )
+
+
+def _duck_lang_sql() -> str:
+    """DuckDB oracle for lang_id, generated from the same STOPWORDS lists
+    so the two implementations cannot drift."""
+    ratio_cols = []
+    for lang in sorted(tx.STOPWORDS):
+        words = ", ".join(f"'{w}'" for w in tx.STOPWORDS[lang])
+        ratio_cols.append(
+            f"CASE WHEN len(toks) > 0 THEN "
+            f"len(list_filter(toks, x -> list_contains([{words}], x)))"
+            f" / CAST(len(toks) AS DOUBLE) ELSE 0.0 END AS r_{lang}"
+        )
+    best = "greatest(" + ", ".join(f"r_{l}" for l in sorted(tx.STOPWORDS)) + ")"
+    case = "CASE "
+    for lang in sorted(tx.STOPWORDS):
+        case += f"WHEN {best} > 0 AND r_{lang} = {best} THEN '{lang}' "
+    case += "ELSE 'und' END"
+    return f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks FROM documents),
+s AS (SELECT doc_id, lang, {", ".join(ratio_cols)} FROM t)
+SELECT doc_id, lang, {case} AS lang_pred FROM s
+"""
+
+
+@register("lang_id_docs", _duck_lang_sql())
+def lang_id_docs(spark, sf_dir):
+    """Heuristic language ID (stopword-hit argmax, deterministic
+    tie-breaking) next to the labeled lang column."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return docs.select("doc_id", "lang", tx.lang_id(F.col("text")).alias("lang_pred"))
+
+
+@register(
+    "token_frequencies",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT unnest(toks) AS token FROM t)
+SELECT token, count(*) AS freq
+FROM x
+GROUP BY token
+HAVING count(*) >= 5
+""",
+)
+def token_frequencies(spark, sf_dir):
+    """Explode / lateral-view shape: corpus token frequencies (the
+    vocabulary-building pass of a text pipeline)."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("freq"))
+        .filter(F.col("freq") >= 5)
+    )
+
+
+@register(
+    "array_functions_docs",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       len(list_distinct(toks)) AS n_distinct,
+       array_to_string(list_sort(list_distinct(toks))[1:3], ' ') AS first3_sorted,
+       list_contains(toks, 'the') AS has_the,
+       list_sort(list_distinct(toks))[1] AS min_token
+FROM t WHERE len(toks) > 0
+""",
+)
+def array_functions_docs(spark, sf_dir):
+    """Array/higher-order function coverage: size, distinct, sort, slice,
+    contains — scalar-ized outputs so cross-engine comparison is exact."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    sorted_distinct = F.array_sort(F.array_distinct(toks))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+        F.array_join(F.slice(sorted_distinct, 1, 3), " ").alias("first3_sorted"),
+        F.array_contains(toks, "the").alias("has_the"),
+        F.element_at(sorted_distinct, 1).alias("min_token"),
+    ).filter(F.size(toks) > 0)
+
+
+@register(
+    "doc_perplexity_proxy",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+x AS (SELECT doc_id, unnest(toks) AS token FROM t),
+freq AS (SELECT token, count(*) AS c FROM x GROUP BY token),
+tot AS (SELECT sum(c) AS n FROM freq),
+scored AS (
+    SELECT x.doc_id, ln(CAST(f.c AS DOUBLE) / (SELECT n FROM tot)) AS logp
+    FROM x JOIN freq f USING (token)
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(-sum(logp) / count(*), 6) AS avg_neg_logp
+FROM scored GROUP BY doc_id
+""",
+)
+def doc_perplexity_proxy(spark, sf_dir):
+    """Unigram-LM quality score: mean negative log corpus-probability of a
+    doc's tokens (the cheap perplexity proxy used for corpus filtering).
+    Two aggregations + one broadcast-able frequency join — no Python."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    total = freq.agg(F.sum("c").alias("n"))
+    scored = (
+        toks.join(F.broadcast(freq), "token")
+        .join(F.broadcast(total))
+        .withColumn("logp", F.log(F.col("c").cast("double") / F.col("n")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_tokens"),
+        F.round(-F.sum("logp") / F.count("*"), 6).alias("avg_neg_logp"),
+    )
+
+
+@register(
+    "sample_docs_by_hash",
+    """
+SELECT doc_id, lang
+FROM documents
+WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 10
+""",
+)
+def sample_docs_by_hash(spark, sf_dir):
+    """Deterministic ~10%% content-hash sampling — reproducible across
+    runs, engines and cluster sizes (rand()-based sampling is none of
+    those). The standard way to carve stable dev/eval splits from a
+    training corpus."""
+    from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return docs.filter(
+        stable_long(normalize_text(F.col("text"))) % 100 < 10
+    ).select("doc_id", "lang")
+
+
+@register(
+    "truncate_to_context",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents)
+SELECT doc_id,
+       len(toks) AS n_tokens,
+       least(len(toks), 32) AS n_kept,
+       array_to_string(toks[1:32], ' ') AS truncated
+FROM t
+""",
+)
+def truncate_to_context(spark, sf_dir):
+    """Context-window preparation: clip each document to its first 32
+    tokens (array slice + join — the tokenize-truncate-detokenize pass of
+    a training-data pipeline)."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.least(F.size(toks), F.lit(32)).alias("n_kept"),
+        F.array_join(F.slice(toks, 1, 32), " ").alias("truncated"),
+    )
+
+
+@register(
+    "llm_corpus_prep",
+    f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS toks FROM documents),
+scored AS (
+    SELECT doc_id, text, toks,
+           {_QUALITY_SQL}
+           AS quality
+    FROM t
+),
+kept AS (SELECT * FROM scored WHERE quality >= 0.5),
+fp AS (
+    SELECT *, md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))) AS f FROM kept
+),
+dedup AS (
+    SELECT * FROM fp
+    QUALIFY row_number() OVER (PARTITION BY f ORDER BY doc_id) = 1
+),
+sampled AS (
+    SELECT * FROM dedup
+    WHERE CAST(('0x' || substr(md5(trim(regexp_replace(lower(text), '[ \\t\\n\\x0B\\f\\r]+', ' ', 'g'))), 1, 15)) AS BIGINT) % 100 < 50
+)
+SELECT doc_id, quality,
+       least(len(toks), 32) AS n_kept,
+       array_to_string(toks[1:32], ' ') AS truncated
+FROM sampled
+""",
+)
+def llm_corpus_prep(spark, sf_dir):
+    """The composed training-data pipeline: quality filter (≥0.5) →
+    exact-dedup keepers → deterministic 50%% content-hash sample →
+    32-token truncation. One declarative plan — Catalyst fuses the
+    whole chain into scan → project/filter → one shuffle (dedup window)
+    → project. The composition proof for the operator library."""
+    from kafka_streams_example_spark.functions.hashing import (
+        fingerprint_md5,
+        normalize_text,
+        stable_long,
+    )
+    from pyspark.sql import Window
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = tx.tokens(F.lower(F.col("text")))
+    scored = docs.select(
+        "doc_id",
+        "text",
+        toks.alias("toks"),
+        tx.quality_score(F.col("text")).alias("quality"),
+    ).filter(F.col("quality") >= 0.5)
+    fp = scored.withColumn("f", fingerprint_md5(F.col("text")))
+    dedup = (
+        fp.withColumn(
+            "rn", F.row_number().over(Window.partitionBy("f").orderBy("doc_id"))
+        )
+        .filter(F.col("rn") == 1)
+    )
+    sampled = dedup.filter(
+        stable_long(normalize_text(F.col("text"))) % 100 < 50
+    )
+    return sampled.select(
+        "doc_id",
+        "quality",
+        F.least(F.size("toks"), F.lit(32)).alias("n_kept"),
+        F.array_join(F.slice(F.col("toks"), 1, 32), " ").alias("truncated"),
+    )
+
+
+@register(
+    "regex_extraction",
+    """
+SELECT doc_id,
+       regexp_extract(source, '([a-z]+)([0-9]+)', 1) AS src_name,
+       CAST(regexp_extract(source, '([a-z]+)([0-9]+)', 2) AS INT) AS src_num,
+       coalesce(nullif(regexp_extract(text, '(spark|stream|batch)', 1), ''), 'none') AS first_keyword,
+       greatest(n_chars, 100) AS floored_chars,
+       CASE WHEN n_chars > 300 THEN 'long' WHEN n_chars > 150 THEN 'mid' ELSE 'short' END AS len_class
+FROM documents
+""",
+)
+def regex_extraction(spark, sf_dir):
+    """Regex group extraction + conditional scalars (nullif/coalesce/
+    greatest/CASE) — the remaining scalar-function surface."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 1).alias("src_name"),
+        F.regexp_extract("source", r"([a-z]+)([0-9]+)", 2).cast("int").alias("src_num"),
+        F.coalesce(
+            F.nullif(F.regexp_extract("text", r"(spark|stream|batch)", 1), F.lit("")),
+            F.lit("none"),
+        ).alias("first_keyword"),
+        F.greatest("n_chars", F.lit(100)).alias("floored_chars"),
+        F.when(F.col("n_chars") > 300, "long")
+        .when(F.col("n_chars") > 150, "mid")
+        .otherwise("short")
+        .alias("len_class"),
     )

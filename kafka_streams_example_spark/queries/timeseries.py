@@ -12,7 +12,6 @@ they stay engine-exact and shuffle-bounded.
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from kafka_streams_example_spark.registry import _load_parallel, register
-from pyspark.sql import DataFrame, SparkSession
 
 
 # (from llm_extra2.py)
