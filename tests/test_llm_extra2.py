@@ -259,3 +259,43 @@ def test_winnowing_shared_run_shares_fingerprint(spark):
     # (the engine's values are pinned against the independent DuckDB
     # oracle in test_oracle_parity; this reference pins the guarantee the
     # constants were chosen for)
+
+
+def test_substring_exact_spans_boundaries_are_token_exact(spark, tmp_path):
+    """Constructed corpus with ONE known 20-token verbatim repeat planted at
+    different alignments inside two otherwise-unique documents: the query
+    must report exactly the repeat's token span in each doc — exact start,
+    exact end (maximal merge of the 5 duplicated 16-token windows), nothing
+    else — plus the full-doc span of an exact doc-level duplicate pair."""
+    from kafka_streams_example_spark.queries.dedup import _XS_L
+
+    rep = " ".join(f"rep{i}" for i in range(20))  # the planted 20-token repeat
+    uniq_a = " ".join(f"ua{i}" for i in range(7))
+    uniq_b = " ".join(f"ub{i}" for i in range(11))
+    uniq_c = " ".join(f"uc{i}" for i in range(30))
+    rows = [
+        (0, f"{uniq_a} {rep}", "en", 1),          # repeat at tokens [7, 27)
+        (1, f"{rep} {uniq_b}", "en", 1),          # repeat at tokens [0, 20)
+        (2, uniq_c, "en", 1),                      # no repeat -> no rows
+        (3, "dup " * 18, "en", 1),                 # exact duplicate pair:
+        (4, "dup " * 18, "en", 1),                 # full 18-token span
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["substring_exact_spans"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(out) == {0, 1, 3, 4}
+    assert (out[0].span_start, out[0].span_end, out[0].span_tokens) == (7, 27, 20)
+    assert (out[1].span_start, out[1].span_end, out[1].span_tokens) == (0, 20, 20)
+    # the doc-level duplicates repeat over their whole 18-token length
+    for d in (3, 4):
+        assert (out[d].span_start, out[d].span_end) == (0, 18)
+        assert out[d].max_window_occ >= 2
+    # the 20-token repeat yields 20 - _XS_L + 1 = 5 duplicated windows that
+    # must have merged into ONE maximal island per doc
+    assert _XS_L == 16

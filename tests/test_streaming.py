@@ -1458,3 +1458,144 @@ def test_streaming_shard_manifest_is_order_invariant_and_matches_batch(
         for s, r in latest.items()
     }
     assert got == expect
+
+
+def test_streaming_ingest_dedup_matches_batch_query(spark, tmp_path):
+    """The standing ingest-dedup job must land on the registered batch
+    query's exact numbers when the incoming half arrives across FIVE
+    micro-batches. Delivery groups same-fingerprint docs into the same
+    batch (a legal schedule), so probe-then-extend semantics coincide
+    with the batch query's probe-vs-seed-index semantics and the totals
+    must match row-for-row."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark import registry
+    from kafka_streams_example_spark.queries.dedup import _INGEST_SPLIT
+    from kafka_streams_example_spark.sources.files import load_table
+    from kafka_streams_example_spark.streaming.contract import streaming_ingest_dedup
+    from tests.conftest import SF_SMOKE
+
+    import hashlib
+
+    import pyspark.sql.functions as F
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    seed = docs.filter(F.col("doc_id") < _INGEST_SPLIT)
+    incoming = docs.filter(F.col("doc_id") >= _INGEST_SPLIT).select(
+        "doc_id", "lang", "text"
+    ).collect()
+    assert len(incoming) > 0
+
+    def batch_of(row):
+        # same normalized text -> same batch (group by content)
+        norm = " ".join(row.text.lower().split())
+        return int(hashlib.md5(norm.encode()).hexdigest(), 16) % 5
+
+    src = tmp_path / "ingest_in"
+    _os.makedirs(src)
+    stream = spark.readStream.schema("doc_id LONG, lang STRING, text STRING").json(
+        str(src)
+    )
+    _, publish = streaming_ingest_dedup(
+        stream, seed, state_dir=str(tmp_path / "ingest_state")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "ingest_ck"))
+        .start()
+    )
+    for b in range(5):
+        rows = [r for r in incoming if batch_of(r) == b]
+        with open(src / f"b{b}.json", "w") as f:
+            for r in rows:
+                f.write(
+                    _json.dumps(
+                        {"doc_id": r.doc_id, "lang": r.lang, "text": r.text}
+                    )
+                    + "\n"
+                )
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT * FROM ingest_dedup_totals").collect(),
+        key=lambda r: r.lang,
+    )
+    want = sorted(
+        registry.QUERIES["incremental_ingest_dedup"](spark, SF_SMOKE).collect(),
+        key=lambda r: r.lang,
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_streaming_ingest_dedup_index_grows_and_state_stays_bounded(spark, tmp_path):
+    """Probe-then-extend semantics: a later batch repeating an earlier
+    batch's novel document must classify as DUPLICATE (the index grew).
+    And the standing job must not grow per batch: O(1) plan depth on the
+    published view, zero net new cached RDDs, and exactly three state
+    entries (append-only fp index + two totals generation slots) after
+    seven micro-batches."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import streaming_ingest_dedup
+
+    seed = spark.createDataFrame(
+        [(0, "en", "seed document text")], "doc_id LONG, lang STRING, text STRING"
+    )
+    src = tmp_path / "ingest_b_in"
+    _os.makedirs(src)
+    stream = spark.readStream.schema("doc_id LONG, lang STRING, text STRING").json(
+        str(src)
+    )
+    cached_before = {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if info.numCachedPartitions() > 0
+    }
+    _, publish = streaming_ingest_dedup(
+        stream, seed, state_dir=str(tmp_path / "ingest_b_state")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "ingest_b_ck"))
+        .start()
+    )
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for did, lang, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "lang": lang, "text": text}) + "\n"
+                )
+
+    # b0: one novel doc; b1: the SAME text again (dup via grown index) plus
+    # the seed text (dup via seed); then five more novel singleton batches.
+    write("b0.json", [(10, "en", "aaa bbb ccc")])
+    q.processAllAvailable()
+    write("b1.json", [(11, "en", "aaa bbb ccc"), (12, "en", "seed document text")])
+    q.processAllAvailable()
+    for i in range(5):
+        write(f"b{i + 2}.json", [(20 + i, "en", f"novel text number {i}")])
+        q.processAllAvailable()
+    q.stop()
+    row = spark.sql("SELECT * FROM ingest_dedup_totals").collect()
+    assert len(row) == 1 and row[0].lang == "en"
+    assert (row[0].n_incoming, row[0].n_dup_vs_index, row[0].n_new) == (8, 2, 6)
+    plan = (
+        spark.table("ingest_dedup_totals")
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    assert "Join" not in plan, plan
+    cached_after = {
+        info.id()
+        for info in spark.sparkContext._jsc.sc().getRDDStorageInfo()
+        if info.numCachedPartitions() > 0
+    }
+    assert len(cached_after - cached_before) == 0, cached_after - cached_before
+    state_entries = sorted(_os.listdir(tmp_path / "ingest_b_state"))
+    assert state_entries == ["fp_index", "totals_gen0", "totals_gen1"], state_entries
