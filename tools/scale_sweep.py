@@ -7,6 +7,14 @@ rows, <1 = sublinear (fixed overheads amortizing), >1 = superlinear
 so pair-generating queries can be judged against their output growth.
 
 Usage: python tools/scale_sweep.py [big_dir] [factor] [out_json]
+                                   [--subset=q1,q2,...] [--merge-key=KEY]
+
+--subset restricts the sweep to the named queries; --merge-key merges the
+result into an EXISTING out_json instead of overwriting it — either into
+a named sub-record (e.g. ``--merge-key=decade2`` for the sf3 second-decade
+sweep of the cost-table top) or, with ``--merge-key=queries``, into the
+main per-query map (same factor protocol, used to add newly registered
+queries without re-timing the whole surface).
 """
 
 from __future__ import annotations
@@ -61,12 +69,15 @@ SWEEP = [
     "theta_sketch_set_ops",
     "data_contract_validation",
     "psi_value_drift",
+    # round-8 addition: the new exact-substring pass (stride-1 window
+    # hashes; linear-in-corpus by construction, pinned by measurement)
+    "substring_exact_spans",
 ]
 
 
-def time_queries(spark, sf_dir: str, n_runs: int = 3) -> dict[str, dict]:
+def time_queries(spark, sf_dir: str, n_runs: int = 3, sweep=None) -> dict[str, dict]:
     out: dict[str, dict] = {}
-    for name in SWEEP:
+    for name in sweep or SWEEP:
         fn = registry.QUERIES[name]
         runs = []
         for _ in range(n_runs):
@@ -81,17 +92,23 @@ def time_queries(spark, sf_dir: str, n_runs: int = 3) -> dict[str, dict]:
 
 
 def main() -> None:
-    big_dir = sys.argv[1] if len(sys.argv) > 1 else "/tmp/spark_graft_sf1"
-    factor = float(sys.argv[2]) if len(sys.argv) > 2 else 10.0
-    out_json = sys.argv[3] if len(sys.argv) > 3 else "SCALE_SWEEP.json"
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    opts = dict(
+        a[2:].split("=", 1) for a in sys.argv[1:] if a.startswith("--")
+    )
+    big_dir = args[0] if len(args) > 0 else "/tmp/spark_graft_sf1"
+    factor = float(args[1]) if len(args) > 1 else 10.0
+    out_json = args[2] if len(args) > 2 else "SCALE_SWEEP.json"
+    sweep = opts["subset"].split(",") if "subset" in opts else list(SWEEP)
+    merge_key = opts.get("merge-key")
     spark = get_spark(app_name="scale-sweep")
     spark.sparkContext.setLogLevel("ERROR")
     print("== sf0.1 ==", flush=True)
-    small = time_queries(spark, "/root/testdata/sf0.1")
+    small = time_queries(spark, "/root/testdata/sf0.1", sweep=sweep)
     print(f"== big ({big_dir}, x{factor}) ==", flush=True)
-    big = time_queries(spark, big_dir)
+    big = time_queries(spark, big_dir, sweep=sweep)
     report = {}
-    for name in SWEEP:
+    for name in sweep:
         ts, tb = small[name]["steady"], big[name]["steady"]
         exp = math.log(max(tb, 1e-3) / max(ts, 1e-3)) / math.log(factor)
         report[name] = {
@@ -108,8 +125,24 @@ def main() -> None:
             f"exp={report[name]['exponent']} rows x{report[name]['rows_ratio']}",
             flush=True,
         )
+    if merge_key and os.path.exists(out_json):
+        with open(out_json) as fh:
+            doc = json.load(fh)
+        if merge_key == "queries":
+            assert doc.get("factor") == factor, (
+                "merging into the main map requires the same factor protocol"
+            )
+            doc["queries"].update(report)
+        else:
+            doc[merge_key] = {
+                "factor": factor,
+                "big_dir": big_dir,
+                "queries": report,
+            }
+    else:
+        doc = {"factor": factor, "queries": report}
     with open(out_json, "w") as fh:
-        json.dump({"factor": factor, "queries": report}, fh, indent=1, sort_keys=True)
+        json.dump(doc, fh, indent=1, sort_keys=True)
     spark.stop()
 
 
