@@ -2429,16 +2429,18 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first shape (why NOT a distributed suffix array): the reference
     algorithm sorts all corpus suffixes — a global sort with shard-boundary
     merge passes. Here every window is an md5 of its 16-token slice computed
-    in the scan stage, so the plan is two hash exchanges and one per-doc
-    window, all map-side-combinable, no global sort:
+    in the scan stage, so the plan is two hash exchanges and no global sort:
       scan -> explode window hashes (text never shuffles; only 16-byte
-      hashes + (doc_id, pos) move) -> groupBy(h) frequency (partial agg)
-      -> hash join back -> per-doc island merge (one exchange on doc_id,
+      hashes + (doc_id, pos) move) -> count() OVER (PARTITION BY h) — a
+      single exchange on h with ONE pass over the exploded windows, where
+      the groupBy-frequency + join-back form would scan the explode twice —
+      -> filter n_occ > 1 -> per-doc island merge (one exchange on doc_id,
       partition-local sort on i).
     Collision risk of equating md5(slice) with the slice itself is 2^-128 —
-    below any hardware error rate. At 100 TB the frequency table is
-    bucketable by h and the join is AQE-skew-safe (boilerplate spans like
-    license headers make h skewed; AQE splits those reducers).
+    below any hardware error rate. At 100 TB the h exchange is the dominant
+    shuffle and it carries only hashes; boilerplate spans (license headers)
+    skew h, and the per-h partitions stay small because the window computes
+    only a count (no buffering of the frame).
     """
     from pyspark.sql import Window
 
@@ -2467,8 +2469,11 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    freq = w.groupBy("h").agg(F.count("*").alias("n_occ"))
-    dup = w.join(freq, "h").filter(F.col("n_occ") > 1).select("doc_id", "i", "n_occ")
+    dup = (
+        w.withColumn("n_occ", F.count("*").over(Window.partitionBy("h")))
+        .filter(F.col("n_occ") > 1)
+        .select("doc_id", "i", "n_occ")
+    )
     wdoc = Window.partitionBy("doc_id").orderBy("i")
     isl = dup.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
     return (
