@@ -2486,3 +2486,187 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .drop("grp")
     )
+
+
+# (round 8)
+# --------------------------------------------------------------------------
+# substring_dedup_cut — APPLY the exact-substring cut list: the deduplicated
+# corpus with one canonical occurrence kept per repeat
+# --------------------------------------------------------------------------
+
+
+@register(
+    "substring_dedup_cut",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents),
+w AS (
+    SELECT doc_id, i,
+           md5(array_to_string(toks[(i + 1):(i + {_XS_L})], ' ')) AS h
+    FROM t, unnest(generate_series(0, len(toks) - {_XS_L})) AS u(i)
+    WHERE len(toks) >= {_XS_L}
+),
+marked AS (
+    SELECT doc_id, i,
+           count(*) OVER (PARTITION BY h) AS n_occ,
+           row_number() OVER (PARTITION BY h ORDER BY doc_id, i) AS rn
+    FROM w
+),
+cut AS (SELECT doc_id, i FROM marked WHERE n_occ > 1 AND rn > 1),
+isl AS (
+    SELECT doc_id, i,
+           i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+    FROM cut
+),
+spans AS (
+    SELECT doc_id, min(i) AS s, max(i) + {_XS_L} AS e
+    FROM isl GROUP BY doc_id, grp
+),
+chained AS (
+    SELECT doc_id, s, e,
+           CASE WHEN s > coalesce(max(e) OVER (
+                    PARTITION BY doc_id ORDER BY s
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+                THEN 1 ELSE 0 END AS new_grp
+    FROM spans
+),
+merged AS (
+    SELECT doc_id, min(s) AS s, max(e) AS e
+    FROM (SELECT doc_id, s, e,
+                 sum(new_grp) OVER (PARTITION BY doc_id ORDER BY s
+                                    ROWS UNBOUNDED PRECEDING) AS mgrp
+          FROM chained)
+    GROUP BY doc_id, mgrp
+),
+ivs AS (
+    SELECT doc_id, list(struct_pack(s := s, e := e) ORDER BY s) AS iv,
+           sum(e - s) AS n_cut
+    FROM merged GROUP BY doc_id
+),
+applied AS (
+    SELECT t.doc_id,
+           len(t.toks) AS n_tokens,
+           coalesce(ivs.n_cut, 0) AS n_cut,
+           list_transform(
+               list_filter(generate_series(0, len(t.toks) - 1),
+                   p -> ivs.iv IS NULL OR len(list_filter(ivs.iv,
+                            v -> p >= v.s AND p < v.e)) = 0),
+               p -> t.toks[p + 1]) AS kept
+    FROM t LEFT JOIN ivs USING (doc_id)
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(n_cut AS BIGINT) AS n_cut,
+       CAST(n_tokens - n_cut AS BIGINT) AS n_kept,
+       md5(coalesce(array_to_string(kept, ' '), '')) AS kept_fp
+FROM applied
+""",  # oracle coalesces: DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+)
+def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the exact-substring cut list (Lee et al., arXiv:2107.06499
+    §4: remove every repeated substring occurrence except one): the
+    globally-first occurrence of each duplicated 16-token window — min
+    (doc_id, pos) — is the canonical copy; every other occurrence's token
+    range is cut. Emits, per document, token counts before/after the cut
+    and the md5 fingerprint of the retained token sequence — i.e. the
+    deduplicated corpus, content-verified, not just the signal
+    (``substring_exact_spans`` above is the corresponding cut LIST).
+
+    Shape: the same single-scan stride-1 window pass as
+    substring_exact_spans — ONE exchange on the window hash computes both
+    the global occurrence count and the canonical-occurrence rank
+    (count() + row_number() share the partition) — then per-doc
+    gaps-and-islands, an interval-merge for overlapping cut spans (two
+    more window passes on the SAME doc_id partitioning: one exchange),
+    and a broadcast-friendly doc_id join of the per-doc interval lists
+    back to the token arrays, where the cut applies as a JVM
+    higher-order filter (no token-level join, no Python). Interval lists
+    per doc are bounded by n_tokens/L, in practice a handful.
+    """
+    from pyspark.sql import Window
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    t = docs.select("doc_id", tx.tokens(F.lower(F.col("text"))).alias("toks"))
+    eligible = t.filter(F.size("toks") >= _XS_L)
+    w = eligible.select(
+        "doc_id",
+        F.explode(
+            F.sequence(
+                F.lit(0).cast("long"), (F.size("toks") - _XS_L).cast("long")
+            )
+        ).alias("i"),
+        "toks",
+    ).select(
+        "doc_id",
+        "i",
+        F.md5(
+            F.encode(
+                F.array_join(
+                    F.slice(F.col("toks"), (F.col("i") + 1).cast("int"), _XS_L),
+                    " ",
+                ),
+                "utf-8",
+            )
+        ).alias("h"),
+    )
+    wh = Window.partitionBy("h")
+    cut = (
+        w.withColumn("n_occ", F.count("*").over(wh))
+        .withColumn("rn", F.row_number().over(wh.orderBy("doc_id", "i")))
+        .filter((F.col("n_occ") > 1) & (F.col("rn") > 1))
+        .select("doc_id", "i")
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("i")
+    spans = (
+        cut.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
+        .groupBy("doc_id", "grp")
+        .agg(F.min("i").alias("s"), (F.max("i") + _XS_L).alias("e"))
+        .drop("grp")
+    )
+    ws = Window.partitionBy("doc_id").orderBy("s")
+    prev_max_e = F.max("e").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    chained = spans.withColumn(
+        "new_grp",
+        F.when(F.col("s") > F.coalesce(prev_max_e, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "mgrp",
+        F.sum("new_grp").over(ws.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    merged = chained.groupBy("doc_id", "mgrp").agg(
+        F.min("s").alias("s"), F.max("e").alias("e")
+    )
+    ivs = merged.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list(F.struct("s", "e"))).alias("iv"),
+        F.sum(F.col("e") - F.col("s")).alias("n_cut"),
+    )
+    applied = t.join(ivs, "doc_id", "left")
+    # guard: Spark's sequence(0, -1) DESCENDS for empty token lists where
+    # DuckDB's generate_series(0, -1) is empty — force the empty array
+    pos = F.when(
+        F.size("toks") > 0,
+        F.sequence(F.lit(0).cast("long"), F.size("toks").cast("long") - 1),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<BIGINT>)"))
+    keep_pos = F.filter(
+        pos,
+        lambda p: F.col("iv").isNull()
+        | (
+            F.size(
+                F.filter(
+                    F.col("iv"),
+                    lambda v: (p >= v["s"]) & (p < v["e"]),
+                )
+            )
+            == 0
+        ),
+    )
+    kept = F.transform(keep_pos, lambda p: F.element_at(F.col("toks"), (p + 1).cast("int")))
+    return applied.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.coalesce(F.col("n_cut"), F.lit(0)).cast("long").alias("n_cut"),
+        (F.size("toks") - F.coalesce(F.col("n_cut"), F.lit(0)))
+        .cast("long")
+        .alias("n_kept"),
+        F.md5(F.encode(F.array_join(kept, " "), "utf-8")).alias("kept_fp"),
+    )

@@ -299,3 +299,42 @@ def test_substring_exact_spans_boundaries_are_token_exact(spark, tmp_path):
     # the 20-token repeat yields 20 - _XS_L + 1 = 5 duplicated windows that
     # must have merged into ONE maximal island per doc
     assert _XS_L == 16
+
+
+def test_substring_dedup_cut_keeps_one_canonical_occurrence(spark, tmp_path):
+    """Applying the cut list (same planted corpus as the boundary test):
+    the globally-first occurrence of every duplicated window survives,
+    every other occurrence is cut — including SELF-repeats, where
+    keep-one collapses a periodic document to its first window's
+    uncovered prefix."""
+    import hashlib
+
+    rep = " ".join(f"rep{i}" for i in range(20))
+    uniq_a = " ".join(f"ua{i}" for i in range(7))
+    uniq_b = " ".join(f"ub{i}" for i in range(11))
+    rows = [
+        (0, f"{uniq_a} {rep}", "en", 1),   # canonical copy of the repeat
+        (1, f"{rep} {uniq_b}", "en", 1),   # repeat cut -> only uniq_b kept
+        (3, "dup " * 18, "en", 1),         # canonical doc of the dup pair,
+        (4, "dup " * 18, "en", 1),         # itself periodic (self-repeat)
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["substring_dedup_cut"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    # doc 0 owns every duplicated window's first occurrence -> untouched
+    assert (out[0].n_cut, out[0].kept_fp) == (0, md5(f"{uniq_a} {rep}"))
+    # doc 1: the 20-token repeat [0,20) is cut, its unique tail survives
+    assert (out[1].n_tokens, out[1].n_cut, out[1].n_kept) == (31, 20, 11)
+    assert out[1].kept_fp == md5(uniq_b)
+    # docs 3/4: 'dup'*18 is one 16-gram repeated 6 times corpus-wide; the
+    # canonical doc keeps window (3,0) -> positions {0} survive the
+    # [1,18) cut; the other doc is cut entirely
+    assert (out[3].n_cut, out[3].n_kept, out[3].kept_fp) == (17, 1, md5("dup"))
+    assert (out[4].n_cut, out[4].n_kept, out[4].kept_fp) == (18, 0, md5(""))

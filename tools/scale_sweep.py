@@ -72,6 +72,7 @@ SWEEP = [
     # round-8 addition: the new exact-substring pass (stride-1 window
     # hashes; linear-in-corpus by construction, pinned by measurement)
     "substring_exact_spans",
+    "substring_dedup_cut",
 ]
 
 
@@ -133,6 +134,11 @@ def main() -> None:
                 "merging into the main map requires the same factor protocol"
             )
             doc["queries"].update(report)
+        elif merge_key in doc:
+            assert doc[merge_key].get("factor") == factor, (
+                "extending an existing decade record requires its factor"
+            )
+            doc[merge_key]["queries"].update(report)
         else:
             doc[merge_key] = {
                 "factor": factor,
