@@ -167,8 +167,16 @@ def test_compare_bench_refuses_cross_protocol(tmp_path):
     import subprocess
     import sys as _sys
 
-    old = {"value": 10.0, "queries": {"q": 1.0}, "protocol": "sweep3"}
-    new = {"value": 12.0, "queries": {"q": 1.8}, "protocol": "sweep3"}
+    old = {
+        "value": 10.0,
+        "queries": {"q": 1.0, "c1": 1.0, "c2": 2.0},
+        "protocol": "sweep3",
+    }
+    new = {
+        "value": 12.0,
+        "queries": {"q": 1.8, "c1": 1.0, "c2": 2.1},
+        "protocol": "sweep3",
+    }
     cross = dict(old, protocol="backtoback3")
     o, n, c = tmp_path / "o.json", tmp_path / "n.json", tmp_path / "c.json"
     o.write_text(json.dumps(old))
@@ -183,6 +191,18 @@ def test_compare_bench_refuses_cross_protocol(tmp_path):
     crossed = run(c, n)
     assert "REFUSING per-query comparison" in crossed
     assert "REGRESSIONS" not in crossed
+    # drift normalization: when EVERY query moves together (machine-day
+    # drift), nothing flags — the median ratio absorbs the shared move
+    drifted = {
+        "value": 16.0,
+        "queries": {"q": 1.6, "c1": 1.6, "c2": 3.2},
+        "protocol": "sweep3",
+    }
+    d = tmp_path / "d.json"
+    d.write_text(json.dumps(drifted))
+    drift_out = run(o, d)
+    assert "REGRESSIONS" not in drift_out
+    assert "1.60x" in drift_out
 
 
 def test_theme_modules_have_no_conflicting_top_level_shadows():

@@ -47,17 +47,29 @@ def main() -> None:
         print("added:", ", ".join(f"{n} ({nq[n]}s)" for n in added))
     if removed:
         print("removed:", ", ".join(removed))
+    common = sorted(set(oq) & set(nq))
+    # Machine-day drift moves EVERY query's time together (measured
+    # 1.07-1.5x session-to-session on identical plans — NOTES_r07/r08);
+    # the median per-query ratio estimates that shared drift, and a real
+    # plan regression is a query moving well beyond it. Normalizing by
+    # the median institutionalizes the fresh-session-with-controls
+    # adjudication that repeatedly cleared phantom movers.
+    ratios = sorted(nq[n] / oq[n] for n in common if oq[n] > 0)
+    drift = ratios[len(ratios) // 2] if ratios else 1.0
+    print(f"median per-query ratio (machine-drift estimate): {drift:.2f}x")
     regressions = []
-    for name in sorted(set(oq) & set(nq)):
+    for name in common:
         o, n = oq[name], nq[name]
-        if n > 1.5 * o and n - o > 0.3:
+        if n > 1.5 * drift * o and n - o > 0.3:
             regressions.append((name, o, n))
     if regressions:
-        print("REGRESSIONS (>1.5x and >0.3s):")
+        print(f"REGRESSIONS (>1.5x the {drift:.2f}x drift median and >0.3s):")
         for name, o, n in sorted(regressions, key=lambda r: r[1] - r[2]):
-            print(f"  {name}: {o}s -> {n}s ({n / o:.1f}x)")
+            print(f"  {name}: {o}s -> {n}s ({n / o:.1f}x, "
+                  f"{n / (o * drift):.1f}x drift-normalized)")
     else:
-        print("no per-query regressions (>1.5x and >0.3s)")
+        print(f"no per-query regressions (>1.5x the {drift:.2f}x drift "
+              "median and >0.3s)")
 
 
 if __name__ == "__main__":
