@@ -244,17 +244,29 @@ def streaming_ingest_dedup(
     in append mode (batches are raw incoming docs with columns
     ``doc_id, lang, text``).
 
-    State (all under ``state_dir``, restart-survivable if durable):
+    State (all under ``state_dir``; a restarted query resuming from the
+    SAME checkpoint continues exactly where it left off):
 
-    - ``fp_index/``: APPEND-ONLY parquet fingerprint index, seeded at build
-      time from ``index_seed``; each batch appends one O(batch)-sized file
-      holding only its novel fingerprints — never a rewrite of the index
-      (the PSI monitor's alternating-overwrite slots would be O(index)
-      write amplification per batch here; production compacts small files
-      periodically, which is an offline concern).
+    - ``fp_index/batch=<id>/``: APPEND-ONLY parquet fingerprint index,
+      partitioned by the micro-batch that contributed each fingerprint
+      (seed = ``batch=-1``); each batch writes one O(batch)-sized
+      partition holding only its novel fingerprints — never a rewrite of
+      the index (the PSI monitor's alternating-overwrite slots would be
+      O(index) write amplification per batch here; production compacts
+      small files periodically, which is an offline concern).
     - ``totals_gen{0,1}/``: running per-lang counters in two alternating
       parquet generation slots (counters merge as sums, so the cumulative
       state is exact regardless of batch boundaries).
+    - ``committed.json``: the commit high-watermark (generation +
+      batch_id), renamed into place AFTER a batch's writes land.
+
+    Counters are EXACTLY-ONCE under crash-replay (the documented
+    foreachBatch idempotence recipe): a replayed ``batch_id`` at or below
+    the high-watermark re-publishes and returns without re-merging; the
+    index write goes to the deterministic ``batch=<id>`` partition with
+    overwrite, so a replay rewrites the same files; and the probe filters
+    ``batch < batch_id`` (partition-pruned), so a crashed attempt's own
+    half-written partition can never flip its replay's classifications.
 
     Plan depth stays O(1) forever: every batch's work is one parquet scan
     of the index + the batch join + two bounded writes — no join chain,
@@ -268,20 +280,59 @@ def streaming_ingest_dedup(
 
     from kafka_streams_example_spark.functions.hashing import fingerprint_md5
 
+    import json
+
     owner = index_seed.sparkSession
     root = state_dir or tempfile.mkdtemp(prefix="ingest_dedup_state_")
     idx_dir = os.path.join(root, "fp_index")
-    index_seed.select(
-        fingerprint_md5(F.col("text")).alias("fp")
-    ).distinct().write.mode("overwrite").parquet(idx_dir)
-    state: dict[str, int] = {"gen": 0}
+    marker = os.path.join(root, "committed.json")
+    # resume from durable state: the marker is the commit high-watermark
+    # (written atomically AFTER a batch's totals + index writes land), so
+    # a restarted query continues its counters instead of wiping them
+    state: dict[str, int] = {"gen": 0, "last": -1}
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        state.update(gen=m["gen"], last=m["batch_id"])
+    else:
+        # seed partition: batch=-1, so the batch<batch_id probe filter
+        # always includes it
+        index_seed.select(
+            fingerprint_md5(F.col("text")).alias("fp")
+        ).distinct().write.mode("overwrite").parquet(
+            os.path.join(idx_dir, "batch=-1")
+        )
+
+    def _republish() -> None:
+        if state["gen"] > 0:
+            committed = os.path.join(
+                root, f"totals_gen{(state['gen'] - 1) % 2}"
+            )
+            owner.read.parquet(committed).createOrReplaceTempView(
+                "ingest_dedup_totals"
+            )
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
         # Spark 4 validates that foreachBatch consumes EVERY partition of
         # the batch — materialize fully before partial/lazy use.
         batch_df.persist()
         batch_df.count()
-        index = owner.read.parquet(idx_dir).withColumn("hit", F.lit(1))
+        # Exactly-once counters under crash-replay (the documented
+        # foreachBatch idempotence recipe): a replayed batch_id at or
+        # below the commit high-watermark is a no-op re-publish.
+        if batch_id <= state["last"]:
+            batch_df.unpersist()
+            _republish()
+            return
+        # The probe reads only index partitions from STRICTLY EARLIER
+        # batches (partition-pruned) — a crashed attempt's own half-written
+        # batch=<id> partition can never flip its replay's classifications.
+        index = (
+            owner.read.parquet(idx_dir)
+            .filter(F.col("batch") < batch_id)
+            .select("fp")
+            .withColumn("hit", F.lit(1))
+        )
         probed = (
             batch_df.select(
                 "lang", fingerprint_md5(F.col("text")).alias("fp")
@@ -322,15 +373,23 @@ def streaming_ingest_dedup(
         totals_path = os.path.join(root, f"totals_gen{gen % 2}")
         merged.write.mode("overwrite").parquet(totals_path)
         # novel fingerprints: distinct within the batch, absent from the
-        # index snapshot. Materialized (persist+count) before the append so
-        # the write never scans its own output directory mid-job.
+        # index snapshot — written to the DETERMINISTIC partition
+        # batch=<id> with overwrite, so a crash-replay rewrites the same
+        # files instead of appending duplicates (idempotent), and the
+        # probe's batch<id filter partition-prunes the scan.
         new_fps = probed.filter(F.col("hit").isNull()).select("fp").distinct()
-        new_fps.persist()
-        new_fps.count()
-        new_fps.write.mode("append").parquet(idx_dir)
-        new_fps.unpersist()
+        new_fps.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"batch={batch_id}")
+        )
         batch_df.unpersist()
+        # atomic commit: totals + index are durable, now move the
+        # high-watermark (tmp + rename)
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"gen": gen + 1, "batch_id": batch_id}, fh)
+        os.replace(tmp, marker)
         state["gen"] = gen + 1
+        state["last"] = batch_id
         owner.read.parquet(totals_path).createOrReplaceTempView(
             "ingest_dedup_totals"
         )

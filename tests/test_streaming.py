@@ -1598,4 +1598,79 @@ def test_streaming_ingest_dedup_index_grows_and_state_stays_bounded(spark, tmp_p
     }
     assert len(cached_after - cached_before) == 0, cached_after - cached_before
     state_entries = sorted(_os.listdir(tmp_path / "ingest_b_state"))
-    assert state_entries == ["fp_index", "totals_gen0", "totals_gen1"], state_entries
+    assert state_entries == [
+        "committed.json",
+        "fp_index",
+        "totals_gen0",
+        "totals_gen1",
+    ], state_entries
+
+
+def test_streaming_ingest_dedup_replay_and_restart_are_exactly_once(
+    spark, tmp_path
+):
+    """foreachBatch redelivers the last uncommitted batch after a crash,
+    and a restarted query must resume its counters: replaying a committed
+    batch_id must be a no-op (counters unchanged, index partition
+    rewritten not duplicated), and a NEW publisher instance over the same
+    state_dir must continue from the high-watermark instead of wiping
+    the totals."""
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import streaming_ingest_dedup
+
+    seed = spark.createDataFrame(
+        [(0, "en", "seed text")], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "replay_state")
+    _os.makedirs(tmp_path / "unused")
+    _os.makedirs(tmp_path / "unused2")
+    _, publish = streaming_ingest_dedup(
+        spark.readStream.schema("doc_id LONG, lang STRING, text STRING").json(
+            str(tmp_path / "unused")
+        ),
+        seed,
+        state_dir=state_dir,
+    )
+    b0 = spark.createDataFrame(
+        [(1, "en", "first novel doc")], "doc_id LONG, lang STRING, text STRING"
+    )
+    b1 = spark.createDataFrame(
+        [(2, "en", "second novel doc"), (3, "en", "first novel doc")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    publish(b0, 0)
+    publish(b1, 1)
+    got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+    # crash-replay of the last batch: counters must NOT double
+    publish(b1, 1)
+    got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+    # index partition for batch 1 exists exactly once
+    parts = sorted(
+        p for p in _os.listdir(_os.path.join(state_dir, "fp_index"))
+        if p.startswith("batch=")
+    )
+    assert parts == ["batch=-1", "batch=0", "batch=1"], parts
+    # restart: a new publisher instance over the same state_dir resumes
+    _, publish2 = streaming_ingest_dedup(
+        spark.readStream.schema("doc_id LONG, lang STRING, text STRING").json(
+            str(tmp_path / "unused2")
+        ),
+        seed,
+        state_dir=state_dir,
+    )
+    # redelivery of the committed batch after restart: still a no-op
+    publish2(b1, 1)
+    got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+    # and the next batch continues the counters (doc 4 repeats batch 0's
+    # novel text -> duplicate via the grown index)
+    b2 = spark.createDataFrame(
+        [(4, "en", "first novel doc"), (5, "en", "third novel doc")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    publish2(b2, 2)
+    got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 5, 2, 3)]
