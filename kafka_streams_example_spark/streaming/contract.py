@@ -127,6 +127,22 @@ def streaming_psi_monitor(
     owner = reference_cells.sparkSession
     gen_root = state_dir or tempfile.mkdtemp(prefix="psi_monitor_state_")
     state: dict[str, object] = {"cells": None, "gen": 0}
+    # restart resume: the durable slots are only useful if a rebuilt
+    # monitor actually RELOADS them — the commit marker names the newest
+    # generation, so a restarted query continues its running cell counts
+    # instead of starting from zero. (Replay of the last micro-batch is
+    # already idempotent: update-mode deltas REPLACE per-cell counts, so
+    # re-merging identical deltas lands on identical cells.)
+    import json as _json
+
+    _marker = os.path.join(gen_root, "committed.json")
+    if os.path.exists(_marker):
+        with open(_marker) as _fh:
+            _gen = _json.load(_fh)["gen"]
+        state["cells"] = owner.read.parquet(
+            os.path.join(gen_root, f"cells_gen{(_gen - 1) % 2}")
+        )
+        state["gen"] = _gen
 
     def publish(batch_df: DataFrame, batch_id: int) -> None:
         # Spark 4 validates that foreachBatch consumes EVERY partition of
@@ -185,6 +201,12 @@ def streaming_psi_monitor(
         live_path = os.path.join(gen_root, f"live_gen{gen % 2}")
         out.write.mode("overwrite").parquet(live_path)
         owner.read.parquet(live_path).createOrReplaceTempView("psi_live")
+        # commit marker last (tmp + rename): a rebuilt monitor resumes
+        # from the newest fully-written generation
+        _tmp = _marker + ".tmp"
+        with open(_tmp, "w") as _fh:
+            _json.dump({"gen": gen + 1}, _fh)
+        os.replace(_tmp, _marker)
 
     return cells, publish
 

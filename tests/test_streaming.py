@@ -1378,12 +1378,36 @@ def test_streaming_psi_monitor_state_stays_bounded(spark, tmp_path):
     assert state_entries == [
         "cells_gen0",
         "cells_gen1",
+        "committed.json",
         "live_gen0",
         "live_gen1",
     ], state_entries
     # and the running counts are still correct: 2 + 12 rows ingested
     total = spark.table("psi_cells").agg(F.sum("na")).collect()[0][0]
     assert total == 14
+    # restart resume: a REBUILT monitor over the same state_dir reloads
+    # the newest generation instead of starting its cells from zero
+    stream2 = spark.readStream.schema("event_type STRING, value DOUBLE").json(
+        str(src)
+    )
+    cells2, publish2 = streaming_psi_monitor(
+        stream2, ref, state_dir=str(tmp_path / "psi_state")
+    )
+    q2 = (
+        cells2.writeStream.outputMode("update")
+        .foreachBatch(publish2)
+        .option("checkpointLocation", str(tmp_path / "psi_bounded_ck"))
+        .start()
+    )
+    write("b7.json", [3.0])
+    q2.processAllAvailable()
+    q2.stop()
+    # same checkpoint => the restarted query's state store continues the
+    # cumulative per-cell counts and emits only the changed cell; the
+    # replace-merge over the RELOADED generation lands on the full
+    # 15-row history. Without the reload, only the delta cell survives.
+    total2 = spark.table("psi_cells").agg(F.sum("na")).collect()[0][0]
+    assert total2 == 15
 
 
 def test_streaming_shard_manifest_is_order_invariant_and_matches_batch(
