@@ -338,3 +338,86 @@ def test_substring_dedup_cut_keeps_one_canonical_occurrence(spark, tmp_path):
     # [1,18) cut; the other doc is cut entirely
     assert (out[3].n_cut, out[3].n_kept, out[3].kept_fp) == (17, 1, md5("dup"))
     assert (out[4].n_cut, out[4].n_kept, out[4].kept_fp) == (18, 0, md5(""))
+
+
+def test_substring_family_matches_bruteforce_reference(spark, tmp_path):
+    """Independent correctness pin: the DuckDB oracle shares the
+    windows-and-islands formulation with the Spark plan, so a conceptual
+    bug would be mirrored. This reference is brute force from the
+    DEFINITION — a position is duplicated iff its 16-token window's exact
+    token tuple occurs more than once corpus-wide; spans are maximal runs
+    of duplicated positions; the cut keeps the global (doc_id, pos)-min
+    occurrence of each window — on seeded random corpora over a tiny
+    alphabet (dense with natural repeats)."""
+    import random
+    from collections import defaultdict
+
+    from kafka_streams_example_spark.queries.dedup import _XS_L
+
+    for seed in (7, 21):
+        rng = random.Random(seed)
+        docs = []
+        base = [f"w{k}" for k in range(5)]  # tiny alphabet -> many repeats
+        for d in range(24):
+            n = rng.randint(0, 40)
+            docs.append((d, " ".join(rng.choice(base) for _ in range(n))))
+        # occurrence map: window token-tuple -> [(doc, pos), ...]
+        occ = defaultdict(list)
+        toks = {d: t.split() if t else [] for d, t in docs}
+        for d, ts in toks.items():
+            for i in range(len(ts) - _XS_L + 1):
+                occ[tuple(ts[i : i + _XS_L])].append((d, i))
+        # expected spans: maximal runs of duplicated window starts
+        exp_spans = set()
+        dup_pos = defaultdict(list)
+        for positions in occ.values():
+            if len(positions) > 1:
+                for d, i in positions:
+                    dup_pos[d].append(i)
+        for d, ps in dup_pos.items():
+            ps = sorted(set(ps))
+            run = [ps[0]]
+            for p in ps[1:]:
+                if p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    exp_spans.add((d, run[0], run[-1] + _XS_L))
+                    run = [p]
+            exp_spans.add((d, run[0], run[-1] + _XS_L))
+        # expected cut: non-canonical occurrences' position ranges
+        cut_pos = defaultdict(set)
+        for positions in occ.values():
+            if len(positions) > 1:
+                keeper = min(positions)
+                for d, i in positions:
+                    if (d, i) != keeper:
+                        cut_pos[d].update(range(i, i + _XS_L))
+        exp_cut = {
+            d: (
+                len(ts),
+                len(cut_pos.get(d, ())),
+                " ".join(t for p, t in enumerate(ts) if p not in cut_pos.get(d, ())),
+            )
+            for d, ts in toks.items()
+        }
+        spark.createDataFrame(
+            [(d, t, "en", len(t)) for d, t in docs],
+            "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+        ).write.mode("overwrite").parquet(str(tmp_path / f"s{seed}" / "documents.parquet"))
+        sf_dir = str(tmp_path / f"s{seed}")
+        got_spans = {
+            (r.doc_id, r.span_start, r.span_end)
+            for r in registry.QUERIES["substring_exact_spans"](spark, sf_dir).collect()
+        }
+        assert got_spans == exp_spans, (seed, got_spans ^ exp_spans)
+        import hashlib
+
+        got_cut = {
+            r.doc_id: (r.n_tokens, r.n_cut, r.kept_fp)
+            for r in registry.QUERIES["substring_dedup_cut"](spark, sf_dir).collect()
+        }
+        want_cut = {
+            d: (n, c, hashlib.md5(kept.encode()).hexdigest())
+            for d, (n, c, kept) in exp_cut.items()
+        }
+        assert got_cut == want_cut, seed
