@@ -244,3 +244,31 @@ def test_theme_modules_have_no_conflicting_top_level_shadows():
                         f"all runtime references; rename or merge them"
                     )
                 seen[name] = text
+
+
+def test_scale_sweep_merge_extends_never_clobbers():
+    """--merge-key must EXTEND an existing decade record (the first sf3
+    subset run nearly clobbered decade2's six queries with one) and must
+    refuse factor mixes within a record."""
+    import sys as _sys
+
+    import pytest
+
+    _sys.path.insert(0, "/root/repo")
+    from tools.scale_sweep import merge_report
+
+    doc = {
+        "factor": 10.0,
+        "queries": {"a": {"exponent": 0.2}},
+        "decade2": {"factor": 30.0, "big_dir": "/x", "queries": {"b": {"exponent": 0.4}}},
+    }
+    merge_report(doc, {"c": {"exponent": 0.3}}, "queries", 10.0, "/y")
+    assert set(doc["queries"]) == {"a", "c"}
+    merge_report(doc, {"d": {"exponent": 0.5}}, "decade2", 30.0, "/y")
+    assert set(doc["decade2"]["queries"]) == {"b", "d"}  # extended, not clobbered
+    merge_report(doc, {"e": {}}, "decade3", 100.0, "/z")
+    assert doc["decade3"]["queries"] == {"e": {}}
+    with pytest.raises(AssertionError):
+        merge_report(doc, {"f": {}}, "queries", 30.0, "/y")
+    with pytest.raises(AssertionError):
+        merge_report(doc, {"f": {}}, "decade2", 10.0, "/y")

@@ -129,27 +129,36 @@ def main() -> None:
     if merge_key and os.path.exists(out_json):
         with open(out_json) as fh:
             doc = json.load(fh)
-        if merge_key == "queries":
-            assert doc.get("factor") == factor, (
-                "merging into the main map requires the same factor protocol"
-            )
-            doc["queries"].update(report)
-        elif merge_key in doc:
-            assert doc[merge_key].get("factor") == factor, (
-                "extending an existing decade record requires its factor"
-            )
-            doc[merge_key]["queries"].update(report)
-        else:
-            doc[merge_key] = {
-                "factor": factor,
-                "big_dir": big_dir,
-                "queries": report,
-            }
+        merge_report(doc, report, merge_key, factor, big_dir)
     else:
         doc = {"factor": factor, "queries": report}
     with open(out_json, "w") as fh:
         json.dump(doc, fh, indent=1, sort_keys=True)
     spark.stop()
+
+
+def merge_report(
+    doc: dict, report: dict, merge_key: str, factor: float, big_dir: str
+) -> None:
+    """Merge a (possibly subset) sweep into an existing SCALE_SWEEP doc
+    in place: extend the main map or a decade sub-record, never clobber
+    one, and never mix factors within a record."""
+    if merge_key == "queries":
+        assert doc.get("factor") == factor, (
+            "merging into the main map requires the same factor protocol"
+        )
+        doc["queries"].update(report)
+    elif merge_key in doc:
+        assert doc[merge_key].get("factor") == factor, (
+            "extending an existing decade record requires its factor"
+        )
+        doc[merge_key]["queries"].update(report)
+    else:
+        doc[merge_key] = {
+            "factor": factor,
+            "big_dir": big_dir,
+            "queries": report,
+        }
 
 
 if __name__ == "__main__":
