@@ -1698,3 +1698,57 @@ def test_streaming_ingest_dedup_replay_and_restart_are_exactly_once(
     publish2(b2, 2)
     got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
     assert [tuple(r) for r in got] == [("en", 5, 2, 3)]
+
+
+def test_streaming_ingest_dedup_checkpoint_restart_end_to_end(spark, tmp_path):
+    """Full integration of the restart path: a NEW streaming query resumed
+    from the SAME checkpoint (Spark continues its batch ids) with a
+    REBUILT publisher over the same state_dir must deliver exactly the
+    counters a never-restarted run would — including a post-restart
+    duplicate of a pre-restart novel document."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import streaming_ingest_dedup
+
+    seed = spark.createDataFrame(
+        [(0, "en", "seed text")], "doc_id LONG, lang STRING, text STRING"
+    )
+    src = tmp_path / "ck_restart_in"
+    _os.makedirs(src)
+    state_dir = str(tmp_path / "ck_restart_state")
+    ck = str(tmp_path / "ck_restart_ck")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for did, lang, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "lang": lang, "text": text}) + "\n"
+                )
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id LONG, lang STRING, text STRING"
+        ).json(str(src))
+        _, publish = streaming_ingest_dedup(stream, seed, state_dir=state_dir)
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(publish)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    write("b0.json", [(1, "en", "novel before restart")])
+    q.processAllAvailable()
+    write("b1.json", [(2, "en", "seed text")])
+    q.processAllAvailable()
+    q.stop()
+    # restart: same checkpoint, same state_dir, rebuilt publisher
+    q2 = start()
+    write("b2.json", [(3, "en", "novel before restart"), (4, "en", "novel after")])
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
+    # 4 incoming; dups: doc 2 (vs seed) + doc 3 (vs pre-restart index)
+    assert [tuple(r) for r in got] == [("en", 4, 2, 2)]
