@@ -99,11 +99,15 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r08: the three
-# r07 entries' driver rows landed green in CORRECTNESS_r07.json, so the
-# set was emptied per the documented lifecycle — the window now fronts
-# the least-recently-verified greens (the r03 cohort).
-_TOUCHED_THIS_ROUND: set[str] = set()
+# re-verify ahead of merely least-often-verified greens. r09: the
+# exact-substring pair was rewritten skew-safe (PARTITION BY h windows →
+# map-side-combinable groupBy(h) + join-back, per the r08 verdict) so
+# their r08 greens are stale; new r09 queries front via the
+# never-recorded group automatically.
+_TOUCHED_THIS_ROUND: set[str] = {
+    "substring_exact_spans",
+    "substring_dedup_cut",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

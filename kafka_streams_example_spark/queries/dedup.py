@@ -2429,18 +2429,25 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     Spark-first shape (why NOT a distributed suffix array): the reference
     algorithm sorts all corpus suffixes — a global sort with shard-boundary
     merge passes. Here every window is an md5 of its 16-token slice computed
-    in the scan stage, so the plan is two hash exchanges and no global sort:
+    in the scan stage, so the plan is hash exchanges and no global sort:
       scan -> explode window hashes (text never shuffles; only 16-byte
-      hashes + (doc_id, pos) move) -> count() OVER (PARTITION BY h) — a
-      single exchange on h with ONE pass over the exploded windows, where
-      the groupBy-frequency + join-back form would scan the explode twice —
-      -> filter n_occ > 1 -> per-doc island merge (one exchange on doc_id,
-      partition-local sort on i).
+      hashes + (doc_id, pos) move) -> groupBy(h).count() — map-side partial
+      aggregation collapses even a corpus-dominating boilerplate hash to
+      one row per map task BEFORE the exchange — -> filter n_occ > 1 ->
+      join the (small, duplicates-only) frequency table back to the
+      exploded windows on h — a standard shuffle join AQE can skew-split —
+      -> per-doc island merge (one exchange on doc_id, partition-local
+      sort on i).
+    Skew note (the reason this is a groupBy + join-back and NOT a
+    ``count() OVER (PARTITION BY h)`` window): a window partitioned by h
+    co-locates EVERY occurrence of one hash in a single task and AQE
+    cannot split window partitions, so one boilerplate span (license
+    header, cookie banner) occurring in a meaningful fraction of a 100 TB
+    corpus would serialize onto one task. Partial aggregation + a
+    skew-splittable join has no such single-task bottleneck.
     Collision risk of equating md5(slice) with the slice itself is 2^-128 —
-    below any hardware error rate. At 100 TB the h exchange is the dominant
-    shuffle and it carries only hashes; boilerplate spans (license headers)
-    skew h, and the per-h partitions stay small because the window computes
-    only a count (no buffering of the frame).
+    below any hardware error rate. At 100 TB the h exchanges are the
+    dominant shuffles and they carry only hashes and positions.
     """
     from pyspark.sql import Window
 
@@ -2469,11 +2476,10 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    dup = (
-        w.withColumn("n_occ", F.count("*").over(Window.partitionBy("h")))
-        .filter(F.col("n_occ") > 1)
-        .select("doc_id", "i", "n_occ")
+    freq = w.groupBy("h").agg(F.count("*").alias("n_occ")).filter(
+        F.col("n_occ") > 1
     )
+    dup = w.join(freq, "h").select("doc_id", "i", "n_occ")
     wdoc = Window.partitionBy("doc_id").orderBy("i")
     isl = dup.withColumn("grp", F.col("i") - F.row_number().over(wdoc))
     return (
@@ -2571,16 +2577,24 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     deduplicated corpus, content-verified, not just the signal
     (``substring_exact_spans`` above is the corresponding cut LIST).
 
-    Shape: the same single-scan stride-1 window pass as
-    substring_exact_spans — ONE exchange on the window hash computes both
-    the global occurrence count and the canonical-occurrence rank
-    (count() + row_number() share the partition) — then per-doc
-    gaps-and-islands, an interval-merge for overlapping cut spans (two
-    more window passes on the SAME doc_id partitioning: one exchange),
-    and a broadcast-friendly doc_id join of the per-doc interval lists
-    back to the token arrays, where the cut applies as a JVM
-    higher-order filter (no token-level join, no Python). Interval lists
-    per doc are bounded by n_tokens/L, in practice a handful.
+    Shape: the same stride-1 window-hash explode as
+    substring_exact_spans, then a map-side-combinable
+    ``groupBy(h).agg(count, min(struct(doc_id, i)))`` — partial
+    aggregation collapses even a corpus-dominating boilerplate hash to
+    one row per map task before the exchange — joined back to the
+    exploded windows on h (a standard shuffle join AQE can skew-split),
+    with non-canonical occurrences selected as
+    ``struct(doc_id, i) != first``. This replaces an earlier
+    ``count()/row_number() OVER (PARTITION BY h)`` formulation: a window
+    partitioned by h co-locates every occurrence of one hash in a single
+    un-splittable task, and row_number adds a per-partition sort — a
+    single-task bottleneck on any boilerplate-skewed 100 TB corpus. Then
+    per-doc gaps-and-islands, an interval-merge for overlapping cut
+    spans (two window passes on the SAME doc_id partitioning: one
+    exchange), and a broadcast-friendly doc_id join of the per-doc
+    interval lists back to the token arrays, where the cut applies as a
+    JVM higher-order filter (no token-level join, no Python). Interval
+    lists per doc are bounded by n_tokens/L, in practice a handful.
     """
     from pyspark.sql import Window
 
@@ -2608,11 +2622,17 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
-    wh = Window.partitionBy("h")
+    agg = (
+        w.groupBy("h")
+        .agg(
+            F.count("*").alias("n_occ"),
+            F.min(F.struct("doc_id", "i")).alias("first"),
+        )
+        .filter(F.col("n_occ") > 1)
+    )
     cut = (
-        w.withColumn("n_occ", F.count("*").over(wh))
-        .withColumn("rn", F.row_number().over(wh.orderBy("doc_id", "i")))
-        .filter((F.col("n_occ") > 1) & (F.col("rn") > 1))
+        w.join(agg, "h")
+        .filter(F.struct("doc_id", "i") != F.col("first"))
         .select("doc_id", "i")
     )
     wdoc = Window.partitionBy("doc_id").orderBy("i")

@@ -421,3 +421,73 @@ def test_substring_family_matches_bruteforce_reference(spark, tmp_path):
             for d, (n, c, kept) in exp_cut.items()
         }
         assert got_cut == want_cut, seed
+
+
+def test_substring_family_skew_safe_under_planted_boilerplate(spark, tmp_path):
+    """Scale-shape pin for the r08 verdict's skew finding: ONE 16-token
+    boilerplate span (think license header) planted in 40% of documents —
+    the 100TB failure mode where a window ``PARTITION BY h`` would funnel
+    every occurrence of the hot hash into a single un-splittable task.
+
+    Asserts BOTH halves of the fix:
+    - plan: neither query's executed plan contains a Window partitioned by
+      the window-hash column (``windowspecdefinition(h#...)``) — occurrence
+      statistics must come from a map-side-combinable groupBy(h) aggregate
+      joined back on h (partial aggregation collapses the hot key per map
+      task; the join-back is an AQE-skew-splittable shuffle join). Windows
+      over doc_id (island merge) remain legitimate.
+    - output: exact equality with the brute-force definition on the skewed
+      corpus (hot span reported with its true occurrence count; canonical =
+      global min (doc_id, pos) keeps exactly one copy)."""
+    import hashlib
+
+    from kafka_streams_example_spark.queries.dedup import _XS_L
+
+    boiler = " ".join(f"bp{i}" for i in range(_XS_L))  # the hot 16-token span
+    n_docs, hot_every = 100, 2  # doc_id % 2 == 1 -> 50 hot docs
+    rows = []
+    for d in range(n_docs):
+        uniq = " ".join(f"u{d}x{j}" for j in range(6))
+        if d % hot_every:
+            rows.append((d, f"{uniq} {boiler}", "en", 1))
+        else:
+            rows.append((d, uniq, "en", 1))
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    sf_dir = str(tmp_path)
+
+    hot_docs = sorted(d for d in range(n_docs) if d % hot_every)
+    n_hot = len(hot_docs)
+
+    spans_df = registry.QUERIES["substring_exact_spans"](spark, sf_dir)
+    cut_df = registry.QUERIES["substring_dedup_cut"](spark, sf_dir)
+    for name, df in (("spans", spans_df), ("cut", cut_df)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        for spec in plan.split("windowspecdefinition(")[1:]:
+            assert not spec.startswith("h#"), (
+                name,
+                "occurrence stats must not window-partition by the hash",
+            )
+        assert "partial_count" in plan, (name, "map-side combine missing")
+
+    got_spans = {
+        (r.doc_id, r.span_start, r.span_end, r.max_window_occ)
+        for r in spans_df.collect()
+    }
+    # each hot doc: exactly the boilerplate span [6, 6+16), occ = n_hot
+    assert got_spans == {(d, 6, 6 + _XS_L, n_hot) for d in hot_docs}
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    got_cut = {
+        r.doc_id: (r.n_tokens, r.n_cut, r.n_kept, r.kept_fp)
+        for r in cut_df.collect()
+    }
+    for d in range(n_docs):
+        uniq = " ".join(f"u{d}x{j}" for j in range(6))
+        if d == hot_docs[0]:  # canonical copy keeps the boilerplate
+            assert got_cut[d] == (22, 0, 22, md5(f"{uniq} {boiler}"))
+        elif d in hot_docs:  # every later copy is cut to its unique prefix
+            assert got_cut[d] == (22, _XS_L, 6, md5(uniq))
+        else:
+            assert got_cut[d] == (6, 0, 6, md5(uniq))
