@@ -18,23 +18,23 @@ shuffle (hash-only exchanges); iterative clustering bounds per-iteration
 jobs; measured sf0.1→sf1 exponents are recorded in SCALE_SWEEP.json.
 """
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from kafka_streams_example_spark.operators import text as tx
-from kafka_streams_example_spark.functions.hashing import normalize_text
-from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
-from pyspark.sql import DataFrame, SparkSession, Window
-from kafka_streams_example_spark.operators import dedup as dd
-from kafka_streams_example_spark.sources.files import table_row_count
 import random
-from kafka_streams_example_spark.sources.files import load_table, table_row_count
-from kafka_streams_example_spark.functions.hashing import fingerprint_md5
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.functions.hashing import (
+    fingerprint_md5,
+    normalize_text,
+)
+from kafka_streams_example_spark.operators import dedup as dd
 from kafka_streams_example_spark.operators import similarity as sim
+from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.queries._shared import _NGRAMS3
+from kafka_streams_example_spark.queries.eval import split_case_sql, split_col
 from kafka_streams_example_spark.queries.text import _CHUNK
-from kafka_streams_example_spark.queries.eval import split_case_sql
-from kafka_streams_example_spark.queries.eval import split_col
 from kafka_streams_example_spark.registry import (
+    ORACLES,
     _NGRAMS,
     _TOKS,
     _duck_cosine,
@@ -42,13 +42,7 @@ from kafka_streams_example_spark.registry import (
     _load_parallel,
     register,
 )
-from kafka_streams_example_spark.registry import (
-    _TOKS,
-    ORACLES,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
+from kafka_streams_example_spark.sources.files import load_table, table_row_count
 
 
 # ---------------------------------------------------------------------------

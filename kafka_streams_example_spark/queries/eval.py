@@ -9,34 +9,23 @@ shared deterministic-hash device (split_col/split_case_sql) so every
 eval query is reproducible and oracle-exact.
 """
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.functions.hashing import (
+    fingerprint_md5,
+    stable_long,
+)
 from kafka_streams_example_spark.operators import text as tx
-from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
 from kafka_streams_example_spark.queries.text import _duck_lang_sql
-from kafka_streams_example_spark.functions.hashing import stable_long
-from kafka_streams_example_spark.functions.hashing import fingerprint_md5, stable_long
 from kafka_streams_example_spark.registry import (
-    _TOKS,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
-from kafka_streams_example_spark.registry import (
-    _TOKS,
-    ORACLES,
-    _load_parallel,
-    register,
-)
-from kafka_streams_example_spark.registry import (
-    _TOKS,
     ORACLES,
     QUERIES,
+    _TOKS,
     _duck_round_half_up,
     _load_parallel,
     register,
 )
-from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 
 # (from llm_extra2.py)

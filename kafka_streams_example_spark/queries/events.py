@@ -10,11 +10,11 @@ windows on user/order keys — one hash exchange each, no corpus-wide
 sorts (sort_array over grouped structs replaces global orderBy).
 """
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import _load_parallel, register
-from pyspark.sql import DataFrame, SparkSession, Window
 
 
 # (from llm_extra.py)

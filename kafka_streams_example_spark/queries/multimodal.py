@@ -9,20 +9,22 @@ Arrow-batched mapInPandas with per-row failure degradation; blobs stay
 in binary columns and never transit a shuffle.
 """
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from kafka_streams_example_spark.registry import _load_parallel, register
 import hashlib
 from collections.abc import Iterator
+
 import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.operators import multimodal as mm
 from kafka_streams_example_spark.operators.multimodal import _ship_codecs
+from kafka_streams_example_spark.registry import _load_parallel, register
 
 
 # ---------------------------------------------------------------------------
 # (from registry.py, round-8 consolidation — query sections moved verbatim;
 # registration order stays pinned by query_order.py)
 # ---------------------------------------------------------------------------
-from kafka_streams_example_spark.operators import multimodal as mm  # noqa: E402
 
 
 @register(

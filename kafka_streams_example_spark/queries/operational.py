@@ -12,19 +12,20 @@ jobs of a 100 TB ingest: each is a bounded-output aggregate over one
 scan, and several have streaming batch-twins under streaming/.
 """
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from kafka_streams_example_spark.functions.hashing import (
+    fingerprint_md5,
+    normalize_text,
+    stable_long,
+)
 from kafka_streams_example_spark.operators import text as tx
-from kafka_streams_example_spark.functions.hashing import normalize_text, stable_long
-from kafka_streams_example_spark.registry import _load_parallel, register
-from pyspark.sql import DataFrame, SparkSession, Window
 from kafka_streams_example_spark.registry import (
     _duck_round_half_up,
     _load_parallel,
     register,
 )
-from kafka_streams_example_spark.functions.hashing import fingerprint_md5, stable_long
-from pyspark.sql import Column, DataFrame, SparkSession, Window
 
 
 # (from llm_extra.py)

@@ -10,29 +10,28 @@ collected: the bounded query set is the broadcast side, candidates are
 bucketed, and Python appears only as Arrow-batched vectorized stages.
 """
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from kafka_streams_example_spark.queries._shared import _DIM, _NGRAMS3
-from kafka_streams_example_spark.operators import text as tx
-from kafka_streams_example_spark.registry import _TOKS, _load_parallel, register
 from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
 from kafka_streams_example_spark.operators import dedup as dd
-from kafka_streams_example_spark.sources.files import table_row_count
-from kafka_streams_example_spark.sources.files import load_table, table_row_count
 from kafka_streams_example_spark.operators import similarity as sim
+from kafka_streams_example_spark.operators import text as tx
+from kafka_streams_example_spark.queries._shared import _DIM, _NGRAMS3
 from kafka_streams_example_spark.registry import (
+    ORACLES,
     _TOKS,
     _duck_cosine,
+    _duck_dot,
     _load_parallel,
     register,
 )
+from kafka_streams_example_spark.sources.files import load_table, table_row_count
 
 
 # ---------------------------------------------------------------------------
 # (from registry.py, round-8 consolidation — query sections moved verbatim;
 # registration order stays pinned by query_order.py)
 # ---------------------------------------------------------------------------
-from kafka_streams_example_spark.registry import ORACLES, _duck_dot  # noqa: E402
 
 
 @register(

@@ -10,18 +10,19 @@ computed from exact BIGINT sufficient statistics with 6dp portable
 rounding only at the final projection.
 """
 
+import math
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
-from kafka_streams_example_spark.operators import text as tx
-from kafka_streams_example_spark.registry import _load_parallel, register
+
 from kafka_streams_example_spark.functions.hashing import stable_long
+from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import (
+    ORACLES,
     _duck_round_half_up,
     _load_parallel,
     register,
 )
-import math
-from kafka_streams_example_spark.registry import ORACLES, _load_parallel, register
 
 
 # (from llm_extra2.py)

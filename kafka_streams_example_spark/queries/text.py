@@ -12,31 +12,19 @@ expressed in exact integer sufficient statistics wherever the oracle
 must hash-match.
 """
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import (
-    _TOKS,
-    _load_parallel,
-    register,
-)
-from pyspark.sql import DataFrame, SparkSession, Window
-from kafka_streams_example_spark.sources.files import table_row_count
-from kafka_streams_example_spark.registry import (
-    _TOKS,
-    _duck_round_half_up,
-    _load_parallel,
-    register,
-)
-from kafka_streams_example_spark.registry import _NGRAMS, _TOKS, _load_parallel, register
-from pyspark.sql import Column, DataFrame, SparkSession, Window
-from kafka_streams_example_spark.registry import (
-    _TOKS,
     ORACLES,
+    _NGRAMS,
+    _TOKS,
     _duck_round_half_up,
     _load_parallel,
     register,
 )
+from kafka_streams_example_spark.sources.files import table_row_count
 
 
 # Portable HALF_UP quality rounding: floor(x*10^4+0.5)/10^4 — the SAME
