@@ -88,7 +88,19 @@ def streaming_psi_monitor(
 
     This is the incremental shape SCALE.md §14 describes: cell counts
     merge as sums, so the monitor's per-batch work is the micro-batch
-    aggregation + a bins×types-sized PSI evaluation."""
+    aggregation + a bins×types-sized PSI evaluation.
+
+    Concurrency note (holds for every published view here and in
+    ``streaming_ingest_dedup``): the views are lazy scans of the
+    alternating generation slot most recently committed, and a slot is
+    overwritten two generations later. A reader that captures a view's
+    plan and executes it concurrently with that overwrite (i.e. holds a
+    stale plan across >= 2 micro-batches) can transiently fail on
+    missing files. The published views are a same-session alerting
+    surface — query them afresh per read (plans resolved at read time
+    always see the committed slot); an EXTERNAL multi-reader surface
+    should instead read the committed marker and scan the named slot,
+    or publish to append-only storage."""
     from kafka_streams_example_spark.queries.operational import (
         _PSI_ALERT,
         _PSI_BIN_WIDTH,
@@ -283,8 +295,11 @@ def streaming_ingest_dedup(
       batch_id), renamed into place AFTER a batch's writes land.
 
     Counters are EXACTLY-ONCE under crash-replay (the documented
-    foreachBatch idempotence recipe): a replayed ``batch_id`` at or below
-    the high-watermark re-publishes and returns without re-merging; the
+    foreachBatch idempotence recipe): a replayed ``batch_id`` AT the
+    high-watermark re-publishes and returns without re-merging (a batch
+    id strictly below it proves a reset/rewound checkpoint reusing this
+    ``state_dir`` — batch ids would restart at 0 and every batch would
+    silently classify as a replay — so publish raises instead); the
     index write goes to the deterministic ``batch=<id>`` partition with
     overwrite, so a replay rewrites the same files; and the probe filters
     ``batch < batch_id`` (partition-pruned), so a crashed attempt's own
@@ -295,7 +310,9 @@ def streaming_ingest_dedup(
     no pinned cache generations, nothing retains the engine-owned
     ``batch_df`` past its batch. The published ``ingest_dedup_totals``
     view (registered on the OWNER session — foreachBatch runs under a
-    cloned session) is a lineage-free parquet scan.
+    cloned session) is a lineage-free parquet scan; see
+    ``streaming_psi_monitor`` for the shared single-reader concurrency
+    note on generation-slot views.
     """
     import os
     import tempfile
@@ -340,9 +357,25 @@ def streaming_ingest_dedup(
         batch_df.persist()
         batch_df.count()
         # Exactly-once counters under crash-replay (the documented
-        # foreachBatch idempotence recipe): a replayed batch_id at or
-        # below the commit high-watermark is a no-op re-publish.
-        if batch_id <= state["last"]:
+        # foreachBatch idempotence recipe): a replayed batch_id AT the
+        # commit high-watermark is a no-op re-publish. A batch id
+        # STRICTLY BELOW it is impossible under same-checkpoint
+        # semantics — Spark re-delivers at most the last batch its own
+        # commit log hasn't sealed, never earlier ones — so it proves
+        # the query was restarted with a fresh/rewound checkpoint
+        # against this state_dir. Silently treating those as replays
+        # would drop every future batch while the job looks healthy;
+        # fail loudly instead.
+        if batch_id < state["last"]:
+            batch_df.unpersist()
+            raise RuntimeError(
+                f"ingest-dedup state at {root!r} has committed batch "
+                f"{state['last']} but received batch {batch_id}: the "
+                "streaming checkpoint was reset/rewound while state_dir "
+                "was kept. Resume from the original checkpoint, or point "
+                "the restarted query at a fresh state_dir."
+            )
+        if batch_id == state["last"]:
             batch_df.unpersist()
             _republish()
             return

@@ -1752,3 +1752,44 @@ def test_streaming_ingest_dedup_checkpoint_restart_end_to_end(spark, tmp_path):
     got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
     # 4 incoming; dups: doc 2 (vs seed) + doc 3 (vs pre-restart index)
     assert [tuple(r) for r in got] == [("en", 4, 2, 2)]
+
+
+def test_streaming_ingest_dedup_rejects_rewound_checkpoint(spark, tmp_path):
+    """Operational guard (ADVICE r08): restarting the stream with a FRESH
+    or rewound checkpoint while keeping state_dir restarts Spark's batch
+    ids at 0; with the old high-watermark resumed, every new batch would
+    satisfy the replay check and be silently dropped — a standing job
+    that looks healthy while counting nothing. A batch id STRICTLY below
+    the committed watermark is impossible under same-checkpoint replay
+    semantics, so publish must raise, not no-op."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_dedup,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", "seed text")], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "rewind_state")
+    _os.makedirs(tmp_path / "src")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "src"))
+    _, publish = streaming_ingest_dedup(stream, seed, state_dir=state_dir)
+    b = lambda i: spark.createDataFrame(
+        [(i, "en", f"doc number {i}")], "doc_id LONG, lang STRING, text STRING"
+    )
+    publish(b(1), 0)
+    publish(b(2), 1)
+    # same-checkpoint redelivery of the watermark batch: still a no-op
+    publish(b(2), 1)
+    # rewound/fresh checkpoint, same state_dir: batch ids restart at 0
+    _, publish2 = streaming_ingest_dedup(stream, seed, state_dir=state_dir)
+    with _pytest.raises(RuntimeError, match="reset/rewound"):
+        publish2(b(3), 0)
+    # counters untouched by the rejected batch
+    got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 2, 0, 2)]

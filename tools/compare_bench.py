@@ -57,6 +57,20 @@ def main() -> None:
     ratios = sorted(nq[n] / oq[n] for n in common if oq[n] > 0)
     drift = ratios[len(ratios) // 2] if ratios else 1.0
     print(f"median per-query ratio (machine-drift estimate): {drift:.2f}x")
+    if drift > 1.5:
+        # Normalizing by the median hides a UNIFORM slowdown (a session/
+        # config regression moves every query together, exactly like
+        # drift). When the median itself exceeds the measured drift
+        # ceiling (1.07-1.5x on identical plans), say so loudly instead
+        # of silently absorbing it.
+        print(
+            f"WARNING: drift median {drift:.2f}x exceeds the measured "
+            "machine-drift ceiling (1.5x) — this looks like a UNIFORM "
+            "slowdown (session/config regression), not machine drift; "
+            "per-query normalization below would mask it. Re-run the old "
+            "build in a fresh session with a control query before "
+            "trusting this diff."
+        )
     regressions = []
     for name in common:
         o, n = oq[name], nq[name]

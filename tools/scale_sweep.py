@@ -126,9 +126,21 @@ def main() -> None:
             f"exp={report[name]['exponent']} rows x{report[name]['rows_ratio']}",
             flush=True,
         )
-    if merge_key and os.path.exists(out_json):
-        with open(out_json) as fh:
-            doc = json.load(fh)
+    if merge_key:
+        # --merge-key against a missing out_json must NOT fall through to
+        # the top-level overwrite (that would mislabel a decade sweep as
+        # the main sf1 map); merging into an empty doc nests the report
+        # under merge_key exactly as it would into an existing file.
+        if os.path.exists(out_json):
+            with open(out_json) as fh:
+                doc = json.load(fh)
+        elif merge_key == "queries":
+            raise SystemExit(
+                f"--merge-key=queries requires an existing {out_json} "
+                "(the main map's factor protocol is unknown otherwise)"
+            )
+        else:
+            doc = {}
         merge_report(doc, report, merge_key, factor, big_dir)
     else:
         doc = {"factor": factor, "queries": report}
