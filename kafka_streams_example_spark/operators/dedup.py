@@ -83,6 +83,37 @@ def minhash_signature(
     )
 
 
+def minhash_band_hashes(
+    signed: DataFrame, num_hashes: int = 32, bands: int = 8
+) -> DataFrame:
+    """(id, sig) → exploded LSH band keys (id, band, bhash): the signature
+    is sliced into ``bands`` equal runs and each run md5-folds to one
+    16-byte band hash. This is the ONLY payload that rides the LSH
+    equi-join (batch ``minhash_pairs``) or persists in the streaming band
+    index (``streaming/contract.py:streaming_ingest_neardup``) — shingle
+    sets and text never leave the signing stage."""
+    rows_per_band = num_hashes // bands
+    return signed.select(
+        "id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band"),
+                    F.md5(
+                        F.concat_ws(
+                            ",",
+                            F.slice(
+                                F.col("sig"), b * rows_per_band + 1, rows_per_band
+                            ).cast("array<string>"),
+                        )
+                    ).alias("bhash"),
+                ),
+            )
+        ).alias("bk"),
+    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+
+
 def minhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -103,7 +134,6 @@ def minhash_pairs(
     """
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
-    rows_per_band = num_hashes // bands
     docs = (
         ensure_min_partitions(df.select(F.col(id_col).alias("id"), F.col(text_col).alias("txt")))
         .withColumn("shingles", word_ngrams(F.col("txt"), ngram))
@@ -119,25 +149,7 @@ def minhash_pairs(
     )
     # Banding carries ONLY (id, band key) through the self-join — the
     # shingle arrays would otherwise dominate shuffle volume.
-    banded = docs.select(
-        "id",
-        F.explode(
-            F.transform(
-                F.sequence(F.lit(0), F.lit(bands - 1)),
-                lambda b: F.struct(
-                    b.alias("band"),
-                    F.md5(
-                        F.concat_ws(
-                            ",",
-                            F.slice(
-                                F.col("sig"), b * rows_per_band + 1, rows_per_band
-                            ).cast("array<string>"),
-                        )
-                    ).alias("bhash"),
-                ),
-            )
-        ).alias("bk"),
-    ).select("id", F.col("bk.band").alias("band"), F.col("bk.bhash").alias("bhash"))
+    banded = minhash_band_hashes(docs, num_hashes=num_hashes, bands=bands)
 
     cand = (
         banded.alias("l")

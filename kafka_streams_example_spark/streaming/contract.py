@@ -14,8 +14,87 @@ parent is picked up without restarting the query).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import json
+import os
+
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+
+# ---------------------------------------------------------------------------
+# Shared commit-state machinery for standing ingest jobs (exact-fp dedup and
+# MinHash-band near-dup below): an append-only parquet index extended per
+# micro-batch, running counters in alternating parquet generation slots, and
+# a committed.json high-watermark renamed into place AFTER a batch's writes
+# land — the exactly-once foreachBatch recipe, factored once.
+# ---------------------------------------------------------------------------
+
+
+def _load_commit_state(root: str) -> dict:
+    """Resume a standing job's durable commit state: generation + last
+    committed batch id from committed.json (``resumed`` False means a
+    fresh state_dir whose index seed still needs writing)."""
+    state = {"gen": 0, "last": -1, "resumed": False}
+    marker = os.path.join(root, "committed.json")
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            m = json.load(fh)
+        state.update(gen=m["gen"], last=m["batch_id"], resumed=True)
+    return state
+
+
+def _is_replay(state: dict, root: str, batch_id: int) -> bool:
+    """True when ``batch_id`` IS the committed watermark — a
+    same-checkpoint crash replay whose writes are already durable
+    (re-publish, skip re-merging). A batch id STRICTLY below the
+    watermark is impossible under same-checkpoint replay semantics
+    (Spark re-delivers at most the last batch its own commit log hasn't
+    sealed, never earlier ones), so it proves the query was restarted
+    with a fresh/rewound checkpoint against this ``state_dir``; silently
+    treating those as replays would drop every future batch while the
+    job looks healthy — fail loudly instead."""
+    if batch_id < state["last"]:
+        raise RuntimeError(
+            f"ingest state at {root!r} has committed batch "
+            f"{state['last']} but received batch {batch_id}: the "
+            "streaming checkpoint was reset/rewound while state_dir "
+            "was kept. Resume from the original checkpoint, or point "
+            "the restarted query at a fresh state_dir."
+        )
+    return batch_id == state["last"]
+
+
+def _commit_marker(root: str, state: dict, batch_id: int) -> None:
+    """Atomic commit: the batch's totals + index writes are durable, now
+    advance the high-watermark (tmp + rename)."""
+    marker = os.path.join(root, "committed.json")
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump({"gen": state["gen"] + 1, "batch_id": batch_id}, fh)
+    os.replace(tmp, marker)
+    state["gen"] += 1
+    state["last"] = batch_id
+
+
+def _merge_running_totals(
+    owner: SparkSession,
+    prev_path: str | None,
+    batch_counts: DataFrame,
+    sum_cols: list[str],
+) -> DataFrame:
+    """Fold a batch's per-lang counters into the previous generation's
+    running totals (full-outer on lang, counters merge as sums)."""
+    if prev_path is None:
+        return batch_counts
+    prev = owner.read.parquet(prev_path)
+    c, d = prev.alias("c"), batch_counts.alias("d")
+    return c.join(d, F.col("c.lang") == F.col("d.lang"), "full_outer").select(
+        F.coalesce("d.lang", "c.lang").alias("lang"),
+        *[
+            (F.coalesce(f"d.{col}", F.lit(0)) + F.coalesce(f"c.{col}", F.lit(0))).alias(col)
+            for col in sum_cols
+        ],
+    )
 
 
 def streaming_contract_gate(orders_stream: DataFrame, customer: DataFrame) -> DataFrame:
@@ -314,26 +393,18 @@ def streaming_ingest_dedup(
     ``streaming_psi_monitor`` for the shared single-reader concurrency
     note on generation-slot views.
     """
-    import os
     import tempfile
 
     from kafka_streams_example_spark.functions.hashing import fingerprint_md5
 
-    import json
-
     owner = index_seed.sparkSession
     root = state_dir or tempfile.mkdtemp(prefix="ingest_dedup_state_")
     idx_dir = os.path.join(root, "fp_index")
-    marker = os.path.join(root, "committed.json")
     # resume from durable state: the marker is the commit high-watermark
     # (written atomically AFTER a batch's totals + index writes land), so
     # a restarted query continues its counters instead of wiping them
-    state: dict[str, int] = {"gen": 0, "last": -1}
-    if os.path.exists(marker):
-        with open(marker) as fh:
-            m = json.load(fh)
-        state.update(gen=m["gen"], last=m["batch_id"])
-    else:
+    state = _load_commit_state(root)
+    if not state["resumed"]:
         # seed partition: batch=-1, so the batch<batch_id probe filter
         # always includes it
         index_seed.select(
@@ -358,24 +429,14 @@ def streaming_ingest_dedup(
         batch_df.count()
         # Exactly-once counters under crash-replay (the documented
         # foreachBatch idempotence recipe): a replayed batch_id AT the
-        # commit high-watermark is a no-op re-publish. A batch id
-        # STRICTLY BELOW it is impossible under same-checkpoint
-        # semantics — Spark re-delivers at most the last batch its own
-        # commit log hasn't sealed, never earlier ones — so it proves
-        # the query was restarted with a fresh/rewound checkpoint
-        # against this state_dir. Silently treating those as replays
-        # would drop every future batch while the job looks healthy;
-        # fail loudly instead.
-        if batch_id < state["last"]:
+        # commit high-watermark is a no-op re-publish; one BELOW it
+        # proves a rewound checkpoint and raises (see _is_replay).
+        try:
+            replay = _is_replay(state, root, batch_id)
+        except RuntimeError:
             batch_df.unpersist()
-            raise RuntimeError(
-                f"ingest-dedup state at {root!r} has committed batch "
-                f"{state['last']} but received batch {batch_id}: the "
-                "streaming checkpoint was reset/rewound while state_dir "
-                "was kept. Resume from the original checkpoint, or point "
-                "the restarted query at a fresh state_dir."
-            )
-        if batch_id == state["last"]:
+            raise
+        if replay:
             batch_df.unpersist()
             _republish()
             return
@@ -400,28 +461,12 @@ def streaming_ingest_dedup(
             F.count(F.when(F.col("hit").isNull(), 1)).alias("n_new"),
         )
         gen = state["gen"]
-        if gen == 0:
-            merged = batch_counts
-        else:
-            prev = owner.read.parquet(
-                os.path.join(root, f"totals_gen{(gen - 1) % 2}")
-            )
-            c, d = prev.alias("c"), batch_counts.alias("d")
-            merged = c.join(d, F.col("c.lang") == F.col("d.lang"), "full_outer").select(
-                F.coalesce("d.lang", "c.lang").alias("lang"),
-                (
-                    F.coalesce("d.n_incoming", F.lit(0))
-                    + F.coalesce("c.n_incoming", F.lit(0))
-                ).alias("n_incoming"),
-                (
-                    F.coalesce("d.n_dup_vs_index", F.lit(0))
-                    + F.coalesce("c.n_dup_vs_index", F.lit(0))
-                ).alias("n_dup_vs_index"),
-                (
-                    F.coalesce("d.n_new", F.lit(0))
-                    + F.coalesce("c.n_new", F.lit(0))
-                ).alias("n_new"),
-            )
+        merged = _merge_running_totals(
+            owner,
+            None if gen == 0 else os.path.join(root, f"totals_gen{(gen - 1) % 2}"),
+            batch_counts,
+            ["n_incoming", "n_dup_vs_index", "n_new"],
+        )
         # totals write runs BEFORE the index append so its index scan sees
         # the pre-batch snapshot (probe-then-extend semantics: a batch's
         # own fingerprints never count as index hits for that batch).
@@ -437,16 +482,166 @@ def streaming_ingest_dedup(
             os.path.join(idx_dir, f"batch={batch_id}")
         )
         batch_df.unpersist()
-        # atomic commit: totals + index are durable, now move the
-        # high-watermark (tmp + rename)
-        tmp = marker + ".tmp"
-        with open(tmp, "w") as fh:
-            json.dump({"gen": gen + 1, "batch_id": batch_id}, fh)
-        os.replace(tmp, marker)
-        state["gen"] = gen + 1
-        state["last"] = batch_id
+        _commit_marker(root, state, batch_id)
         owner.read.parquet(totals_path).createOrReplaceTempView(
             "ingest_dedup_totals"
+        )
+
+    return docs_stream, publish
+
+
+def streaming_ingest_neardup(
+    docs_stream: DataFrame,
+    index_seed: DataFrame,
+    state_dir: str | None = None,
+    ngram: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, "callable"]:
+    """NEAR-duplicate ingest dedup as a STANDING job — the fuzzy twin of
+    ``streaming_ingest_dedup``: each arriving micro-batch of documents is
+    MinHash-signed and LSH-banded (the batch machinery of
+    operators/dedup.py:minhash_pairs, same shingling/signature/band
+    constants as queries/dedup.py:neardup_minhash_pairs), probes the
+    persisted BAND-HASH index for any band collision with an
+    already-ingested document, is classified near-dup-vs-new per
+    language, and the batch's NOVEL documents' band hashes join the
+    index so later batches fuzzy-dedup against everything already
+    ingested.
+
+    Classification is at LSH-candidate granularity — a shared band is
+    the standard high-recall ingest gate (two docs with Jaccard s
+    collide on some band with prob 1-(1-s^r)^b); the exact-Jaccard
+    verify tier stays a batch job over the flagged pairs because it
+    needs shingle sets, which never enter this index. Documents too
+    short to shingle (< ngram tokens) carry no band hashes and classify
+    as new.
+
+    State layout, exactly-once counters, replay/rewind handling, restart
+    resume, O(1) plan depth, and the published-view concurrency caveat
+    are all shared with ``streaming_ingest_dedup`` (same commit-state
+    machinery above); differences only:
+
+    - ``band_index/batch=<id>/``: APPEND-ONLY parquet of DISTINCT
+      (band, bhash) rows contributed by each batch's novel docs (seed =
+      ``batch=-1``). Only 16-byte band hashes persist — never text,
+      shingles, or signatures — so the index is a few dozen bytes per
+      ingested doc and the probe join's key cardinality grows with the
+      corpus (unskewed).
+    - probe-then-extend semantics match the exact twin: a batch probes
+      the strictly-earlier index only, so within-batch near-dups do not
+      count (they are the batch minhash_pairs job's concern).
+    - the published view is ``ingest_neardup_totals`` with counters
+      (lang, n_incoming, n_neardup_vs_index, n_new).
+    """
+    import tempfile
+
+    from kafka_streams_example_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_band_hashes,
+        minhash_signature,
+    )
+    from kafka_streams_example_spark.operators.text import word_ngrams
+
+    owner = index_seed.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="ingest_neardup_state_")
+    idx_dir = os.path.join(root, "band_index")
+
+    def _bands_of(df: DataFrame) -> DataFrame:
+        """(doc_id, text, ...) → exploded (id, band, bhash); docs too
+        short to shingle drop out here (no bands → classified new)."""
+        signed = (
+            df.select(F.col("doc_id").alias("id"), F.col("text").alias("txt"))
+            .withColumn("shingles", word_ngrams(F.col("txt"), ngram))
+            .drop("txt")
+            .filter(F.size("shingles") > 0)
+            .withColumn("hsh", F.array_distinct(hashed_shingles(F.col("shingles"))))
+            .drop("shingles")
+            .withColumn("sig", minhash_signature(F.col("hsh"), num_hashes, seed))
+        )
+        return minhash_band_hashes(signed, num_hashes=num_hashes, bands=bands)
+
+    state = _load_commit_state(root)
+    if not state["resumed"]:
+        _bands_of(index_seed).select("band", "bhash").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, "batch=-1"))
+
+    def _republish() -> None:
+        if state["gen"] > 0:
+            committed = os.path.join(root, f"totals_gen{(state['gen'] - 1) % 2}")
+            owner.read.parquet(committed).createOrReplaceTempView(
+                "ingest_neardup_totals"
+            )
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        # Spark 4 validates that foreachBatch consumes EVERY partition —
+        # materialize fully before partial/lazy use.
+        batch_df.persist()
+        batch_df.count()
+        try:
+            replay = _is_replay(state, root, batch_id)
+        except RuntimeError:
+            batch_df.unpersist()
+            raise
+        if replay:
+            batch_df.unpersist()
+            _republish()
+            return
+        # probe: any band collision against STRICTLY EARLIER batches'
+        # novel docs (partition-pruned; a crashed attempt's half-written
+        # batch=<id> partition can never flip its replay's classes)
+        index = (
+            owner.read.parquet(idx_dir)
+            .filter(F.col("batch") < batch_id)
+            .select("band", "bhash")
+            .distinct()
+            .withColumn("hit", F.lit(1))
+        )
+        batch_bands = _bands_of(batch_df)
+        hit_ids = (
+            batch_bands.join(index, ["band", "bhash"])
+            .select("id")
+            .distinct()
+            .withColumn("dup", F.lit(1))
+        )
+        probed = batch_df.select(F.col("doc_id").alias("id"), "lang").join(
+            hit_ids, "id", "left"
+        )
+        batch_counts = probed.groupBy("lang").agg(
+            F.count("*").alias("n_incoming"),
+            F.count(F.when(F.col("dup").isNotNull(), 1)).alias(
+                "n_neardup_vs_index"
+            ),
+            F.count(F.when(F.col("dup").isNull(), 1)).alias("n_new"),
+        )
+        gen = state["gen"]
+        merged = _merge_running_totals(
+            owner,
+            None if gen == 0 else os.path.join(root, f"totals_gen{(gen - 1) % 2}"),
+            batch_counts,
+            ["n_incoming", "n_neardup_vs_index", "n_new"],
+        )
+        # totals before index append: probe-then-extend (a batch's own
+        # bands never count as hits for that batch)
+        totals_path = os.path.join(root, f"totals_gen{gen % 2}")
+        merged.write.mode("overwrite").parquet(totals_path)
+        # novel docs' band hashes extend the index — DETERMINISTIC
+        # batch=<id> partition with overwrite, so a crash-replay rewrites
+        # the same files (idempotent)
+        new_bands = (
+            batch_bands.join(hit_ids, "id", "left_anti")
+            .select("band", "bhash")
+            .distinct()
+        )
+        new_bands.write.mode("overwrite").parquet(
+            os.path.join(idx_dir, f"batch={batch_id}")
+        )
+        batch_df.unpersist()
+        _commit_marker(root, state, batch_id)
+        owner.read.parquet(totals_path).createOrReplaceTempView(
+            "ingest_neardup_totals"
         )
 
     return docs_stream, publish

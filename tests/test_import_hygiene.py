@@ -46,3 +46,35 @@ def test_no_duplicate_module_level_imports():
         if repeated or rebound:
             dups[rel] = {"repeated": repeated, "rebound": rebound}
     assert not dups, dups
+
+
+def test_any_query_module_imports_standalone():
+    """Cross-module oracle patches assume the registry's canonical import
+    sequence; the queries package __init__ must make a DIRECT submodule
+    import (as the process's first engine import) equivalent to importing
+    the registry. Each module is probed in a fresh interpreter — the
+    failure mode is order-dependent and invisible once anything else has
+    imported the registry."""
+    import subprocess
+    import sys
+
+    mods = [
+        "dedup", "eval", "events", "multimodal", "operational",
+        "relational", "retrieval", "sketches", "solar", "stats",
+        "text", "timeseries",
+    ]
+    code = (
+        "import importlib, sys\n"
+        f"importlib.import_module('kafka_streams_example_spark.queries.{{m}}')\n"
+        "from kafka_streams_example_spark import registry\n"
+        "assert len(registry.QUERIES) >= 233\n"
+        "assert set(registry.ORACLES) <= set(registry.QUERIES)\n"
+    )
+    for m in mods:
+        r = subprocess.run(
+            [sys.executable, "-c", code.format(m=m)],
+            capture_output=True,
+            text=True,
+            cwd=os.path.dirname(PKG),
+        )
+        assert r.returncode == 0, (m, r.stderr[-2000:])

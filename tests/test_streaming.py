@@ -1793,3 +1793,284 @@ def test_streaming_ingest_dedup_rejects_rewound_checkpoint(spark, tmp_path):
     # counters untouched by the rejected batch
     got = sorted(spark.sql("SELECT * FROM ingest_dedup_totals").collect())
     assert [tuple(r) for r in got] == [("en", 2, 0, 2)]
+
+
+def _neardup_band_sets(spark, docs_df):
+    """Batch-machinery band hashes for every doc: id -> set[(band, bhash)]
+    — the independent expectation driver for the streaming near-dup
+    twin's parity tests (same constants as the standing job)."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_example_spark.operators.dedup import (
+        hashed_shingles,
+        minhash_band_hashes,
+        minhash_signature,
+    )
+    from kafka_streams_example_spark.operators.text import word_ngrams
+
+    signed = (
+        docs_df.select(
+            F.col("doc_id").alias("id"), word_ngrams(F.col("text"), 3).alias("sh")
+        )
+        .filter(F.size("sh") > 0)
+        .withColumn("hsh", F.array_distinct(hashed_shingles(F.col("sh"))))
+        .withColumn("sig", minhash_signature(F.col("hsh"), 32, 42))
+    )
+    out: dict[int, set] = {}
+    for r in minhash_band_hashes(signed).collect():
+        out.setdefault(r.id, set()).add((r.band, r.bhash))
+    return out
+
+
+def test_streaming_ingest_neardup_matches_batch_replay(spark, tmp_path):
+    """5-micro-batch parity for the standing NEAR-dup ingest job against
+    an independent Python replay of the batch machinery: band hashes come
+    from the batch operators (word_ngrams → hashed_shingles →
+    minhash_signature → minhash_band_hashes, the exact stack of
+    neardup_minhash_pairs), probe-then-extend is replayed per batch in
+    Python over the real sf0.01 corpus (which contains genuine near-dups,
+    not just exact copies), and the published cumulative totals must
+    match row-for-row."""
+    import json as _json
+    import os as _os
+    from collections import defaultdict
+
+    import pyspark.sql.functions as F
+
+    from kafka_streams_example_spark.queries.dedup import _INGEST_SPLIT
+    from kafka_streams_example_spark.sources.files import load_table
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_neardup,
+    )
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    seed = docs.filter(F.col("doc_id") < _INGEST_SPLIT)
+    incoming = (
+        docs.filter(F.col("doc_id") >= _INGEST_SPLIT)
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    assert len(incoming) > 0
+    bands = _neardup_band_sets(spark, docs)
+
+    # Python replay: probe strictly-earlier index, extend with the whole
+    # batch's novel bands AFTER classification (within-batch near-dups
+    # never count — the standing job's probe-then-extend semantics)
+    index: set = set()
+    for r in seed.select("doc_id").collect():
+        index |= bands.get(r.doc_id, set())
+    want: dict[str, list[int]] = defaultdict(lambda: [0, 0, 0])
+    n_hit_total = 0
+    for b in range(5):
+        rows = [r for r in incoming if r.doc_id % 5 == b]
+        novel = set()
+        for r in rows:
+            hit = bool(bands.get(r.doc_id, set()) & index)
+            n_hit_total += hit
+            want[r.lang][0] += 1
+            want[r.lang][1] += hit
+            want[r.lang][2] += not hit
+            if not hit:
+                novel |= bands.get(r.doc_id, set())
+        index |= novel
+
+    src = tmp_path / "nd_in"
+    _os.makedirs(src)
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(src))
+    _, publish = streaming_ingest_neardup(
+        stream, seed, state_dir=str(tmp_path / "nd_state")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "nd_ck"))
+        .start()
+    )
+    for b in range(5):
+        with open(src / f"b{b}.json", "w") as f:
+            for r in incoming:
+                if r.doc_id % 5 == b:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": r.doc_id, "lang": r.lang, "text": r.text}
+                        )
+                        + "\n"
+                    )
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT * FROM ingest_neardup_totals").collect(),
+        key=lambda r: r.lang,
+    )
+    assert [tuple(r) for r in got] == [
+        (lang, c[0], c[1], c[2]) for lang, c in sorted(want.items())
+    ]
+    # the corpus must actually exercise the fuzzy path
+    assert n_hit_total > 0
+
+
+def test_streaming_ingest_neardup_index_grows_and_is_bands_only(spark, tmp_path):
+    """Probe-then-extend: a later batch near-duplicating an earlier
+    batch's novel document must classify as near-dup (the band index
+    grew); the index partitions hold ONLY distinct (band, bhash) rows —
+    no text, shingles, signatures, or doc ids ever persist."""
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_neardup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    seed = spark.createDataFrame(
+        [(0, "en", base)], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "ndg_state")
+    _os.makedirs(tmp_path / "ndg_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "ndg_unused"))
+    _, publish = streaming_ingest_neardup(stream, seed, state_dir=state_dir)
+
+    novel = " ".join(f"new{i}" for i in range(40))
+    b0 = spark.createDataFrame(
+        [
+            (1, "en", base + " extra tail"),  # near-dup of the seed
+            (2, "en", novel),                  # novel
+            (3, "en", "too short"),            # < 3 tokens of shingle: new
+        ],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    publish(b0, 0)
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+    # batch 1 near-duplicates batch 0's NOVEL doc -> hit via the grown index
+    b1 = spark.createDataFrame(
+        [(4, "en", novel + " slight change")],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    publish(b1, 1)
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 4, 2, 2)]
+    # index partitions per batch, rows are bands only
+    parts = sorted(
+        p
+        for p in _os.listdir(_os.path.join(state_dir, "band_index"))
+        if p.startswith("batch=")
+    )
+    assert parts == ["batch=-1", "batch=0", "batch=1"]
+    idx = spark.read.parquet(_os.path.join(state_dir, "band_index"))
+    assert sorted(idx.columns) == ["band", "batch", "bhash"]
+    assert idx.count() == idx.dropDuplicates(["batch", "band", "bhash"]).count()
+
+
+def test_streaming_ingest_neardup_replay_restart_and_rewind(spark, tmp_path):
+    """Exactly-once counters under crash-replay; restart resumes from the
+    durable high-watermark; a rewound/fresh checkpoint over the same
+    state_dir raises instead of silently dropping batches (shared
+    commit-state machinery with the exact twin — pinned here for the
+    near-dup surface too)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_neardup,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", " ".join(f"s{i}" for i in range(30)))],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    state_dir = str(tmp_path / "ndr_state")
+    _os.makedirs(tmp_path / "ndr_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "ndr_unused"))
+    _, publish = streaming_ingest_neardup(stream, seed, state_dir=state_dir)
+    mk = lambda i, text: spark.createDataFrame(
+        [(i, "en", text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    t1 = " ".join(f"a{i}" for i in range(30))
+    publish(mk(1, t1), 0)
+    publish(mk(2, t1 + " tail"), 1)  # near-dup of doc 1
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 2, 1, 1)]
+    # crash-replay of the committed watermark batch: counters must not move
+    publish(mk(2, t1 + " tail"), 1)
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 2, 1, 1)]
+    # restart: a rebuilt publisher over the same state_dir resumes
+    _, publish2 = streaming_ingest_neardup(stream, seed, state_dir=state_dir)
+    publish2(mk(3, " ".join(f"b{i}" for i in range(30))), 2)
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+    # rewound/fresh checkpoint, same state_dir: batch ids restart at 0
+    _, publish3 = streaming_ingest_neardup(stream, seed, state_dir=state_dir)
+    with _pytest.raises(RuntimeError, match="reset/rewound"):
+        publish3(mk(4, "whatever text here now"), 0)
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+
+
+def test_streaming_ingest_neardup_checkpoint_restart_end_to_end(spark, tmp_path):
+    """Full restart integration: a NEW streaming query resumed from the
+    SAME checkpoint with a REBUILT publisher over the same state_dir
+    delivers exactly the counters a never-restarted run would — including
+    a post-restart near-duplicate of a pre-restart novel document."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_neardup,
+    )
+
+    seed_text = " ".join(f"seed{i}" for i in range(30))
+    seed = spark.createDataFrame(
+        [(0, "en", seed_text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    src = tmp_path / "nde2e_in"
+    _os.makedirs(src)
+    state_dir = str(tmp_path / "nde2e_state")
+    ck = str(tmp_path / "nde2e_ck")
+    pre = " ".join(f"pre{i}" for i in range(30))
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for did, lang, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "lang": lang, "text": text})
+                    + "\n"
+                )
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id LONG, lang STRING, text STRING"
+        ).json(str(src))
+        _, publish = streaming_ingest_neardup(stream, seed, state_dir=state_dir)
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(publish)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    write("b0.json", [(1, "en", pre)])
+    q.processAllAvailable()
+    write("b1.json", [(2, "en", seed_text + " small edit")])  # ~seed
+    q.processAllAvailable()
+    q.stop()
+    # restart: same checkpoint, same state_dir, rebuilt publisher
+    q2 = start()
+    write(
+        "b2.json",
+        [(3, "en", pre + " trailing bit"), (4, "en", " ".join(f"post{i}" for i in range(30)))],
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    # 4 incoming; near-dups: doc 2 (vs seed) + doc 3 (vs pre-restart index)
+    assert [tuple(r) for r in got] == [("en", 4, 2, 2)]
