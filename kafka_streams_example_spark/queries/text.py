@@ -2072,3 +2072,170 @@ def regex_extraction(spark, sf_dir):
         .otherwise("short")
         .alias("len_class"),
     )
+
+
+# (round 9)
+# --------------------------------------------------------------------------
+# bpe_train_merges — iterative BPE tokenizer-training loop (N merges)
+# --------------------------------------------------------------------------
+
+_BPE_STEPS = 6
+
+
+def _bpe_duck_sql(steps: int = _BPE_STEPS) -> str:
+    """Unrolled BPE merge iterations in DuckDB — the same sentinel-string
+    representation and literal-replace merge as the Spark plan, so both
+    engines train the identical merge table.
+
+    Word repr: chr(31)+sym+chr(30) per symbol, concatenated. Merging pair
+    (l, r) = replace(repr, <l><r> pattern, <lr>) — literal replace-all is
+    greedy left-to-right non-overlapping on BOTH engines (probed:
+    [a,a,a,a] -> [aa,aa], [a,a,a] -> [aa,a]), which IS the reference BPE
+    application order."""
+    sep = "chr(30) || chr(31)"
+    sql = f"""
+WITH w0 AS (
+    SELECT chr(31) || array_to_string(
+               list_transform(generate_series(1, length(w)), i -> substr(w, i, 1)),
+               {sep}) || chr(30) AS repr,
+           count(*) AS freq
+    FROM (SELECT replace(replace(unnest({_TOKS}), chr(30), ''), chr(31), '') AS w
+          FROM documents)
+    WHERE length(w) > 0
+    GROUP BY 1
+)"""
+    for i in range(1, steps + 1):
+        sql += f""",
+p{i} AS (
+    SELECT sy[j] AS lhs, sy[j + 1] AS rhs, CAST(sum(freq) AS BIGINT) AS pair_count
+    FROM (SELECT string_split(substr(repr, 2, length(repr) - 2), {sep}) AS sy,
+                 freq
+          FROM w{i - 1}),
+         unnest(generate_series(1, greatest(len(sy) - 1, 0))) AS u(j)
+    GROUP BY 1, 2
+),
+m{i} AS (
+    SELECT CAST({i} AS INT) AS step, lhs, rhs, lhs || rhs AS merged, pair_count
+    FROM p{i} ORDER BY pair_count DESC, lhs, rhs LIMIT 1
+),
+w{i} AS (
+    SELECT replace(repr,
+                   chr(31) || lhs || chr(30) || chr(31) || rhs || chr(30),
+                   chr(31) || merged || chr(30)) AS repr,
+           freq
+    FROM w{i - 1}, m{i}
+)"""
+    union = "\nUNION ALL\n".join(
+        f"SELECT step, lhs, rhs, merged, pair_count FROM m{i}"
+        for i in range(1, steps + 1)
+    )
+    return sql + "\n" + union
+
+
+@register("bpe_train_merges", _bpe_duck_sql())
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The real BPE tokenizer-training loop (Sennrich et al.,
+    arXiv:1508.07909): N iterations of count-adjacent-pairs -> merge the
+    argmax pair everywhere -> recount, over the corpus WORD-FREQUENCY
+    table — ``bpe_pair_candidates`` above is one iteration's candidate
+    count; this trains the first ``_BPE_STEPS`` merges and emits the merge
+    table (step, lhs, rhs, merged, pair_count). Ties break (count desc,
+    lhs, rhs) so the table is deterministic and engine-exact; pair counts
+    include overlapping occurrences (the [a,a,a] word contributes 2 to
+    (a,a)), and merges apply greedily left-to-right — exactly what
+    literal replace-all does on the sentinel representation, probed
+    identical on both engines.
+
+    Spark-first shape (the iterate-broadcast-aggregate device of
+    kmeans_centroids / power_iteration_top_component, plus the lineage
+    discipline iterative production jobs need): BPE trains on the
+    VOCABULARY (distinct words + frequencies), not the corpus — one
+    corpus scan + hash aggregation collapses 100 TB of text to a
+    vocab-sized table, and every iteration after that is (a) an
+    adjacent-pair count that shuffles only (pair, partial_sum) thanks to
+    map-side combine, (b) a TakeOrderedAndProject argmax (1 row — never a
+    global sort), and (c) a broadcast of that 1-row merge crossed into a
+    per-row literal replace. No collect, no Python in the loop, per-word
+    state bounded by word length.
+
+    Lineage is CUT per iteration with an eager localCheckpoint (the
+    GraphX/ALS recipe): the word table appears twice per step (argmax
+    input + merge input), so pure unrolled lineage doubles the logical
+    plan per step — measured 63 FileScans / 126 exchanges in the
+    steps=6 plan before the fix, i.e. 2^steps compile-time growth that
+    caching hides at runtime but a 20-merge trainer could not compile.
+    Checkpointing keeps the plan LINEAR in steps (each step references
+    one materialized vocab RDD + one 1-row merge RDD) at the price of
+    re-running the vocab pass per invocation — the honest cost of
+    iterative training.
+
+    Symbols ride a sentinel-delimited string (chr(31) sym chr(30) ...):
+    pair counting splits it, merge application is a literal replace of
+    the bracketed pair — replace can never match across symbol
+    boundaries because every symbol is fully bracketed. Sentinels are
+    stripped from the (synthetic-clean, verified) corpus words first; a
+    production normalizer strips all control chars anyway.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    S, E = chr(31), chr(30)
+    words = (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("w0"))
+        .select(
+            F.replace(F.replace(F.col("w0"), F.lit(E), F.lit("")), F.lit(S), F.lit("")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = words.select(
+        F.concat(F.lit(S), F.array_join(F.split("w", ""), E + S), F.lit(E)).alias(
+            "repr"
+        ),
+        "freq",
+    ).localCheckpoint()
+    merges = []
+    for i in range(1, _BPE_STEPS + 1):
+        sy = F.split(F.expr("substring(repr, 2, length(repr) - 2)"), E + S)
+        pairs = F.filter(
+            F.zip_with(
+                sy,
+                F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            ),
+            lambda p: p["rhs"].isNotNull(),
+        )
+        m = (
+            w.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(i).cast("int").alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        merges.append(m)
+        if i < _BPE_STEPS:
+            w = (
+                w.crossJoin(F.broadcast(m))
+                .select(
+                    F.replace(
+                        F.col("repr"),
+                        F.concat(
+                            F.lit(S), F.col("lhs"), F.lit(E + S), F.col("rhs"), F.lit(E)
+                        ),
+                        F.concat(F.lit(S), F.col("merged"), F.lit(E)),
+                    ).alias("repr"),
+                    "freq",
+                )
+                .localCheckpoint()
+            )
+    out = merges[0]
+    for m in merges[1:]:
+        out = out.unionAll(m)
+    return out

@@ -491,3 +491,76 @@ def test_substring_family_skew_safe_under_planted_boilerplate(spark, tmp_path):
             assert got_cut[d] == (22, _XS_L, 6, md5(uniq))
         else:
             assert got_cut[d] == (6, 0, 6, md5(uniq))
+
+
+def test_bpe_train_merges_matches_bruteforce_reference(spark, tmp_path):
+    """Definition-level pin for the BPE training loop (the DuckDB oracle
+    shares the sentinel-replace formulation with the Spark plan, so a
+    conceptual bug would be mirrored): brute force from the algorithm —
+    word-frequency table; per step count ALL adjacent symbol pairs
+    (overlaps included) weighted by freq; argmax with (count desc, lhs,
+    rhs) ties; apply the merge greedily left-to-right per word — on
+    seeded random corpora over a tiny alphabet (dense with repeats and
+    multi-char merge chains)."""
+    import random
+    from collections import Counter
+
+    from kafka_streams_example_spark.queries.text import _BPE_STEPS
+
+    for seed in (3, 17):
+        rng = random.Random(seed)
+        docs = []
+        for d in range(30):
+            words = [
+                "".join(rng.choice("ab") for _ in range(rng.randint(1, 6)))
+                for _ in range(rng.randint(0, 12))
+            ]
+            docs.append((d, " ".join(words)))
+
+        freq = Counter()
+        for _, t in docs:
+            for wd in t.split():
+                freq[tuple(wd)] += 1
+        expected = []
+        for step in range(1, _BPE_STEPS + 1):
+            counts = Counter()
+            for syms, f in freq.items():
+                for i in range(len(syms) - 1):
+                    counts[(syms[i], syms[i + 1])] += f
+            assert counts, "seeded corpus must keep producing pairs"
+            (lhs, rhs), cnt = min(
+                counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1])
+            )
+            expected.append((step, lhs, rhs, lhs + rhs, cnt))
+            nxt = Counter()
+            for syms, f in freq.items():
+                out, i = [], 0
+                while i < len(syms):
+                    if (
+                        i + 1 < len(syms)
+                        and syms[i] == lhs
+                        and syms[i + 1] == rhs
+                    ):
+                        out.append(lhs + rhs)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                nxt[tuple(out)] += f
+            freq = nxt
+
+        spark.createDataFrame(
+            [(d, t, "en", len(t)) for d, t in docs],
+            "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / f"bpe{seed}" / "documents.parquet")
+        )
+        got = [
+            (r.step, r.lhs, r.rhs, r.merged, r.pair_count)
+            for r in registry.QUERIES["bpe_train_merges"](
+                spark, str(tmp_path / f"bpe{seed}")
+            )
+            .orderBy("step")
+            .collect()
+        ]
+        assert got == expected, (seed, got, expected)
