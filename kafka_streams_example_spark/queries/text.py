@@ -2082,10 +2082,11 @@ def regex_extraction(spark, sf_dir):
 _BPE_STEPS = 6
 
 
-def _bpe_duck_sql(steps: int = _BPE_STEPS) -> str:
-    """Unrolled BPE merge iterations in DuckDB — the same sentinel-string
-    representation and literal-replace merge as the Spark plan, so both
-    engines train the identical merge table.
+def _bpe_duck_cte(steps: int = _BPE_STEPS) -> str:
+    """Shared WITH-prefix for the BPE oracles: unrolled merge iterations
+    in DuckDB — the same sentinel-string representation and
+    literal-replace merge as the Spark plan, so both engines train the
+    identical merge table.
 
     Word repr: chr(31)+sym+chr(30) per symbol, concatenated. Merging pair
     (l, r) = replace(repr, <l><r> pattern, <lr>) — literal replace-all is
@@ -2125,11 +2126,107 @@ w{i} AS (
            freq
     FROM w{i - 1}, m{i}
 )"""
+    return sql
+
+
+def _bpe_duck_sql(steps: int = _BPE_STEPS) -> str:
+    """Merge-table oracle: the shared CTE prefix + the union of the N
+    1-row argmax steps."""
     union = "\nUNION ALL\n".join(
         f"SELECT step, lhs, rhs, merged, pair_count FROM m{i}"
         for i in range(1, steps + 1)
     )
-    return sql + "\n" + union
+    return _bpe_duck_cte(steps) + "\n" + union
+
+
+def _bpe_compression_duck_sql(steps: int = _BPE_STEPS) -> str:
+    """Compression oracle: the shared CTE prefix + per-step corpus token
+    totals over the word states w0..wN."""
+    sep = "chr(30) || chr(31)"
+    totals = ",\n".join(
+        f"""t{s} AS (
+    SELECT CAST({s} AS INT) AS step,
+           CAST(sum(freq * len(string_split(substr(repr, 2, length(repr) - 2), {sep}))) AS BIGINT) AS total_tokens,
+           CAST(sum(freq) AS BIGINT) AS total_words
+    FROM w{s})"""
+        for s in range(0, steps + 1)
+    )
+    rows = "\nUNION ALL\n".join(
+        f"""SELECT t{s}.step, t{s}.total_tokens,
+       round(CAST(t{s}.total_tokens AS DOUBLE) / CAST(t{s}.total_words AS DOUBLE), 6) AS avg_tokens_per_word,
+       round(CAST(b.total_tokens AS DOUBLE) / CAST(t{s}.total_tokens AS DOUBLE), 6) AS compression_ratio
+FROM t{s}, t0 AS b"""
+        for s in range(0, steps + 1)
+    )
+    return _bpe_duck_cte(steps) + ",\n" + totals + "\n" + rows
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_STEPS):
+    """Shared trainer for the two BPE queries: returns (merges, states)
+    where merges[i] is the 1-row merge frame of step i+1 and states[s]
+    the word-frequency table after s merges (s = 0..steps), every frame
+    an eagerly localCheckpoint-ed RDD (linear plan — see
+    bpe_train_merges' docstring for the lineage rationale)."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    S, E = chr(31), chr(30)
+    words = (
+        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("w0"))
+        .select(
+            F.replace(F.replace(F.col("w0"), F.lit(E), F.lit("")), F.lit(S), F.lit("")).alias("w")
+        )
+        .filter(F.length("w") > 0)
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    w = words.select(
+        F.concat(F.lit(S), F.array_join(F.split("w", ""), E + S), F.lit(E)).alias(
+            "repr"
+        ),
+        "freq",
+    ).localCheckpoint()
+    merges, states = [], [w]
+    for i in range(1, steps + 1):
+        sy = F.split(F.expr("substring(repr, 2, length(repr) - 2)"), E + S)
+        pairs = F.filter(
+            F.zip_with(
+                sy,
+                F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0))),
+                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
+            ),
+            lambda p: p["rhs"].isNotNull(),
+        )
+        m = (
+            w.select(F.explode(pairs).alias("p"), "freq")
+            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
+            .agg(F.sum("freq").cast("long").alias("pair_count"))
+            .orderBy(F.desc("pair_count"), "lhs", "rhs")
+            .limit(1)
+            .select(
+                F.lit(i).cast("int").alias("step"),
+                "lhs",
+                "rhs",
+                F.concat("lhs", "rhs").alias("merged"),
+                "pair_count",
+            )
+            .localCheckpoint()
+        )
+        merges.append(m)
+        w = (
+            w.crossJoin(F.broadcast(m))
+            .select(
+                F.replace(
+                    F.col("repr"),
+                    F.concat(
+                        F.lit(S), F.col("lhs"), F.lit(E + S), F.col("rhs"), F.lit(E)
+                    ),
+                    F.concat(F.lit(S), F.col("merged"), F.lit(E)),
+                ).alias("repr"),
+                "freq",
+            )
+            .localCheckpoint()
+        )
+        states.append(w)
+    return merges, states
 
 
 @register("bpe_train_merges", _bpe_duck_sql())
@@ -2176,66 +2273,56 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped from the (synthetic-clean, verified) corpus words first; a
     production normalizer strips all control chars anyway.
     """
-    docs = _load_parallel(spark, sf_dir, "documents")
-    S, E = chr(31), chr(30)
-    words = (
-        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("w0"))
-        .select(
-            F.replace(F.replace(F.col("w0"), F.lit(E), F.lit("")), F.lit(S), F.lit("")).alias("w")
-        )
-        .filter(F.length("w") > 0)
-        .groupBy("w")
-        .agg(F.count("*").alias("freq"))
-    )
-    w = words.select(
-        F.concat(F.lit(S), F.array_join(F.split("w", ""), E + S), F.lit(E)).alias(
-            "repr"
-        ),
-        "freq",
-    ).localCheckpoint()
-    merges = []
-    for i in range(1, _BPE_STEPS + 1):
-        sy = F.split(F.expr("substring(repr, 2, length(repr) - 2)"), E + S)
-        pairs = F.filter(
-            F.zip_with(
-                sy,
-                F.slice(sy, 2, F.greatest(F.size(sy) - 1, F.lit(0))),
-                lambda a, b: F.struct(a.alias("lhs"), b.alias("rhs")),
-            ),
-            lambda p: p["rhs"].isNotNull(),
-        )
-        m = (
-            w.select(F.explode(pairs).alias("p"), "freq")
-            .groupBy(F.col("p.lhs").alias("lhs"), F.col("p.rhs").alias("rhs"))
-            .agg(F.sum("freq").cast("long").alias("pair_count"))
-            .orderBy(F.desc("pair_count"), "lhs", "rhs")
-            .limit(1)
-            .select(
-                F.lit(i).cast("int").alias("step"),
-                "lhs",
-                "rhs",
-                F.concat("lhs", "rhs").alias("merged"),
-                "pair_count",
-            )
-            .localCheckpoint()
-        )
-        merges.append(m)
-        if i < _BPE_STEPS:
-            w = (
-                w.crossJoin(F.broadcast(m))
-                .select(
-                    F.replace(
-                        F.col("repr"),
-                        F.concat(
-                            F.lit(S), F.col("lhs"), F.lit(E + S), F.col("rhs"), F.lit(E)
-                        ),
-                        F.concat(F.lit(S), F.col("merged"), F.lit(E)),
-                    ).alias("repr"),
-                    "freq",
-                )
-                .localCheckpoint()
-            )
+    merges, _ = _bpe_train(spark, sf_dir)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
+    return out
+
+
+@register("bpe_corpus_compression", _bpe_compression_duck_sql())
+def bpe_corpus_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-quality curve for the trained merges: after each of the
+    N BPE steps (step 0 = character baseline), the corpus-wide token
+    total, average tokens per word occurrence (fertility against the
+    whitespace pretokenization), and the compression ratio vs the
+    character baseline — THE metric a tokenizer-training pipeline plots
+    to pick its vocabulary size.
+
+    Shape: shares ``_bpe_train`` with ``bpe_train_merges`` (same
+    checkpointed word-state frames, linear plan); each step's row is one
+    vocab-sized aggregate sum(freq * n_symbols) over a materialized RDD
+    plus a broadcast of the 1-row step-0 baseline. Counts are exact
+    integers; the two ratios round to 6dp on both engines."""
+    _, states = _bpe_train(spark, sf_dir)
+    S, E = chr(31), chr(30)
+
+    def totals(s: int) -> DataFrame:
+        n_sym = F.size(
+            F.split(F.expr("substring(repr, 2, length(repr) - 2)"), E + S)
+        )
+        return states[s].agg(
+            F.lit(s).cast("int").alias("step"),
+            F.sum(F.col("freq") * n_sym).cast("long").alias("total_tokens"),
+            F.sum("freq").cast("long").alias("total_words"),
+        )
+
+    base = totals(0).select(
+        F.col("total_tokens").cast("double").alias("base_tokens")
+    )
+    out = None
+    for s in range(0, _BPE_STEPS + 1):
+        row = totals(s).crossJoin(F.broadcast(base)).select(
+            "step",
+            "total_tokens",
+            F.round(
+                F.col("total_tokens").cast("double")
+                / F.col("total_words").cast("double"),
+                6,
+            ).alias("avg_tokens_per_word"),
+            F.round(
+                F.col("base_tokens") / F.col("total_tokens").cast("double"), 6
+            ).alias("compression_ratio"),
+        )
+        out = row if out is None else out.unionAll(row)
     return out

@@ -521,6 +521,8 @@ def test_bpe_train_merges_matches_bruteforce_reference(spark, tmp_path):
         for _, t in docs:
             for wd in t.split():
                 freq[tuple(wd)] += 1
+        tok_totals = [sum(f * len(s) for s, f in freq.items())]
+        word_total = sum(freq.values())
         expected = []
         for step in range(1, _BPE_STEPS + 1):
             counts = Counter()
@@ -548,6 +550,7 @@ def test_bpe_train_merges_matches_bruteforce_reference(spark, tmp_path):
                         i += 1
                 nxt[tuple(out)] += f
             freq = nxt
+            tok_totals.append(sum(f * len(s) for s, f in freq.items()))
 
         spark.createDataFrame(
             [(d, t, "en", len(t)) for d, t in docs],
@@ -564,3 +567,22 @@ def test_bpe_train_merges_matches_bruteforce_reference(spark, tmp_path):
             .collect()
         ]
         assert got == expected, (seed, got, expected)
+        # the compression curve replays from the same definition
+        got_c = [
+            (r.step, r.total_tokens, r.avg_tokens_per_word, r.compression_ratio)
+            for r in registry.QUERIES["bpe_corpus_compression"](
+                spark, str(tmp_path / f"bpe{seed}")
+            )
+            .orderBy("step")
+            .collect()
+        ]
+        want_c = [
+            (
+                s,
+                tt,
+                round(tt / word_total, 6),
+                round(tok_totals[0] / tt, 6),
+            )
+            for s, tt in enumerate(tok_totals)
+        ]
+        assert got_c == want_c, (seed, got_c, want_c)
