@@ -317,6 +317,66 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram: int = 3,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """DIRECTED shingle-containment pairs: (id_a, id_b) with
+    C(A,B) = |S_A ∩ S_B| / |S_A| >= threshold — the asymmetric near-dup
+    tier Jaccard misses by construction (a short document quoted whole
+    inside a long one has tiny Jaccard but containment ~1), the signal
+    for quote extraction, boilerplate supersets, and near-superset dedup.
+
+    Prefix filter for containment (the PPJoin family, Xiao et al.,
+    WWW'08 — public algorithm): if |A∩B| >= t·|A| then A's prefix of
+    length |A| − ceil(t·|A|) + 1 under a single global element order
+    must share >= 1 element with B's FULL set (otherwise the
+    intersection fits inside A's suffix of ceil(t·|A|) − 1 elements).
+    So candidates come from joining A-PREFIXES against the full postings
+    list — never full×full. Containment admits no size-ratio prune (a
+    tiny A inside a huge B is exactly the signal), which makes the
+    rarest-first frequency ordering load-bearing rather than optional:
+    prefixes then hold globally rare shingles, so the per-token join
+    fan-out (prefix_df × full_df) stays bounded on stopword-heavy
+    corpora where a hash ordering would post hot shingles into prefixes.
+    Exact set containment verifies candidates; the result is identical
+    to the quadratic self-join (the DuckDB oracle's formulation)."""
+    docs = _allpairs_prepared(
+        df, F.lit(""), text_col, id_col, ngram, freq_order=True
+    ).cache()
+    p_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
+    pref = docs.select(
+        "id", F.explode(F.slice(F.col("hsh"), F.lit(1), p_len)).alias("tok")
+    )
+    full = docs.select(F.col("id").alias("id_b"), F.explode("hsh").alias("tok"))
+    cand = (
+        pref.join(full, "tok")
+        .filter(F.col("id") != F.col("id_b"))
+        .select(F.col("id").alias("id_a"), "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = docs.select("id", "hsh")
+    cont = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b"))) / F.size(
+        F.col("sh_a")
+    )
+    return (
+        cand.join(
+            sets.select(F.col("id").alias("id_a"), F.col("hsh").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            sets.select(F.col("id").alias("id_b"), F.col("hsh").alias("sh_b")),
+            "id_b",
+        )
+        .withColumn("cont", cont)
+        .filter(F.col("cont") >= threshold)
+        .select("id_a", "id_b", round_half_up(F.col("cont"), 6).alias("containment"))
+    )
+
+
 def embedding_neardup_pairs(
     emb: DataFrame,
     planes: list[list[float]],

@@ -2684,3 +2684,45 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_kept"),
         F.md5(F.encode(F.array_join(kept, " "), "utf-8")).alias("kept_fp"),
     )
+
+
+# (round 9)
+# --------------------------------------------------------------------------
+# neardup_containment_pairs — asymmetric (quote/superset) near-dup tier
+# --------------------------------------------------------------------------
+
+_CONT_T = 0.9
+
+
+@register(
+    "neardup_containment_pairs",
+    f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+d AS (SELECT doc_id, {_NGRAMS} AS ng FROM t),
+nz AS (SELECT * FROM d WHERE len(ng) > 0)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       floor(len(list_intersect(a.ng, b.ng)) / CAST(len(a.ng) AS DOUBLE)
+             * 1000000.0 + 0.5) / 1000000.0 AS containment
+FROM nz a JOIN nz b ON a.doc_id <> b.doc_id
+WHERE len(list_intersect(a.ng, b.ng)) / CAST(len(a.ng) AS DOUBLE) >= {_CONT_T}
+""",
+)
+def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed 3-gram shingle CONTAINMENT pairs at C(A,B) >= 0.9 — the
+    asymmetric dedup tier the Jaccard stack misses by construction: a
+    short document quoted whole inside a long one has Jaccard ~|A|/|B|
+    (arbitrarily small) but containment ~1. Reports (contained,
+    container, containment); mutual near-dups appear in both directions.
+
+    Spark plan is the PPJoin-style containment prefix filter
+    (operators/dedup.py:containment_pairs): A-prefixes of length
+    |A| − ceil(0.9·|A|) + 1 under the rarest-first global frequency
+    order join against the full postings (linear in corpus shingles),
+    then exact set containment verifies. No size-ratio prune exists for
+    containment, so the frequency ordering is load-bearing (prefixes
+    hold rare shingles → bounded join fan-out on boilerplate-heavy
+    corpora). The oracle is the quadratic self-join — a DIFFERENT
+    formulation from the prefix-filtered plan, so cross-engine agreement
+    independently pins the filter's losslessness."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return dd.containment_pairs(docs, threshold=_CONT_T)

@@ -586,3 +586,78 @@ def test_bpe_train_merges_matches_bruteforce_reference(spark, tmp_path):
             for s, tt in enumerate(tok_totals)
         ]
         assert got_c == want_c, (seed, got_c, want_c)
+
+
+def test_containment_pairs_direction_and_prefix_losslessness(spark, tmp_path):
+    """Planted asymmetric corpus: a short document quoted WHOLE inside a
+    much longer one must be reported as (contained -> container) with
+    containment 1.0 even though the pair's Jaccard (~0.2) is far below
+    any near-dup threshold — the signal the Jaccard stack misses by
+    construction. The reverse direction and unrelated docs must not
+    appear. Also a definition brute-force sweep on a seeded random
+    corpus: the prefix-filtered plan must equal the quadratic
+    all-directed-pairs definition exactly (losslessness of the
+    containment prefix filter)."""
+    import random
+
+    from kafka_streams_example_spark.queries.dedup import _CONT_T
+
+    quote = " ".join(f"q{i}" for i in range(12))
+    container = quote + " " + " ".join(f"body{i}" for i in range(50))
+    rows = [
+        (0, quote, "en", 1),
+        (1, container, "en", 1),
+        (2, " ".join(f"z{i}" for i in range(30)), "en", 1),
+    ]
+    spark.createDataFrame(
+        rows, "doc_id LONG, text STRING, lang STRING, n_chars LONG"
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    got = {
+        (r.id_a, r.id_b): r.containment
+        for r in registry.QUERIES["neardup_containment_pairs"](
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {(0, 1): 1.0}
+
+    # brute-force losslessness sweep (tiny alphabet -> dense overlaps)
+    for seed in (11,):
+        rng = random.Random(seed)
+        docs = []
+        vocab = [f"w{k}" for k in range(8)]
+        for d in range(40):
+            n = rng.randint(3, 25)
+            docs.append((d, " ".join(rng.choice(vocab) for _ in range(n))))
+
+        def grams(t):
+            toks = t.split()
+            return {
+                " ".join(toks[i : i + 3]) for i in range(len(toks) - 2)
+            }
+
+        ng = {d: grams(t) for d, t in docs}
+        want = {}
+        for a, sa in ng.items():
+            if not sa:
+                continue
+            for b, sb in ng.items():
+                if a == b or not sb:
+                    continue
+                c = len(sa & sb) / len(sa)
+                if c >= _CONT_T:
+                    want[(a, b)] = round(
+                        __import__("math").floor(c * 1e6 + 0.5) / 1e6, 6
+                    )
+        spark.createDataFrame(
+            [(d, t, "en", len(t)) for d, t in docs],
+            "doc_id LONG, text STRING, lang STRING, n_chars LONG",
+        ).write.mode("overwrite").parquet(
+            str(tmp_path / f"c{seed}" / "documents.parquet")
+        )
+        got = {
+            (r.id_a, r.id_b): r.containment
+            for r in registry.QUERIES["neardup_containment_pairs"](
+                spark, str(tmp_path / f"c{seed}")
+            ).collect()
+        }
+        assert got == want, (seed, set(got) ^ set(want))
