@@ -203,6 +203,19 @@ def test_compare_bench_refuses_cross_protocol(tmp_path):
     drift_out = run(o, d)
     assert "REGRESSIONS" not in drift_out
     assert "1.60x" in drift_out
+    # ...but a UNIFORM slowdown past the measured drift ceiling must warn
+    # loudly (ADVICE r08): normalization would otherwise absorb a
+    # session/config regression that moves every query together
+    assert "WARNING: drift median 1.60x exceeds" in drift_out
+    # and an in-band drift stays quiet
+    mild = {
+        "value": 11.0,
+        "queries": {"q": 1.1, "c1": 1.1, "c2": 2.2},
+        "protocol": "sweep3",
+    }
+    m = tmp_path / "m.json"
+    m.write_text(json.dumps(mild))
+    assert "WARNING" not in run(o, m)
 
 
 def test_theme_modules_have_no_conflicting_top_level_shadows():
