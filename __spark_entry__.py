@@ -101,12 +101,16 @@ def _rotated(names: list[str]) -> list[str]:
 # row (maintained per round): their old green records are stale, so they
 # re-verify ahead of merely least-often-verified greens. r09: the
 # exact-substring pair was rewritten skew-safe (PARTITION BY h windows →
-# map-side-combinable groupBy(h) + join-back, per the r08 verdict) so
-# their r08 greens are stale; new r09 queries front via the
-# never-recorded group automatically.
+# map-side-combinable groupBy(h) + join-back, per the r08 verdict), and
+# winnowing_fingerprints gained explicit empty-sequence guards for
+# docs shorter than the gram/window widths (Spark's sequence(1,0) is
+# DESCENDING, DuckDB's generate_series(1,0) is empty — latent
+# divergence found by the r09 brute-force boundary corpus); new r09
+# queries front via the never-recorded group automatically.
 _TOUCHED_THIS_ROUND: set[str] = {
     "substring_exact_spans",
     "substring_dedup_cut",
+    "winnowing_fingerprints",
 }
 
 

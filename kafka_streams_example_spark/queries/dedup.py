@@ -623,19 +623,24 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
             acc = term if acc is None else acc + term
         return acc % F.lit(_WIN_P).cast("long")
 
+    # sequence(1, n) with n <= 0 is DESCENDING in Spark ([1, 0], default
+    # step -1) while DuckDB's generate_series(1, 0) is empty — docs shorter
+    # than k chars (resp. fewer than w grams) must yield [] explicitly or
+    # the two engines diverge and element_at walks off the array (found by
+    # tests/test_bruteforce_refs2.py's boundary corpus)
+    def _seq_or_empty(n_expr):
+        return F.when(n_expr >= 1, F.sequence(F.lit(1), n_expr)).otherwise(
+            F.array().cast("array<int>")
+        )
+
     grams = F.transform(
-        F.sequence(
-            F.lit(1), F.greatest(F.length("s") - (_WIN_K - 1), F.lit(0))
-        ),
-        gram_hash,
+        _seq_or_empty(F.length("s") - (_WIN_K - 1)), gram_hash
     )
     staged = staged.withColumn("gh", grams)
     fps = F.array_sort(
         F.array_distinct(
             F.transform(
-                F.sequence(
-                    F.lit(1), F.greatest(F.size("gh") - (_WIN_W - 1), F.lit(0))
-                ),
+                _seq_or_empty(F.size("gh") - (_WIN_W - 1)),
                 lambda i: F.array_min(F.slice(F.col("gh"), i, _WIN_W)),
             )
         )
@@ -2726,3 +2731,56 @@ def neardup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently pins the filter's losslessness."""
     docs = _load_parallel(spark, sf_dir, "documents")
     return dd.containment_pairs(docs, threshold=_CONT_T)
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# cluster_aware_split — leakage-safe split assignment (split AFTER dedup)
+# --------------------------------------------------------------------------
+
+
+def _cluster_split_sql() -> str:
+    key = "coalesce(c.cluster_id, d.doc_id)"
+    return f"""
+SELECT d.doc_id,
+       {key} AS cluster_id,
+       {split_case_sql(key)} AS split
+FROM documents d
+LEFT JOIN (SELECT doc_id, cluster_id FROM ({_clusters_oracle_sql()})) c
+       ON d.doc_id = c.doc_id
+"""
+
+
+@register("cluster_aware_split", _cluster_split_sql())
+def cluster_aware_split(spark, sf_dir):
+    """Leakage-safe split assignment: hash the DUP-CLUSTER canonical id,
+    not the document id, so every member of a near/exact-dup cluster lands
+    in the same train/valid/test split by construction. This is the FIX
+    for the failure mode ``cross_split_leakage_pairs`` audits — a naive
+    per-doc hash split strands near-dup pairs across train/eval, silently
+    inflating eval scores; splitting by the connected-component label
+    makes cross-split leakage structurally zero for every edge the dedup
+    pass can see (docs outside any cluster fall back to their own id, so
+    the assignment stays a superset-compatible extension of
+    ``train_eval_split``'s per-doc hash).
+
+    100 TB shape: reuses ``dedup_clusters`` (blocked pair generation +
+    iterative min-label CC, one shuffle per round, lineage cut per
+    iteration — the already-audited part); the final assignment is a
+    unique-key left join of all docs onto the (dup-subset-sized)
+    membership frame on doc_id — an AQE-splittable shuffle join, no
+    window — and the split itself is a pure map (salted md5 of the
+    canonical id via ``split_col``), so re-ingesting or growing the
+    corpus never moves an existing cluster across splits."""
+    from kafka_streams_example_spark import registry as _reg
+
+    clusters = _reg.QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    docs = _load_parallel(spark, sf_dir, "documents").select("doc_id")
+    key = F.coalesce(F.col("cluster_id"), F.col("doc_id"))
+    return docs.join(clusters, "doc_id", "left").select(
+        "doc_id",
+        key.alias("cluster_id"),
+        split_col(key).alias("split"),
+    )

@@ -22,6 +22,7 @@ from kafka_streams_example_spark.functions.hashing import (
 )
 from kafka_streams_example_spark.operators import text as tx
 from kafka_streams_example_spark.registry import (
+    _TOKS,
     _duck_round_half_up,
     _load_parallel,
     register,
@@ -1910,4 +1911,99 @@ def mixture_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         tx.round_half_up(F.col("en_share_raw"), 6).alias("en_share"),
         alloc.cast("long").alias("allocated_tokens"),
         (alloc < F.col("tokens_available")).alias("truncated"),
+    )
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# temperature_sampling_mixture — alpha-power language sampling (mT5/XLM-R)
+# --------------------------------------------------------------------------
+
+
+def _temp_mix_sql() -> str:
+    nd = "CAST(n_tokens AS DOUBLE)"
+    w_case = f"""CASE WHEN alpha = 0.25 THEN sqrt(sqrt({nd}))
+             WHEN alpha = 0.5  THEN sqrt({nd})
+             WHEN alpha = 0.75 THEN sqrt({nd}) * sqrt(sqrt({nd}))
+             ELSE {nd} END"""
+    share = "(w6 / CAST(sumw AS DOUBLE))"
+    upsample = f"{share} * (CAST(total_tokens AS DOUBLE) / CAST(n_tokens AS DOUBLE))"
+    return f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+cnt AS (SELECT lang, CAST(sum(len(toks)) AS BIGINT) AS n_tokens FROM t GROUP BY lang),
+tot AS (SELECT sum(n_tokens) AS total_tokens FROM cnt),
+a AS (SELECT CAST(alpha AS DOUBLE) AS alpha
+      FROM (VALUES (0.25), (0.5), (0.75), (1.0)) AS v(alpha)),
+w AS (SELECT lang, n_tokens, alpha,
+             {_duck_round_half_up(w_case, 6)} AS w6
+      FROM cnt, a),
+s AS (SELECT alpha, sum(CAST(w6 AS DECIMAL(28,6))) AS sumw FROM w GROUP BY alpha)
+SELECT w.lang, w.alpha, w.n_tokens,
+       {_duck_round_half_up(share, 6)} AS share,
+       {_duck_round_half_up(upsample, 6)} AS upsample_factor
+FROM w JOIN s USING (alpha), tot
+"""
+
+
+@register("temperature_sampling_mixture", _temp_mix_sql())
+def temperature_sampling_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based language-mixture sampling (the mT5/XLM-R recipe,
+    arXiv:1910.10683 §3.4.3 / arXiv:1911.02116 §3): per language, sampling
+    weight w = n_tokens^alpha for alpha in {0.25, 0.5, 0.75, 1.0}, the
+    normalized mixture share, and the upsample factor vs natural
+    frequency (share / natural share) — alpha<1 flattens the mixture
+    toward low-resource languages, the dial every multilingual pretrain
+    sets.
+
+    Engine-exactness device: alphas are restricted to quarters so every
+    power is a composition of IEEE-correctly-rounded ops — n^0.25 =
+    sqrt(sqrt(n)), n^0.75 = sqrt(n)*sqrt(sqrt(n)) — making the raw
+    weights BIT-IDENTICAL across engines (pow() itself is not correctly
+    rounded in either engine, so general alphas could not hash-match);
+    weights are half-up rounded to 6dp, summed exactly as DECIMAL, and
+    the final ratios re-derived with the identical double op sequence on
+    both sides.
+
+    100 TB shape: one token-count scan into a langs-sized aggregate;
+    everything after operates on a #langs x 4 frame (broadcast of the
+    1-row total + a tiny alpha cross). The weights apply downstream as a
+    broadcast map-side sampler — the corpus is never reshuffled."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    cnt = (
+        docs.select("lang", F.size(tx.tokens(F.lower(F.col("text")))).alias("nt"))
+        .groupBy("lang")
+        .agg(F.sum("nt").cast("bigint").alias("n_tokens"))
+    )
+    tot = cnt.agg(F.sum("n_tokens").alias("total_tokens"))
+    nd = F.col("n_tokens").cast("double")
+    r2 = F.sqrt(nd)
+    r4 = F.sqrt(F.sqrt(nd))
+    alpha = F.col("alpha")
+    w_raw = (
+        F.when(alpha == 0.25, r4)
+        .when(alpha == 0.5, r2)
+        .when(alpha == 0.75, r2 * r4)
+        .otherwise(nd)
+    )
+    w = cnt.withColumn(
+        "alpha",
+        F.explode(F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75), F.lit(1.0))),
+    ).withColumn("w6", tx.round_half_up(w_raw, 6))
+    sums = w.groupBy("alpha").agg(
+        F.sum(F.col("w6").cast("decimal(28,6)")).alias("sumw")
+    )
+    share = F.col("w6") / F.col("sumw").cast("double")
+    upsample = share * (
+        F.col("total_tokens").cast("double") / F.col("n_tokens").cast("double")
+    )
+    return (
+        w.join(F.broadcast(sums), "alpha")
+        .join(F.broadcast(tot))
+        .select(
+            "lang",
+            "alpha",
+            "n_tokens",
+            tx.round_half_up(share, 6).alias("share"),
+            tx.round_half_up(upsample, 6).alias("upsample_factor"),
+        )
     )
