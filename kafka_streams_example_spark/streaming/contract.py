@@ -645,3 +645,129 @@ def streaming_ingest_neardup(
         )
 
     return docs_stream, publish
+
+
+def streaming_decontam_gate(
+    docs_stream: DataFrame,
+    bench_seed: DataFrame,
+    state_dir: str | None = None,
+    ngram: int = 5,
+) -> tuple[DataFrame, "callable"]:
+    """Benchmark decontamination as a STANDING ingest gate — the streaming
+    twin of ``queries/dedup.py:decontam_ngram_overlap``: each arriving
+    micro-batch of documents probes a STATIC eval-set n-gram index, is
+    classified contaminated-vs-clean per language, and contaminated doc
+    ids land in an append-only quarantine the packing stage excludes —
+    so benchmark text is stopped at ingest instead of being discovered in
+    a post-hoc sweep over the accumulated corpus.
+
+    Differences from the two ingest-dedup twins (same commit-state
+    machinery, exactly-once counters, replay/rewind handling, restart
+    resume, O(1) plan depth):
+
+    - the probe index is STATIC: ``bench_ngrams/`` is written ONCE from
+      the eval corpus at state-dir creation (distinct 64-bit xxhash64
+      gram hashes — never benchmark text; a held-out set small enough to
+      broadcast, which is what makes the per-batch probe a map-side
+      join). There is no extend step — ingested documents must never
+      widen the blocklist.
+    - ``quarantine/batch=<id>/``: APPEND-ONLY parquet of
+      (doc_id, n_overlap) for the batch's contaminated docs — the
+      actionable exclusion list, partitioned by contributing batch with
+      deterministic overwrite (crash-replay rewrites the same files).
+    - the published view is ``decontam_totals`` with per-lang counters
+      (lang, n_incoming, n_contaminated, n_clean, n_overlap_grams).
+
+    Gram granularity is the 64-bit hash, not the string: a false
+    collision (~n*m*2^-64) can only OVER-count contamination — the safe
+    direction for a gate — and the index stays 8 bytes per distinct
+    eval gram. Docs shorter than ``ngram`` tokens carry no grams and
+    classify clean, matching the batch query's explode_outer semantics.
+    """
+    import tempfile
+
+    from kafka_streams_example_spark.operators.text import word_ngrams
+
+    owner = bench_seed.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="decontam_state_")
+    idx_path = os.path.join(root, "bench_ngrams")
+
+    def _grams_of(df: DataFrame) -> DataFrame:
+        """(doc_id, text, ...) → exploded DISTINCT (id, gh) gram hashes."""
+        return (
+            df.select(F.col("doc_id").alias("id"), F.col("text").alias("txt"))
+            .select("id", F.explode(word_ngrams(F.col("txt"), ngram)).alias("g"))
+            .select("id", F.xxhash64("g").alias("gh"))
+            .distinct()
+        )
+
+    state = _load_commit_state(root)
+    if not state["resumed"]:
+        _grams_of(bench_seed).select("gh").distinct().write.mode(
+            "overwrite"
+        ).parquet(idx_path)
+
+    def _republish() -> None:
+        if state["gen"] > 0:
+            committed = os.path.join(root, f"totals_gen{(state['gen'] - 1) % 2}")
+            owner.read.parquet(committed).createOrReplaceTempView(
+                "decontam_totals"
+            )
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        # Spark 4 validates that foreachBatch consumes EVERY partition —
+        # materialize fully before partial/lazy use.
+        batch_df.persist()
+        batch_df.count()
+        try:
+            replay = _is_replay(state, root, batch_id)
+        except RuntimeError:
+            batch_df.unpersist()
+            raise
+        if replay:
+            batch_df.unpersist()
+            _republish()
+            return
+        bench = F.broadcast(
+            owner.read.parquet(idx_path).withColumn("hit", F.lit(1))
+        )
+        overlaps = (
+            _grams_of(batch_df)
+            .join(bench, "gh", "left")
+            .groupBy("id")
+            .agg(F.count("hit").alias("n_overlap"))
+        )
+        probed = batch_df.select(F.col("doc_id").alias("id"), "lang").join(
+            overlaps, "id", "left"
+        ).select(
+            "id", "lang", F.coalesce("n_overlap", F.lit(0)).alias("n_overlap")
+        )
+        batch_counts = probed.groupBy("lang").agg(
+            F.count("*").alias("n_incoming"),
+            F.count(F.when(F.col("n_overlap") > 0, 1)).alias("n_contaminated"),
+            F.count(F.when(F.col("n_overlap") == 0, 1)).alias("n_clean"),
+            F.sum("n_overlap").alias("n_overlap_grams"),
+        )
+        gen = state["gen"]
+        merged = _merge_running_totals(
+            owner,
+            None if gen == 0 else os.path.join(root, f"totals_gen{(gen - 1) % 2}"),
+            batch_counts,
+            ["n_incoming", "n_contaminated", "n_clean", "n_overlap_grams"],
+        )
+        totals_path = os.path.join(root, f"totals_gen{gen % 2}")
+        merged.write.mode("overwrite").parquet(totals_path)
+        # quarantine the batch's contaminated ids — DETERMINISTIC
+        # batch=<id> partition with overwrite (idempotent under replay)
+        probed.filter(F.col("n_overlap") > 0).select(
+            F.col("id").alias("doc_id"), "n_overlap"
+        ).write.mode("overwrite").parquet(
+            os.path.join(root, f"quarantine/batch={batch_id}")
+        )
+        batch_df.unpersist()
+        _commit_marker(root, state, batch_id)
+        owner.read.parquet(totals_path).createOrReplaceTempView(
+            "decontam_totals"
+        )
+
+    return docs_stream, publish

@@ -2074,3 +2074,276 @@ def test_streaming_ingest_neardup_checkpoint_restart_end_to_end(spark, tmp_path)
     got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
     # 4 incoming; near-dups: doc 2 (vs seed) + doc 3 (vs pre-restart index)
     assert [tuple(r) for r in got] == [("en", 4, 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# streaming_decontam_gate — standing benchmark-decontamination ingest gate
+# (round 9, session 2: the third ingest twin; static eval-set index)
+# ---------------------------------------------------------------------------
+
+
+def _gram_set(text: str, n: int = 5) -> set:
+    """Python replica of operators/text.py:word_ngrams (distinct,
+    space-joined, lowercase, whitespace-normalized)."""
+    toks = text.lower().split()
+    return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+
+
+def _decontam_corpus(spark):
+    """sf0.001 docs with a verbatim 5-token benchmark span planted into
+    ~a third of the incoming docs (the synthetic word-salad corpus has
+    few natural cross-doc 5-gram repeats, so contamination is planted to
+    exercise the gate); bench = doc_id %% 17 == 0, matching the batch
+    query's convention."""
+    import pyspark.sql.functions as F
+
+    from kafka_streams_example_spark.sources.files import load_table
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    bench = [r for r in rows if r.doc_id % 17 == 0]
+    span = " ".join(bench[0].text.split()[:5])
+    assert len(span.split()) == 5
+    incoming = []
+    for r in rows:
+        if r.doc_id % 17 == 0:
+            continue
+        text = f"{r.text} {span}" if r.doc_id % 3 == 0 else r.text
+        incoming.append((r.doc_id, r.lang, text))
+    return bench, incoming
+
+
+def test_streaming_decontam_matches_batch_replay(spark, tmp_path):
+    """5-micro-batch parity against an independent Python replay of the
+    decontam definition (distinct word 5-grams vs the eval-set gram set —
+    the formulation of queries/dedup.py:decontam_ngram_overlap), with
+    planted contamination asserted present."""
+    import json as _json
+    import os as _os
+    from collections import defaultdict
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_decontam_gate,
+    )
+
+    bench, incoming = _decontam_corpus(spark)
+    bench_grams = set()
+    for r in bench:
+        bench_grams |= _gram_set(r.text)
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    n_contaminated = 0
+    for did, lang, text in incoming:
+        ov = len(_gram_set(text) & bench_grams)
+        want[lang][0] += 1
+        want[lang][1] += ov > 0
+        want[lang][2] += ov == 0
+        want[lang][3] += ov
+        n_contaminated += ov > 0
+    assert n_contaminated > 0
+
+    seed = spark.createDataFrame(
+        [(r.doc_id, r.lang, r.text) for r in bench],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    src = tmp_path / "dc_in"
+    _os.makedirs(src)
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(src))
+    _, publish = streaming_decontam_gate(
+        stream, seed, state_dir=str(tmp_path / "dc_state")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "dc_ck"))
+        .start()
+    )
+    for b in range(5):
+        with open(src / f"b{b}.json", "w") as f:
+            for did, lang, text in incoming:
+                if did % 5 == b:
+                    f.write(
+                        _json.dumps({"doc_id": did, "lang": lang, "text": text})
+                        + "\n"
+                    )
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT * FROM decontam_totals").collect(),
+        key=lambda r: r.lang,
+    )
+    assert [tuple(r) for r in got] == [
+        (lang, c[0], c[1], c[2], c[3]) for lang, c in sorted(want.items())
+    ]
+
+
+def test_streaming_decontam_quarantine_and_static_index(spark, tmp_path):
+    """The quarantine holds exactly the contaminated (doc_id, n_overlap)
+    rows per contributing batch; the bench index contains only 64-bit
+    gram hashes and NEVER changes after seeding (ingested docs must not
+    widen the blocklist)."""
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_decontam_gate,
+    )
+
+    bench_text = " ".join(f"ev{i}" for i in range(12))  # 8 distinct 5-grams
+    seed = spark.createDataFrame(
+        [(0, "en", bench_text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "dcq_state")
+    _os.makedirs(tmp_path / "dcq_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "dcq_unused"))
+    _, publish = streaming_decontam_gate(stream, seed, state_dir=state_dir)
+    idx_before = sorted(
+        r.gh for r in spark.read.parquet(_os.path.join(state_dir, "bench_ngrams")).collect()
+    )
+    assert len(idx_before) == 8  # 12 tokens -> 8 overlapping 5-grams
+
+    leak = " ".join(f"ev{i}" for i in range(5))  # one benchmark 5-gram
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, text STRING"
+    )
+    publish(
+        mk(
+            [
+                (1, "en", "clean words only here really " + "x " * 6),
+                (2, "en", f"prefix {leak} suffix"),
+                (3, "de", bench_text),  # fully contaminated
+                (4, "de", "kurz"),  # < 5 tokens -> clean by convention
+            ]
+        ),
+        0,
+    )
+    publish(mk([(5, "en", f"{leak} again trailing tokens")]), 1)
+    got = sorted(spark.sql("SELECT * FROM decontam_totals").collect())
+    assert [tuple(r) for r in got] == [
+        ("de", 2, 1, 1, 8),
+        ("en", 3, 2, 1, 2),
+    ]
+    quar = spark.read.parquet(_os.path.join(state_dir, "quarantine"))
+    assert sorted(quar.columns) == ["batch", "doc_id", "n_overlap"]
+    assert sorted(tuple(r) for r in quar.collect()) == [
+        (2, 1, 0),
+        (3, 8, 0),
+        (5, 1, 1),
+    ]
+    # static index: byte-identical after two published batches
+    idx_after = sorted(
+        r.gh for r in spark.read.parquet(_os.path.join(state_dir, "bench_ngrams")).collect()
+    )
+    assert idx_after == idx_before
+
+
+def test_streaming_decontam_replay_restart_and_rewind(spark, tmp_path):
+    """Exactly-once counters under crash-replay; restart resumes from the
+    durable high-watermark; a rewound/fresh checkpoint over the same
+    state_dir raises (shared commit-state machinery, pinned for the
+    decontam surface)."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_decontam_gate,
+    )
+
+    bench_text = " ".join(f"bm{i}" for i in range(10))
+    seed = spark.createDataFrame(
+        [(0, "en", bench_text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "dcr_state")
+    _os.makedirs(tmp_path / "dcr_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "dcr_unused"))
+    _, publish = streaming_decontam_gate(stream, seed, state_dir=state_dir)
+    leak = " ".join(f"bm{i}" for i in range(5))
+    mk = lambda i, text: spark.createDataFrame(
+        [(i, "en", text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    publish(mk(1, f"body {leak} body"), 0)
+    publish(mk(2, "all clean tokens here today"), 1)
+    want = [("en", 2, 1, 1, 1)]
+    got = sorted(spark.sql("SELECT * FROM decontam_totals").collect())
+    assert [tuple(r) for r in got] == want
+    # crash-replay of the watermark batch: counters must not move
+    publish(mk(2, "all clean tokens here today"), 1)
+    got = sorted(spark.sql("SELECT * FROM decontam_totals").collect())
+    assert [tuple(r) for r in got] == want
+    # restart: rebuilt publisher resumes (index NOT re-seeded)
+    _, publish2 = streaming_decontam_gate(stream, seed, state_dir=state_dir)
+    publish2(mk(3, f"{leak} and more"), 2)
+    got = sorted(spark.sql("SELECT * FROM decontam_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 2, 1, 2)]
+    # rewound/fresh checkpoint, same state_dir
+    _, publish3 = streaming_decontam_gate(stream, seed, state_dir=state_dir)
+    with _pytest.raises(RuntimeError, match="reset/rewound"):
+        publish3(mk(4, "whatever"), 0)
+
+
+def test_streaming_decontam_checkpoint_restart_end_to_end(spark, tmp_path):
+    """Full restart integration: a NEW streaming query resumed from the
+    SAME checkpoint with a rebuilt publisher delivers exactly the
+    counters a never-restarted run would — including a post-restart
+    contaminated doc counted against the never-reseeded static index."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_decontam_gate,
+    )
+
+    bench_text = " ".join(f"hb{i}" for i in range(10))
+    leak = " ".join(f"hb{i}" for i in range(3, 8))
+    seed = spark.createDataFrame(
+        [(0, "en", bench_text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    src = tmp_path / "dce2e_in"
+    _os.makedirs(src)
+    state_dir = str(tmp_path / "dce2e_state")
+    ck = str(tmp_path / "dce2e_ck")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for did, lang, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "lang": lang, "text": text})
+                    + "\n"
+                )
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id LONG, lang STRING, text STRING"
+        ).json(str(src))
+        _, publish = streaming_decontam_gate(stream, seed, state_dir=state_dir)
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(publish)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    write("b0.json", [(1, "en", "totally clean first document text")])
+    q.processAllAvailable()
+    write("b1.json", [(2, "en", f"pre {leak} post")])
+    q.processAllAvailable()
+    q.stop()
+    q2 = start()
+    write(
+        "b2.json",
+        [(3, "en", f"again {leak} here"), (4, "en", "still clean words")],
+    )
+    q2.processAllAvailable()
+    q2.stop()
+    got = sorted(spark.sql("SELECT * FROM decontam_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 4, 2, 2, 2)]
