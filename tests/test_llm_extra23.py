@@ -1,0 +1,168 @@
+"""Semantic tests for the round-9 session-2 tranche (cluster-aware
+split, CCNet perplexity buckets, temperature-sampled mixture). Oracle
+parity runs via test_oracle_parity; these pin the PROPERTIES each
+operator exists for — zero cross-split leakage, histogram-CDF quartile
+balance without a corpus-sized sort partition, and the alpha-power
+mixture algebra — on planted corpora and the SF_SMOKE data."""
+
+from __future__ import annotations
+
+import math
+from collections import defaultdict
+
+import pyspark.sql.functions as F
+
+from kafka_streams_example_spark import registry
+from tests.conftest import SF_SMOKE
+
+_DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+# ---------------------------------------------------------------------------
+# cluster_aware_split
+# ---------------------------------------------------------------------------
+
+
+def _planted_dup_corpus(spark, tmp_path):
+    """40 distinct docs plus exact-duplicate partners chosen so the NAIVE
+    per-doc hash split strands at least one dup pair across splits —
+    proving the cluster-keyed split fixes something real."""
+    texts = [
+        " ".join(f"w{i}k{j}" for j in range(25)) for i in range(40)
+    ]
+    rows = [(i, t, "en", "src0", len(t)) for i, t in enumerate(texts)]
+    # duplicate partners: ids 1000+i carry identical text
+    rows += [
+        (1000 + i, texts[i], "en", "src0", len(texts[i])) for i in range(0, 40, 2)
+    ]
+    sf = tmp_path / "cas"
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    return str(sf), rows
+
+
+def test_cluster_aware_split_zero_leakage_and_fallback(spark, tmp_path):
+    from kafka_streams_example_spark.queries.eval import split_col
+
+    sf, rows = _planted_dup_corpus(spark, tmp_path)
+    out = {
+        r.doc_id: (r.cluster_id, r.split)
+        for r in registry.QUERIES["cluster_aware_split"](spark, sf).collect()
+    }
+    assert set(out) == {r[0] for r in rows}  # every doc assigned
+    # dup partners always share cluster AND split
+    for i in range(0, 40, 2):
+        assert out[i][0] == out[1000 + i][0] == i  # min-id canonical
+        assert out[i][1] == out[1000 + i][1]
+    # the naive per-doc split must straddle at least one dup pair
+    # (otherwise this corpus proves nothing about the fix)
+    naive = {
+        r.doc_id: r.split
+        for r in spark.createDataFrame(
+            [(r[0],) for r in rows], "doc_id LONG"
+        ).select("doc_id", split_col(F.col("doc_id")).alias("split")).collect()
+    }
+    assert any(naive[i] != naive[1000 + i] for i in range(0, 40, 2))
+    # non-clustered docs fall back to their own id => identical to the
+    # canonical per-doc assignment (superset-compatible extension)
+    singles = [i for i in range(40) if i % 2 == 1]
+    for i in singles:
+        assert out[i][0] == i and out[i][1] == naive[i]
+
+
+def test_cluster_aware_split_leakage_zero_on_real_corpus(spark):
+    """On SF_SMOKE: no multi-doc cluster straddles splits, and the split
+    is a pure function of cluster_id (same cluster -> same split)."""
+    rows = registry.QUERIES["cluster_aware_split"](spark, SF_SMOKE).collect()
+    by_cluster = defaultdict(set)
+    for r in rows:
+        by_cluster[r.cluster_id].add(r.split)
+    assert all(len(s) == 1 for s in by_cluster.values())
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_quartile_balance_and_coverage(spark):
+    rows = registry.QUERIES["ccnet_perplexity_buckets"](spark, SF_SMOKE).collect()
+    per_lang = defaultdict(dict)
+    for r in rows:
+        per_lang[r.lang][r.bucket] = r.n_docs
+    from kafka_streams_example_spark.sources.files import load_table
+
+    n_by_lang = {
+        r.lang: r.n
+        for r in load_table(spark, SF_SMOKE, "documents")
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    for lang, buckets in per_lang.items():
+        # buckets partition the language exactly
+        assert sum(buckets.values()) == n_by_lang[lang]
+        assert set(buckets) <= {1, 2, 3, 4}
+        # bucket 1 holds at least a quartile (CDF threshold t1 is the
+        # smallest bin reaching 25%), and every earlier-bucket cumulative
+        # count reaches its k/4 share — the quantile contract at bin
+        # resolution (upper bounds can exceed n/4 when one bin is fat)
+        cum = 0
+        n = n_by_lang[lang]
+        for k in (1, 2, 3):
+            cum += buckets.get(k, 0)
+            assert cum * 4 >= k * n, (lang, k)
+
+
+def test_ccnet_buckets_histogram_plan_shape(spark):
+    """The scale claim: the only window runs over the aggregated
+    (lang, bin) histogram — the executed plan must show the window ABOVE
+    a partial_count aggregate, and no ntile anywhere."""
+    df = registry.QUERIES["ccnet_perplexity_buckets"](spark, SF_SMOKE)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "ntile" not in plan.lower()
+    assert "partial_count" in plan
+    # window partitions by lang only (the bins-bounded frame), never by a
+    # doc-keyed column
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+        assert "doc_id" not in spec
+
+
+# ---------------------------------------------------------------------------
+# temperature_sampling_mixture
+# ---------------------------------------------------------------------------
+
+
+def test_temperature_mixture_algebra(spark):
+    rows = registry.QUERIES["temperature_sampling_mixture"](spark, SF_SMOKE).collect()
+    by_alpha = defaultdict(dict)
+    n_tokens = {}
+    for r in rows:
+        by_alpha[r.alpha][r.lang] = (r.share, r.upsample_factor)
+        n_tokens[r.lang] = r.n_tokens
+    total = sum(n_tokens.values())
+    assert set(by_alpha) == {0.25, 0.5, 0.75, 1.0}
+    for alpha, langs in by_alpha.items():
+        shares = {l: s for l, (s, _) in langs.items()}
+        assert abs(sum(shares.values()) - 1.0) < 1e-4
+        # shares match n^alpha up to the 6dp rounding ladder
+        ws = {l: n_tokens[l] ** alpha for l in shares}
+        sw = sum(ws.values())
+        for l in shares:
+            assert abs(shares[l] - ws[l] / sw) < 1e-5, (alpha, l)
+        # upsample = share / natural share
+        for l, (s, up) in langs.items():
+            assert abs(up - s * total / n_tokens[l]) < 1e-4, (alpha, l)
+    # alpha=1 reproduces natural frequency exactly (upsample == 1)
+    for l, (s, up) in by_alpha[1.0].items():
+        assert abs(up - 1.0) < 1e-5
+    # flattening is monotone: the smallest language's share grows as
+    # alpha falls; the largest language's share shrinks
+    lo = min(n_tokens, key=n_tokens.get)
+    hi = max(n_tokens, key=n_tokens.get)
+    s_lo = [by_alpha[a][lo][0] for a in (1.0, 0.75, 0.5, 0.25)]
+    s_hi = [by_alpha[a][hi][0] for a in (1.0, 0.75, 0.5, 0.25)]
+    assert s_lo == sorted(s_lo) and s_hi == sorted(s_hi, reverse=True)
