@@ -2784,3 +2784,65 @@ def cluster_aware_split(spark, sf_dir):
         key.alias("cluster_id"),
         split_col(key).alias("split"),
     )
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# cross_source_duplication_matrix — which domains mirror each other
+# --------------------------------------------------------------------------
+
+
+@register(
+    "cross_source_duplication_matrix",
+    f"""
+WITH {_PAIRS_CTE},
+src AS (SELECT doc_id, source FROM documents)
+SELECT least(sa.source, sb.source) AS source_a,
+       greatest(sa.source, sb.source) AS source_b,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(sum(CAST(jaccard AS DECIMAL(18,6))), 6)::DOUBLE AS sum_jaccard
+FROM pairs p
+JOIN src sa ON p.id_a = sa.doc_id
+JOIN src sb ON p.id_b = sb.doc_id
+GROUP BY 1, 2
+""",
+)
+def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-by-source near-duplication matrix: for every unordered
+    source pair, how many near-dup pairs straddle it (diagonal =
+    within-source duplication) and their summed Jaccard mass — the
+    readout that tells a curation team WHICH domains mirror each other
+    (syndication, scraped mirrors, cross-posted boilerplate), i.e.
+    where source-blocked dedup silently under-deduplicates and which
+    domain pair to collapse first.
+
+    100 TB shape: reuses the session-cached unblocked AllPairs table
+    (``_neardup_pairs`` — the audited freq-ordered prefix-filter path
+    shared by the three pair audits, never a quadratic self-join); the
+    source labels join back from the sparse (ids, jaccard) pair table
+    onto the two-column doc->source projection, and the output is
+    bounded by #sources^2 cells regardless of corpus size. Pair Jaccard
+    is half-up 6dp at the pair level, so the cell sum is an exact
+    DECIMAL fold on both engines."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    src = docs.select("doc_id", "source")
+    pairs = _neardup_pairs(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    labeled = pairs.join(
+        src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("s_a")),
+        "id_a",
+    ).join(
+        src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("s_b")),
+        "id_b",
+    )
+    return (
+        labeled.groupBy(
+            F.least("s_a", "s_b").alias("source_a"),
+            F.greatest("s_a", "s_b").alias("source_b"),
+        )
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.round(F.sum(F.col("jaccard").cast("decimal(18,6)")), 6)
+            .cast("double")
+            .alias("sum_jaccard"),
+        )
+    )

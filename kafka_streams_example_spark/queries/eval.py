@@ -1058,3 +1058,98 @@ def ndcg_retrieval_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
 ORACLES["ndcg_retrieval_eval"] = ORACLES["ndcg_retrieval_eval"].format(
     topk=ORACLES["similarity_cosine_topk"]
 )
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# quality_threshold_for_budget — token-budget-constrained filter cutoff
+# --------------------------------------------------------------------------
+
+
+def _qtb_sql() -> str:
+    w = "ORDER BY bin ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    return f"""
+WITH scored AS (
+    SELECT doc_id, n_tokens, avg_neg_logp AS score FROM ({_proxy_oracle_sql()})
+),
+binned AS (
+    SELECT CAST(floor(score * 100.0) AS BIGINT) AS bin, n_tokens FROM scored
+),
+hist AS (
+    SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_tokens) AS BIGINT) AS n_toks
+    FROM binned GROUP BY bin
+),
+cdf AS (
+    SELECT bin,
+           CAST(sum(n_docs) OVER ({w}) AS BIGINT) AS cum_docs,
+           CAST(sum(n_toks) OVER ({w}) AS BIGINT) AS cum_toks,
+           CAST(sum(n_toks) OVER () AS BIGINT) AS total_toks
+    FROM hist
+),
+sel AS (
+    SELECT k, min(bin) AS t_bin
+    FROM cdf CROSS JOIN (VALUES (1), (2), (3)) v(k)
+    WHERE cum_toks * 4 >= k * total_toks
+    GROUP BY k
+)
+SELECT CAST(k AS DOUBLE) / 4.0 AS budget_share,
+       CAST(t_bin AS DOUBLE) / 100.0 AS threshold_score,
+       c.cum_docs AS n_docs_kept,
+       c.cum_toks AS n_tokens_kept
+FROM sel JOIN cdf c ON c.bin = sel.t_bin
+"""
+
+
+@register("quality_threshold_for_budget", _qtb_sql())
+def quality_threshold_for_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverse of ``quality_filter_threshold_sweep``: instead of reading
+    survivor counts at guessed cutoffs, SOLVE for the quality-score
+    threshold that keeps a target token budget (25/50/75%% of corpus
+    tokens) when documents are admitted best-score-first — the
+    select-top-documents-under-budget shape of quality-pruned pretraining
+    corpora (FineWeb-Edu-style classifier-threshold selection, here on
+    the unigram-LM score).
+
+    100 TB shape — same histogram-CDF device as ccnet_perplexity_buckets:
+    scores quantize to 2dp bins, token mass accumulates per bin
+    (map-side-combinable), the cumulative window runs over the
+    bins-bounded histogram (hundreds of rows at ANY corpus size — the
+    WindowExec single-partition warning is about this bounded frame, not
+    the corpus), and the returned threshold is the smallest bin whose
+    cumulative token mass covers the budget — exact integer predicate
+    4*cum >= k*total, bin-resolution answer, one corpus scan total."""
+    from kafka_streams_example_spark import registry as _reg
+
+    scored = _reg.QUERIES["doc_perplexity_proxy"](spark, sf_dir).select(
+        F.floor(F.col("avg_neg_logp") * 100.0).cast("bigint").alias("bin"),
+        "n_tokens",
+    )
+    hist = scored.groupBy("bin").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_toks"),
+    )
+    w_cum = Window.orderBy("bin").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    w_all = Window.partitionBy()
+    cdf = hist.select(
+        "bin",
+        F.sum("n_docs").over(w_cum).cast("bigint").alias("cum_docs"),
+        F.sum("n_toks").over(w_cum).cast("bigint").alias("cum_toks"),
+        F.sum("n_toks").over(w_all).cast("bigint").alias("total_toks"),
+    )
+    ks = cdf.withColumn(
+        "k", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3)))
+    )
+    sel = (
+        ks.filter(F.col("cum_toks") * 4 >= F.col("k") * F.col("total_toks"))
+        .groupBy("k")
+        .agg(F.min("bin").alias("t_bin"))
+    )
+    return sel.join(cdf, sel["t_bin"] == cdf["bin"]).select(
+        (F.col("k").cast("double") / 4.0).alias("budget_share"),
+        (F.col("t_bin").cast("double") / 100.0).alias("threshold_score"),
+        F.col("cum_docs").alias("n_docs_kept"),
+        F.col("cum_toks").alias("n_tokens_kept"),
+    )
