@@ -771,3 +771,95 @@ def streaming_decontam_gate(
         )
 
     return docs_stream, publish
+
+
+def compact_ingest_index(
+    owner: SparkSession, state_dir: str, index_name: str = "fp_index"
+) -> dict:
+    """Offline small-file maintenance for the standing ingest twins'
+    APPEND-ONLY parquet indexes (``fp_index`` for the exact twin,
+    ``band_index`` for the near-dup twin): fold every committed
+    ``batch=<id>`` partition into ONE consolidated partition, so a job
+    that has ingested tens of thousands of micro-batches probes one
+    well-sized partition instead of tens of thousands of small files.
+    The per-batch publish path deliberately never does this (it would be
+    O(index) write amplification per batch — see streaming_ingest_dedup);
+    this is the periodic offline pass those docstrings defer to.
+
+    Contract: run ONLY while the standing job is quiesced (stopped or
+    between batches — the publishers and this function share no locks).
+    Probe semantics are preserved exactly: the consolidated partition id
+    is ``min(existing ids) - 1`` (strictly below every possible future
+    batch id, so the publishers' ``batch < batch_id`` partition-pruned
+    probe always includes it), only partitions AT OR BELOW the committed
+    high-watermark are absorbed (a crashed attempt's half-written
+    ``batch=watermark+1`` partition is left alone for its replay to
+    overwrite), and rows pass through ``distinct()`` — preserving the
+    global distinctness invariant the probe joins rely on.
+
+    Crash-recoverable in the repo's exactly-once style: an intent marker
+    (``compact.json``: absorbed ids + target id) is written BEFORE the
+    consolidated partition, and absorbed partitions are deleted only
+    AFTER the target's ``_SUCCESS`` lands. Re-running after a crash
+    completes the swap (marker + _SUCCESS present) or discards the
+    partial target and starts over (marker without _SUCCESS) — at no
+    point can rows be lost, and a duplicate-visible window exists only
+    between target-_SUCCESS and absorb-deletion, which the quiesced-job
+    contract keeps outside any probe.
+
+    Returns a summary dict (absorbed partition count, rows written,
+    consolidated id) for the caller's operational logs.
+    """
+    import shutil
+
+    idx_dir = os.path.join(state_dir, index_name)
+    marker = os.path.join(state_dir, "compact.json")
+    state = _load_commit_state(state_dir)
+
+    def _ids() -> list[int]:
+        return sorted(
+            int(d.split("=", 1)[1])
+            for d in os.listdir(idx_dir)
+            if d.startswith("batch=")
+        )
+
+    # resume a crashed compaction first
+    if os.path.exists(marker):
+        with open(marker) as fh:
+            intent = json.load(fh)
+        tgt = os.path.join(idx_dir, f"batch={intent['new_id']}")
+        if os.path.exists(os.path.join(tgt, "_SUCCESS")):
+            for k in intent["absorbed"]:
+                path = os.path.join(idx_dir, f"batch={k}")
+                if os.path.exists(path):
+                    shutil.rmtree(path)
+            os.remove(marker)
+        else:
+            if os.path.exists(tgt):
+                shutil.rmtree(tgt)
+            os.remove(marker)
+
+    ids = _ids()
+    absorb = [k for k in ids if k <= state["last"]]
+    if len(absorb) <= 1:
+        return {"absorbed": 0, "rows": None, "new_id": None}
+    new_id = ids[0] - 1
+    intent = {"new_id": new_id, "absorbed": absorb}
+    tmp = marker + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(intent, fh)
+    os.replace(tmp, marker)
+    consolidated = (
+        owner.read.parquet(idx_dir)
+        .filter(F.col("batch").isin(absorb))
+        .drop("batch")
+        .distinct()
+    )
+    consolidated.write.mode("overwrite").parquet(
+        os.path.join(idx_dir, f"batch={new_id}")
+    )
+    n_rows = owner.read.parquet(os.path.join(idx_dir, f"batch={new_id}")).count()
+    for k in absorb:
+        shutil.rmtree(os.path.join(idx_dir, f"batch={k}"))
+    os.remove(marker)
+    return {"absorbed": len(absorb), "rows": n_rows, "new_id": new_id}

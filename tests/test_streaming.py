@@ -2347,3 +2347,165 @@ def test_streaming_decontam_checkpoint_restart_end_to_end(spark, tmp_path):
     q2.stop()
     got = sorted(spark.sql("SELECT * FROM decontam_totals").collect())
     assert [tuple(r) for r in got] == [("en", 4, 2, 2, 2)]
+
+
+# ---------------------------------------------------------------------------
+# compact_ingest_index — offline small-file maintenance for the ingest twins
+# ---------------------------------------------------------------------------
+
+
+def _mk_docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id LONG, lang STRING, text STRING")
+
+
+def test_compact_ingest_index_preserves_probe_semantics(spark, tmp_path):
+    """Compaction folds committed partitions into one; the distinct row
+    set is unchanged; a compacted and an uncompacted run classify
+    subsequent batches identically (including a dup of a pre-compaction
+    novel doc, which must still hit)."""
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        compact_ingest_index,
+        streaming_ingest_dedup,
+    )
+
+    seed = _mk_docs(spark, [(0, "en", "seed text alpha beta gamma")])
+    dirs = {n: str(tmp_path / f"ci_{n}") for n in ("a", "b")}
+    _os.makedirs(tmp_path / "ci_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "ci_unused"))
+    pubs = {
+        n: streaming_ingest_dedup(stream, seed, state_dir=d)[1]
+        for n, d in dirs.items()
+    }
+    batches = [
+        [(1, "en", "one unique doc body"), (2, "de", "zwei einzigartig")],
+        [(3, "en", "one unique doc body")],  # dup of 1
+        [(4, "fr", "trois nouveaux mots ici")],
+        [(5, "en", "quatre another fresh body")],
+    ]
+    for i, b in enumerate(batches):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    idx_a = _os.path.join(dirs["a"], "fp_index")
+    before = sorted(
+        r.fp for r in spark.read.parquet(idx_a).select("fp").collect()
+    )
+    res = compact_ingest_index(spark, dirs["a"], "fp_index")
+    assert res["absorbed"] == 5  # seed + 4 batches
+    parts = [d for d in _os.listdir(idx_a) if d.startswith("batch=")]
+    assert parts == [f"batch={res['new_id']}"] and res["new_id"] < -1
+    after = sorted(
+        r.fp for r in spark.read.parquet(idx_a).select("fp").collect()
+    )
+    assert after == before
+    # second compaction is a no-op
+    assert compact_ingest_index(spark, dirs["a"], "fp_index")["absorbed"] == 0
+    # post-compaction batches classify identically to the uncompacted twin
+    post = [
+        [(6, "en", "quatre another fresh body"), (7, "zh", "brand new words")],
+        [(8, "de", "zwei einzigartig")],  # dup of 2, pre-compaction
+    ]
+    for i, b in enumerate(post, start=len(batches)):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    def totals(name_dir):
+        # publishers share the owner session view name; read parquet directly
+        import json as _json
+
+        with open(_os.path.join(name_dir, "committed.json")) as fh:
+            gen = _json.load(fh)["gen"]
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(name_dir, f"totals_gen{(gen - 1) % 2}")
+            ).collect()
+        )
+
+    assert totals(dirs["a"]) == totals(dirs["b"])
+
+
+def test_compact_ingest_index_band_index_twin(spark, tmp_path):
+    """Same maintenance op over the near-dup twin's (band, bhash) layout:
+    a post-compaction near-duplicate of a pre-compaction novel doc still
+    collides with the consolidated index."""
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        compact_ingest_index,
+        streaming_ingest_neardup,
+    )
+
+    base = " ".join(f"tok{i}" for i in range(40))
+    novel = " ".join(f"new{i}" for i in range(40))
+    seed = _mk_docs(spark, [(0, "en", base)])
+    state_dir = str(tmp_path / "cib_state")
+    _os.makedirs(tmp_path / "cib_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "cib_unused"))
+    _, publish = streaming_ingest_neardup(stream, seed, state_dir=state_dir)
+    publish(_mk_docs(spark, [(1, "en", novel)]), 0)
+    publish(_mk_docs(spark, [(2, "en", "totally different words here " * 4)]), 1)
+    res = compact_ingest_index(spark, state_dir, "band_index")
+    assert res["absorbed"] == 3
+    idx = _os.path.join(state_dir, "band_index")
+    assert [d for d in _os.listdir(idx) if d.startswith("batch=")] == [
+        f"batch={res['new_id']}"
+    ]
+    publish(_mk_docs(spark, [(3, "en", novel + " slight tail")]), 2)
+    got = sorted(spark.sql("SELECT * FROM ingest_neardup_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 1, 2)]
+
+
+def test_compact_ingest_index_crash_recovery(spark, tmp_path):
+    """Both crash windows recover: marker + _SUCCESS-complete target =>
+    rerun finishes the deletions; marker + partial target (no _SUCCESS)
+    => rerun discards the partial and re-compacts. Rows never lost."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        compact_ingest_index,
+        streaming_ingest_dedup,
+    )
+
+    seed = _mk_docs(spark, [(0, "en", "crash test seed doc")])
+    state_dir = str(tmp_path / "cic_state")
+    _os.makedirs(tmp_path / "cic_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "cic_unused"))
+    _, publish = streaming_ingest_dedup(stream, seed, state_dir=state_dir)
+    publish(_mk_docs(spark, [(1, "en", "first body"), (2, "en", "second body")]), 0)
+    publish(_mk_docs(spark, [(3, "en", "third body")]), 1)
+    idx = _os.path.join(state_dir, "fp_index")
+    before = sorted(r.fp for r in spark.read.parquet(idx).select("fp").collect())
+
+    # window B: marker written, target PARTIAL (no _SUCCESS)
+    tgt = _os.path.join(idx, "batch=-5")
+    _os.makedirs(tgt)
+    with open(_os.path.join(tgt, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"garbage partial write")
+    with open(_os.path.join(state_dir, "compact.json"), "w") as fh:
+        _json.dump({"new_id": -5, "absorbed": [-1, 0, 1]}, fh)
+    res = compact_ingest_index(spark, state_dir, "fp_index")
+    assert res["absorbed"] == 3 and res["new_id"] == -2
+    after = sorted(r.fp for r in spark.read.parquet(idx).select("fp").collect())
+    assert after == before
+
+    # window A: marker + complete target, absorbed dirs still present —
+    # simulate by re-creating a stale absorbed dir and the marker
+    stale = _os.path.join(idx, "batch=99")
+    spark.read.parquet(idx).limit(1).write.mode("overwrite").parquet(stale)
+    with open(_os.path.join(state_dir, "compact.json"), "w") as fh:
+        _json.dump({"new_id": -2, "absorbed": [99]}, fh)
+    res2 = compact_ingest_index(spark, state_dir, "fp_index")
+    assert not _os.path.exists(stale)
+    assert not _os.path.exists(_os.path.join(state_dir, "compact.json"))
+    final = sorted(r.fp for r in spark.read.parquet(idx).select("fp").collect())
+    assert final == before
