@@ -1134,3 +1134,112 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rrf_score"), "doc_id")
         .limit(_RRF_TOP)
     )
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# embedding_dispersion_by_label — exact mean pairwise cosine per label
+# --------------------------------------------------------------------------
+
+
+def _disp_sql() -> str:
+    e = "list_transform(embedding, v -> CAST(v AS DOUBLE))"
+    norm = f"sqrt({_duck_dot('e', 'e', _DIM)})"
+    comp = "floor(e[d.d] / nrm * 1000000.0 + 0.5) / 1000000.0"
+    return f"""
+WITH t AS (SELECT vec_id, label, {e} AS e FROM embeddings),
+n0 AS (SELECT vec_id, label, e, {norm} AS nrm FROM t WHERE {norm} > 0),
+comps AS (
+    SELECT label, vec_id, d.d AS dim,
+           CAST({comp} AS DECIMAL(18,6)) AS c
+    FROM n0, (SELECT unnest(generate_series(1, {_DIM})) AS d) d
+),
+per_dim AS (
+    SELECT label, dim, sum(c) AS s FROM comps GROUP BY label, dim
+),
+per_label AS (
+    SELECT label,
+           CAST(round(sum(s * s), 6) AS DOUBLE) AS ss
+    FROM per_dim GROUP BY label
+),
+unit AS (
+    SELECT label,
+           CAST(count(DISTINCT vec_id) AS BIGINT) AS n,
+           CAST(round(sum(c * c), 6) AS DOUBLE) AS sq
+    FROM comps GROUP BY label
+)
+SELECT u.label, u.n AS n_vecs,
+       floor(sqrt(p.ss) / u.n * 1000000.0 + 0.5) / 1000000.0
+           AS centroid_norm,
+       CASE WHEN u.n >= 2 THEN
+           floor((p.ss - u.sq) / (u.n * (u.n - 1.0)) * 1000000.0 + 0.5)
+               / 1000000.0
+       END AS mean_pairwise_cos
+FROM unit u JOIN per_label p USING (label)
+"""
+
+
+@register("embedding_dispersion_by_label", _disp_sql())
+def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic dispersion per label: the EXACT mean pairwise cosine of
+    every vector pair in a label, computed WITHOUT generating pairs —
+    the polarization identity sum_{i != j} cos(v_i, v_j)
+    = ||sum_i v_hat_i||^2 - sum_i ||v_hat_i||^2 turns an O(n^2) pair
+    job into one linear pass (normalize, per-dim sums, two norms).
+    High mean cosine = a collapsed/templated label; low = diverse — the
+    diversity readout SemDeDup-style pruning and mixture design consult
+    per domain, affordable at ANY label cardinality because nothing
+    quadratic ever runs.
+
+    Cross-engine exactness: normalized components quantize to 6dp
+    (floor half-up — applied identically on both engines, so negative
+    components stay bit-identical too) and accumulate as exact DECIMAL;
+    both quadratic forms round to 6dp IN DECIMAL before the double
+    cast, keeping every converted value far below 2^53. The quantized
+    definition shifts each cosine by < 1e-5 — documented, shared with
+    the oracle verbatim.
+
+    100 TB shape: one posexplode scan into a (label x dim) map-side-
+    combined aggregate (the same shape as label_mean_embeddings); the
+    final quadratic forms run on label-cardinality rows."""
+    emb = _load_parallel(spark, sf_dir, "embeddings")
+    e = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    nrm = F.sqrt(sim.dot(F.col("e"), F.col("e"), _DIM))
+    n0 = (
+        emb.select("vec_id", "label", e.alias("e"))
+        .withColumn("nrm", nrm)
+        .filter(F.col("nrm") > 0)
+    )
+    comps = n0.select(
+        "label",
+        "vec_id",
+        F.posexplode(
+            F.transform(
+                F.col("e"),
+                lambda v: (
+                    F.floor(v / F.col("nrm") * F.lit(1000000.0) + F.lit(0.5))
+                    / F.lit(1000000.0)
+                ).cast("decimal(18,6)"),
+            )
+        ).alias("dim", "c"),
+    )
+    per_dim = comps.groupBy("label", "dim").agg(F.sum("c").alias("s"))
+    per_label = per_dim.groupBy("label").agg(
+        F.round(F.sum(F.col("s") * F.col("s")), 6).cast("double").alias("ss")
+    )
+    unit = comps.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n"),
+        F.round(F.sum(F.col("c") * F.col("c")), 6).cast("double").alias("sq"),
+    )
+    n = F.col("n").cast("double")
+    return unit.join(per_label, "label").select(
+        "label",
+        F.col("n").alias("n_vecs"),
+        tx.round_half_up(F.sqrt(F.col("ss")) / n, 6).alias("centroid_norm"),
+        F.when(
+            F.col("n") >= 2,
+            tx.round_half_up(
+                (F.col("ss") - F.col("sq")) / (n * (n - 1.0)), 6
+            ),
+        ).alias("mean_pairwise_cos"),
+    )

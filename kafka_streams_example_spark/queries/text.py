@@ -2452,3 +2452,159 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("sum_neg_logp"),
         )
     )
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# heaps_law_fit — vocabulary-growth curve over nested random subsamples
+# --------------------------------------------------------------------------
+
+_HEAPS_BUCKETS = 8
+_HEAPS_CUTS = [1, 2, 4, 8]  # nested subsample sizes in buckets (1/8 .. 1/1)
+_HEAPS_SALT = ":heaps"
+
+
+def _heaps_sql() -> str:
+    h = (
+        f"CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '{_HEAPS_SALT}'),"
+        f" 1, 15)) AS BIGINT) % {_HEAPS_BUCKETS}"
+    )
+    cuts = ", ".join(f"({c})" for c in _HEAPS_CUTS)
+    slope_num = "(n * sxy - sx * sy)"
+    slope_den = "(n * sxx - sx * sx)"
+    beta = f"(CAST({slope_num} AS DOUBLE) / CAST({slope_den} AS DOUBLE))"
+    lnk = f"(CAST(sy AS DOUBLE) - {beta} * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE)"
+    return f"""
+WITH t AS (
+    SELECT doc_id, {h} AS bucket, {_TOKS} AS toks FROM documents
+),
+x AS (SELECT doc_id, bucket, unnest(toks) AS token FROM t),
+per_bucket AS (
+    SELECT bucket, CAST(count(*) AS BIGINT) AS n_tok,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS n_doc
+    FROM x GROUP BY bucket
+),
+first_seen AS (
+    SELECT token, min(bucket) AS minb FROM x GROUP BY token
+),
+vocab_hist AS (
+    SELECT minb, CAST(count(*) AS BIGINT) AS v FROM first_seen GROUP BY minb
+),
+cuts AS (SELECT CAST(c AS BIGINT) AS cut FROM (VALUES {cuts}) v(c)),
+curve AS (
+    SELECT cut,
+           (SELECT CAST(coalesce(sum(n_doc), 0) AS BIGINT) FROM per_bucket
+             WHERE bucket < cut) AS n_docs,
+           (SELECT CAST(coalesce(sum(n_tok), 0) AS BIGINT) FROM per_bucket
+             WHERE bucket < cut) AS n_tokens,
+           (SELECT CAST(coalesce(sum(v), 0) AS BIGINT) FROM vocab_hist
+             WHERE minb < cut) AS n_distinct
+    FROM cuts
+),
+logs AS (
+    SELECT cut, n_docs, n_tokens, n_distinct,
+           CAST({_duck_round_half_up("ln(CAST(n_tokens AS DOUBLE))", 6)}
+                AS DECIMAL(18,6)) AS lx,
+           CAST({_duck_round_half_up("ln(CAST(n_distinct AS DOUBLE))", 6)}
+                AS DECIMAL(18,6)) AS ly
+    FROM curve
+),
+s AS (
+    SELECT CAST(count(*) AS BIGINT) AS n,
+           sum(lx) AS sx, sum(ly) AS sy,
+           sum(lx * ly) AS sxy, sum(lx * lx) AS sxx
+    FROM logs
+)
+SELECT cut, n_docs, n_tokens, n_distinct,
+       {_duck_round_half_up(beta, 6)} AS beta,
+       {_duck_round_half_up(lnk, 6)} AS ln_k
+FROM logs, s
+"""
+
+
+@register("heaps_law_fit", _heaps_sql())
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heaps/Herdan law fit — vocabulary growth V = k·N^beta over nested
+    random subsamples (the companion diagnostic to ``zipf_law_fit``'s
+    rank-frequency curve): how fast NEW types keep appearing as the
+    corpus grows, the number every tokenizer-vocab and dedup-memory
+    budget extrapolates from.
+
+    One token scan, no ordering: docs hash into {_HEAPS_BUCKETS} salted
+    buckets; nested prefixes bucket<c for c in {{1,2,4,8}} stand in for
+    the classic machine-independent random-order prefixes. The device
+    that keeps it one-pass: per-token FIRST-OCCURRENCE bucket
+    (min(bucket) per token) — a token is new to prefix c iff its min
+    bucket < c — so the vocabulary curve falls out of a vocab-sized
+    histogram cumulated over 8 cells, never a per-prefix re-scan.
+    The log-log OLS runs on 6dp-rounded logs of exact integers carried
+    as DECIMAL sufficient statistics (the ols_trend discipline), so
+    beta hash-matches across engines."""
+    from kafka_streams_example_spark.functions.hashing import stable_long
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    bucket = stable_long(
+        F.concat(F.col("doc_id").cast("string"), F.lit(_HEAPS_SALT))
+    ) % _HEAPS_BUCKETS
+    x = docs.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"),
+    )
+    per_bucket = x.groupBy("bucket").agg(
+        F.count("*").cast("bigint").alias("n_tok"),
+        F.countDistinct("doc_id").cast("bigint").alias("n_doc"),
+    )
+    vocab_hist = (
+        x.groupBy("token")
+        .agg(F.min("bucket").alias("minb"))
+        .groupBy("minb")
+        .agg(F.count("*").cast("bigint").alias("v"))
+    )
+    cuts = spark.createDataFrame([(c,) for c in _HEAPS_CUTS], "cut LONG")
+    curve = (
+        F.broadcast(cuts)
+        .join(per_bucket, per_bucket["bucket"] < cuts["cut"])
+        .groupBy("cut")
+        .agg(
+            F.sum("n_doc").cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("n_tokens"),
+        )
+        .join(
+            F.broadcast(cuts)
+            .join(vocab_hist, vocab_hist["minb"] < cuts["cut"])
+            .groupBy("cut")
+            .agg(F.sum("v").cast("bigint").alias("n_distinct")),
+            "cut",
+        )
+    )
+    logs = curve.select(
+        "*",
+        tx.round_half_up(F.log(F.col("n_tokens").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("lx"),
+        tx.round_half_up(F.log(F.col("n_distinct").cast("double")), 6)
+        .cast("decimal(18,6)")
+        .alias("ly"),
+    )
+    s = logs.agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    beta = num.cast("double") / den.cast("double")
+    lnk = (
+        F.col("sy").cast("double") - beta * F.col("sx").cast("double")
+    ) / F.col("n").cast("double")
+    return logs.join(F.broadcast(s)).select(
+        "cut",
+        "n_docs",
+        "n_tokens",
+        "n_distinct",
+        tx.round_half_up(beta, 6).alias("beta"),
+        tx.round_half_up(lnk, 6).alias("ln_k"),
+    )
