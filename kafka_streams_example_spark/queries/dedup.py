@@ -2846,3 +2846,137 @@ def cross_source_duplication_matrix(spark: SparkSession, sf_dir: str) -> DataFra
             .alias("sum_jaccard"),
         )
     )
+
+
+# (round 9, session 2)
+# --------------------------------------------------------------------------
+# corpus_curation_pipeline — the whole funnel as one declarative plan
+# --------------------------------------------------------------------------
+
+
+def _curation_sql() -> str:
+    from kafka_streams_example_spark import registry as _reg
+    from kafka_streams_example_spark.queries.eval import _QF_THRESHOLDS
+
+    q = _QF_THRESHOLDS[2]
+    proxy = _reg.ORACLES["doc_perplexity_proxy"].strip()
+    stage = (
+        "SELECT {k} AS stage, '{name}' AS stage_name,"
+        " CAST(sum({keep}) AS BIGINT) AS n_docs,"
+        " CAST(sum(COALESCE(n_tokens, 0) * {keep}) AS BIGINT) AS n_tokens"
+        " FROM flags"
+    )
+    return f"""
+WITH cl AS (SELECT doc_id, is_keeper FROM ({_clusters_oracle_sql()})),
+score AS (SELECT doc_id, n_tokens, avg_neg_logp FROM ({proxy})),
+t5 AS (SELECT doc_id, {_NGRAMS5} AS ng
+       FROM (SELECT doc_id, {_TOKS} AS toks FROM documents)),
+bench AS (SELECT DISTINCT unnest(ng) AS g FROM t5 WHERE doc_id % 17 = 0),
+hits AS (
+    SELECT DISTINCT x.doc_id
+    FROM (SELECT doc_id, unnest(ng) AS g FROM t5 WHERE doc_id % 17 <> 0) x
+    JOIN bench USING (g)
+),
+flags AS (
+    SELECT d.doc_id, s.n_tokens,
+           CASE WHEN c.doc_id IS NULL OR c.is_keeper THEN 1 ELSE 0 END AS b1,
+           CASE WHEN d.doc_id % 17 <> 0 AND h.doc_id IS NULL THEN 1 ELSE 0 END AS b2,
+           CASE WHEN s.avg_neg_logp IS NOT NULL AND s.avg_neg_logp <= {q}
+                THEN 1 ELSE 0 END AS b3
+    FROM documents d
+    LEFT JOIN cl c ON d.doc_id = c.doc_id
+    LEFT JOIN score s ON d.doc_id = s.doc_id
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+)
+{stage.format(k=0, name='ingest', keep='1')}
+UNION ALL {stage.format(k=1, name='dedup', keep='b1')}
+UNION ALL {stage.format(k=2, name='decontam', keep='b1 * b2')}
+UNION ALL {stage.format(k=3, name='quality', keep='b1 * b2 * b3')}
+"""
+
+
+@register("corpus_curation_pipeline", _curation_sql())
+def corpus_curation_pipeline(spark, sf_dir):
+    """The end-to-end curation funnel as ONE declarative plan — the
+    headline composition a training-data team actually ships: ingest →
+    keep dup-cluster keepers (exact + near-dup CC, ``dedup_clusters``'s
+    decision) → drop eval-set docs and anything sharing a 5-gram with
+    them (``decontam_ngram_overlap``'s formulation) → keep docs passing
+    the unigram-LM quality cutoff (``doc_perplexity_proxy`` score <=
+    the threshold sweep's candidate). One row per stage with surviving
+    doc and token counts — the funnel accounting that tells you which
+    stage is eating your corpus.
+
+    Composed from REGISTERED queries/oracles (never re-derived), so the
+    pipeline can never drift from the stages it reports on. Stage flags
+    are per-doc booleans aggregated as conditional sums in one pass over
+    the joined flag frame — not one scan per stage; the expensive
+    subtrees (CC decision, score, contamination probe) are each the
+    already-audited plans. All-integer output, exact on both engines.
+
+    100 TB shape: three left joins on the unique doc key (each side the
+    output of an audited subplan; AQE-splittable), then a 4-row
+    stack — no window, no new shuffle shape beyond the subplans'."""
+    from kafka_streams_example_spark import registry as _reg
+    from kafka_streams_example_spark.queries.eval import _QF_THRESHOLDS
+
+    q = _QF_THRESHOLDS[2]
+    docs = _load_parallel(spark, sf_dir, "documents")
+    cl = _reg.QUERIES["dedup_clusters"](spark, sf_dir).select(
+        "doc_id", "is_keeper"
+    )
+    score = _reg.QUERIES["doc_perplexity_proxy"](spark, sf_dir).select(
+        "doc_id", "n_tokens", "avg_neg_logp"
+    )
+    ng = docs.select("doc_id", tx.word_ngrams(F.col("text"), 5).alias("ng"))
+    bench = (
+        ng.filter(F.col("doc_id") % 17 == 0)
+        .select(F.explode("ng").alias("g"))
+        .distinct()
+    )
+    hits = (
+        ng.filter(F.col("doc_id") % 17 != 0)
+        .select("doc_id", F.explode("ng").alias("g"))
+        .join(F.broadcast(bench), "g")
+        .select("doc_id")
+        .distinct()
+        .withColumn("hit", F.lit(1))
+    )
+    flags = (
+        docs.select("doc_id")
+        .join(cl, "doc_id", "left")
+        .join(score, "doc_id", "left")
+        .join(hits, "doc_id", "left")
+        .select(
+            F.coalesce("n_tokens", F.lit(0)).alias("nt"),
+            F.when(
+                F.col("is_keeper").isNull() | F.col("is_keeper"), 1
+            ).otherwise(0).alias("b1"),
+            F.when(
+                (F.col("doc_id") % 17 != 0) & F.col("hit").isNull(), 1
+            ).otherwise(0).alias("b2"),
+            F.when(
+                F.col("avg_neg_logp").isNotNull()
+                & (F.col("avg_neg_logp") <= q),
+                1,
+            ).otherwise(0).alias("b3"),
+        )
+    )
+    agg = flags.agg(
+        F.count("*").alias("k0"),
+        F.sum("nt").alias("t0"),
+        F.sum("b1").alias("k1"),
+        F.sum(F.col("nt") * F.col("b1")).alias("t1"),
+        F.sum(F.col("b1") * F.col("b2")).alias("k2"),
+        F.sum(F.col("nt") * F.col("b1") * F.col("b2")).alias("t2"),
+        F.sum(F.col("b1") * F.col("b2") * F.col("b3")).alias("k3"),
+        F.sum(F.col("nt") * F.col("b1") * F.col("b2") * F.col("b3")).alias("t3"),
+    )
+    names = ["ingest", "dedup", "decontam", "quality"]
+    stack = ", ".join(
+        f"{i}, '{names[i]}', CAST(k{i} AS BIGINT), CAST(t{i} AS BIGINT)"
+        for i in range(4)
+    )
+    return agg.selectExpr(
+        f"stack(4, {stack}) AS (stage, stage_name, n_docs, n_tokens)"
+    )
