@@ -1,0 +1,139 @@
+"""Fifth tranche of definition-level brute-force references: Benford
+first-digit extraction (decimal-string digit, shares, chi-square terms)
+and the watermark late-event audit (per-key event-time high-water-mark
+in arrival order, strict 600 s drop threshold). The watermark replay
+additionally runs on a seeded stream with events planted EXACTLY at the
+watermark delay — the > boundary the oracle and plan share."""
+
+from __future__ import annotations
+
+import math
+import random
+from collections import defaultdict
+from datetime import datetime, timezone
+
+from kafka_streams_example_spark import registry
+from tests.conftest import SF_SMOKE
+
+_EV_SCHEMA = (
+    "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+    " value DOUBLE, props STRING"
+)
+
+
+def test_benford_matches_bruteforce(spark):
+    from kafka_streams_example_spark.sources.files import load_table
+
+    orders = load_table(spark, SF_SMOKE, "orders").select("o_totalprice").collect()
+    counts = defaultdict(int)
+    for r in orders:
+        counts[int(str(int(math.floor(r.o_totalprice)))[0])] += 1
+    n = sum(counts.values())
+    got = {
+        r.digit: r
+        for r in registry.QUERIES["benford_first_digit"](spark, SF_SMOKE).collect()
+    }
+    assert set(got) == set(counts)
+    for d, c in counts.items():
+        p = math.log10(1.0 + 1.0 / d)
+        r = got[d]
+        assert r.n_orders == c, d
+        assert abs(r.obs_share - c / n) <= 1e-6, d
+        assert abs(r.benford_share - p) <= 1e-6, d
+        assert abs(r.chi2_term - (c - n * p) ** 2 / (n * p)) <= 1e-4, d
+    # TPC-H totalprice is NOT Benford (bounded range) — the audit must
+    # actually show deviation, not vacuous zeros
+    assert sum((c - n * math.log10(1 + 1 / d)) ** 2 for d, c in counts.items()) > 0
+
+
+def _wm_replay(rows, delay):
+    """Textbook replay: per user in event_id (arrival) order, the
+    high-water-mark is the max event time of STRICTLY EARLIER arrivals;
+    late iff hwm - e > delay (strict)."""
+    per_user = defaultdict(list)
+    for eid, sec, u, et in rows:
+        per_user[u].append((eid, sec, et))
+    agg = defaultdict(lambda: [0, 0, 0, 0])  # n, ooo, late, maxdis
+    for u, evs in per_user.items():
+        evs.sort()
+        hwm = None
+        for _eid, sec, et in evs:
+            a = agg[et]
+            a[0] += 1
+            if hwm is not None:
+                dis = hwm - sec
+                if dis > 0:
+                    a[1] += 1
+                    a[3] = max(a[3], dis)
+                if dis > delay:
+                    a[2] += 1
+            hwm = sec if hwm is None else max(hwm, sec)
+    return agg
+
+
+def _check(spark, sf_dir, rows, delay):
+    want = _wm_replay(rows, delay)
+    got = {
+        r.event_type: r
+        for r in registry.QUERIES["watermark_late_event_audit"](
+            spark, sf_dir
+        ).collect()
+    }
+    assert set(got) == set(want)
+    for et, (n, ooo, late, maxdis) in want.items():
+        r = got[et]
+        assert (r.n_events, r.n_out_of_order, r.n_late_dropped) == (n, ooo, late), et
+        assert r.max_disorder_s == maxdis, et
+        assert abs(r.late_share - late / n) <= 1e-6, et
+    return want
+
+
+def test_watermark_audit_matches_bruteforce_real_corpus(spark):
+    from kafka_streams_example_spark.queries.operational import _WM_DELAY_S
+    from kafka_streams_example_spark.sources.files import load_table
+
+    ev = load_table(spark, SF_SMOKE, "events").filter("ts IS NOT NULL").collect()
+    rows = [
+        (r.event_id, int(r.ts.timestamp()), r.user_id, r.event_type) for r in ev
+    ]
+    want = _check(spark, SF_SMOKE, rows, _WM_DELAY_S)
+    # the sf0.001 event log happens to be fully in-order per user
+    # (event_id order == time order), so this corpus pins the degenerate
+    # all-in-order case; the planted-stream test below carries the
+    # disorder/boundary coverage
+    assert sum(a[0] for a in want.values()) == len(rows)
+
+
+def test_watermark_audit_strict_boundary(spark, tmp_path):
+    """Planted stream: one event EXACTLY _WM_DELAY_S behind the hwm (kept
+    — strict >), one at delay+1 (dropped), plus seeded disorder."""
+    from kafka_streams_example_spark.queries.operational import _WM_DELAY_S
+
+    base = 1_700_000_000
+    rng = random.Random(99)
+    rows = [
+        (0, base + 10_000, 1, "click"),
+        (1, base + 10_000 - _WM_DELAY_S, 1, "click"),      # exactly at: kept
+        (2, base + 10_000 - _WM_DELAY_S - 1, 1, "click"),  # one past: dropped
+        (3, base + 10_000, 2, "view"),                     # in-order key
+        (4, base + 10_001, 2, "view"),
+    ]
+    eid = 5
+    for _ in range(60):
+        rows.append(
+            (eid, base + rng.randrange(0, 4000), 3, rng.choice(["click", "error"]))
+        )
+        eid += 1
+    sf = tmp_path / "wm"
+    spark.createDataFrame(
+        [
+            (e, datetime.fromtimestamp(s, tz=timezone.utc).replace(tzinfo=None), u, t, 0.5, "{}")
+            for e, s, u, t in rows
+        ],
+        _EV_SCHEMA,
+    ).write.parquet(str(sf / "events.parquet"))
+    want = _check(spark, str(sf), rows, _WM_DELAY_S)
+    # the planted boundary really behaves as designed
+    assert want["click"][2] >= 1  # the delay+1 event dropped
+    n, ooo, late, _ = want["click"]
+    assert ooo >= late + 1  # the exactly-at-delay event is ooo but kept
