@@ -99,18 +99,16 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r09: the
-# exact-substring pair was rewritten skew-safe (PARTITION BY h windows →
-# map-side-combinable groupBy(h) + join-back, per the r08 verdict), and
-# winnowing_fingerprints gained explicit empty-sequence guards for
-# docs shorter than the gram/window widths (Spark's sequence(1,0) is
-# DESCENDING, DuckDB's generate_series(1,0) is empty — latent
-# divergence found by the r09 brute-force boundary corpus); new r09
-# queries front via the never-recorded group automatically.
+# re-verify ahead of merely least-often-verified greens. r10: the
+# decontam family's bench-gram broadcast became size-guarded
+# (queries/dedup.py:_maybe_broadcast_bench — same plan at oracle scale,
+# but the join construction changed); new r10 queries front via the
+# never-recorded group automatically, and the deliberately small set
+# leaves the window to the least-verified tier — the r04/r05 solar
+# flagship cohort, due for re-verification per the r09 verdict.
 _TOUCHED_THIS_ROUND: set[str] = {
-    "substring_exact_spans",
-    "substring_dedup_cut",
-    "winnowing_fingerprints",
+    "decontam_ngram_overlap",
+    "corpus_curation_pipeline",
 }
 
 

@@ -41,19 +41,38 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
-def encode_png_gray8(width: int, height: int, pixels: bytes) -> bytes:
+def encode_png_gray8(
+    width: int, height: int, pixels: bytes, filter_type: int = 0, zlevel: int = 6
+) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, ``width*height`` bytes)
-    as a real PNG: filter byte 0 per scanline, one zlib IDAT stream."""
+    as a real PNG: one filter byte per scanline, one zlib IDAT stream.
+
+    ``filter_type`` selects the per-scanline filter the ENCODER writes
+    (0=None, 1=Sub, 2=Up — spec §9); the decoder reverses all five
+    regardless. Two encodes of the same pixels with different filters (or
+    zlib levels) are byte-different blobs with identical decoded content —
+    the re-encode shape perceptual dedup must catch and byte dedup cannot.
+    """
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
     ihdr = struct.pack(">IIBBBBB", width, height, 8, 0, 0, 0, 0)
-    raw = b"".join(
-        b"\x00" + pixels[y * width : (y + 1) * width] for y in range(height)
-    )
+    lines = []
+    for y in range(height):
+        row = pixels[y * width : (y + 1) * width]
+        if filter_type == 0:
+            filt = row
+        elif filter_type == 1:  # Sub: delta vs left neighbor (bpp=1)
+            filt = bytes((row[i] - (row[i - 1] if i else 0)) & 0xFF for i in range(width))
+        elif filter_type == 2:  # Up: delta vs previous scanline
+            prev = pixels[(y - 1) * width : y * width] if y else b"\x00" * width
+            filt = bytes((row[i] - prev[i]) & 0xFF for i in range(width))
+        else:
+            raise ValueError(f"encoder supports filter types 0/1/2, got {filter_type}")
+        lines.append(bytes([filter_type]) + filt)
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
-        + _png_chunk(b"IDAT", zlib.compress(raw, 6))
+        + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), zlevel))
         + _png_chunk(b"IEND", b"")
     )
 
@@ -164,6 +183,30 @@ def resize_gray8_nearest(
         for ox in range(out_width):
             out[obase + ox] = pixels[row + min(ox * width // out_width, width - 1)]
     return bytes(out)
+
+
+def dhash60(
+    pixels: bytes, width: int, height: int, grid_w: int = 11, grid_h: int = 6
+) -> int:
+    """Difference hash (dHash — Krawetz's public perceptual-hash scheme)
+    of an 8-bit grayscale image: nearest-neighbor downsample to a
+    ``grid_w × grid_h`` thumbnail, then one bit per horizontal neighbor
+    pair — set iff the left pixel is strictly brighter. The default
+    11×6 grid yields 60 bits, matching the engine's SimHash width so the
+    same 4×15-bit banding/Hamming near-dup machinery applies unchanged.
+
+    Perceptually-equal images (re-encodes, filter/zlib variants, minor
+    brightness-preserving noise) hash identically or within a few bits;
+    unrelated images differ by ~30 of 60 bits.
+    """
+    p = resize_gray8_nearest(pixels, width, height, grid_w, grid_h)
+    f = 0
+    for oy in range(grid_h):
+        row = oy * grid_w
+        for ox in range(grid_w - 1):
+            if p[row + ox] > p[row + ox + 1]:
+                f |= 1 << (oy * (grid_w - 1) + ox)
+    return f
 
 
 def encode_wav_pcm16(sample_rate: int, samples: list[int], n_channels: int = 1) -> bytes:

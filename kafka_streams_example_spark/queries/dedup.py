@@ -42,7 +42,11 @@ from kafka_streams_example_spark.registry import (
     _load_parallel,
     register,
 )
-from kafka_streams_example_spark.sources.files import load_table, table_row_count
+from kafka_streams_example_spark.sources.files import (
+    load_table,
+    table_row_count,
+    table_uncompressed_bytes,
+)
 
 
 # ---------------------------------------------------------------------------
@@ -248,6 +252,31 @@ ORACLES["neardup_minhash_pairs"] = _duck_minhash_sql()
 
 # (from llm_extra.py)
 
+# Eval-split source bytes above which the decontam family's bench gram
+# table stops being broadcast (the "benchmark set is tiny" assumption,
+# valid for real eval suites, is NOT assumed for arbitrary inputs): the
+# gram table is O(source bytes) of 5-gram strings, and a corpus-sized
+# "eval set" broadcast would OOM every executor. 256 MiB of source text
+# comfortably broadcasts as grams; above it (or when footer stats are
+# unreadable, est < 0) the plan degrades to a plain shuffle join that AQE
+# can still turn into a broadcast at runtime if the built side proves
+# small.
+_BENCH_BCAST_MAX_BYTES = 256 << 20
+
+
+def _maybe_broadcast_bench(sf_dir: str, bench: DataFrame) -> DataFrame:
+    """Broadcast-hint the eval-set gram side only when the eval split's
+    parquet footer byte size (driver-side, zero jobs —
+    sources/files.py:table_uncompressed_bytes) proves it small: the eval
+    split is the doc_id % 17 == 0 share of ``documents``, so its source
+    bytes are estimated as total/17. Unknown size (-1) keeps the shuffle
+    join — the safe direction."""
+    est = table_uncompressed_bytes(sf_dir, "documents")
+    if 0 <= est // 17 <= _BENCH_BCAST_MAX_BYTES:
+        return F.broadcast(bench)
+    return bench
+
+
 # DuckDB-side distinct word 5-grams from the `toks` list column (matches
 # operators/text.py:word_ngrams(n=5) exactly: lowercase whitespace tokens,
 # space-joined windows, distinct).
@@ -279,10 +308,14 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     held-out eval set; every remaining (training) doc is scored by how many
     of its distinct word 5-grams appear anywhere in the benchmark split.
 
-    At scale the benchmark n-gram set is tiny relative to the corpus ->
-    broadcast hash join against the exploded training shingles; the only
-    shuffle is the per-doc count groupBy. explode_outer keeps sub-5-word
-    docs (empty shingle sets) in the output with n_overlap = 0.
+    Real benchmark suites are tiny relative to the corpus -> broadcast
+    hash join against the exploded training shingles; but the broadcast is
+    SIZE-GUARDED (_maybe_broadcast_bench: parquet-footer estimate of the
+    eval split's source bytes, threshold _BENCH_BCAST_MAX_BYTES), so a
+    corpus-sized "eval set" degrades to a plain shuffle join instead of
+    OOMing the executors. The only other shuffle is the per-doc count
+    groupBy. explode_outer keeps sub-5-word docs (empty shingle sets) in
+    the output with n_overlap = 0.
     """
     docs = _load_parallel(spark, sf_dir, "documents")
     ng = docs.select("doc_id", tx.word_ngrams(F.col("text"), 5).alias("ng"))
@@ -301,7 +334,7 @@ def decontam_ngram_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ng and bench are both distinct => at most one match per (doc, gram),
     # so counting hit markers counts distinct overlapping 5-grams.
     return (
-        exploded.join(F.broadcast(bench), "g", "left")
+        exploded.join(_maybe_broadcast_bench(sf_dir, bench), "g", "left")
         .groupBy("doc_id")
         .agg(
             F.count("g").alias("n_ngrams"),
@@ -2916,7 +2949,10 @@ def corpus_curation_pipeline(spark, sf_dir):
 
     100 TB shape: three left joins on the unique doc key (each side the
     output of an audited subplan; AQE-splittable), then a 4-row
-    stack — no window, no new shuffle shape beyond the subplans'."""
+    stack — no window, no new shuffle shape beyond the subplans'. The
+    contamination probe's bench-gram broadcast is size-guarded like
+    ``decontam_ngram_overlap``'s (_maybe_broadcast_bench) — an oversized
+    eval split degrades to a shuffle join instead of an OOM."""
     from kafka_streams_example_spark import registry as _reg
     from kafka_streams_example_spark.queries.eval import _QF_THRESHOLDS
 
@@ -2937,7 +2973,7 @@ def corpus_curation_pipeline(spark, sf_dir):
     hits = (
         ng.filter(F.col("doc_id") % 17 != 0)
         .select("doc_id", F.explode("ng").alias("g"))
-        .join(F.broadcast(bench), "g")
+        .join(_maybe_broadcast_bench(sf_dir, bench), "g")
         .select("doc_id")
         .distinct()
         .withColumn("hit", F.lit(1))

@@ -331,3 +331,183 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id LONG, n_channels INT, sample_rate INT, bits_per_sample INT, "
         "n_samples LONG, sample_sum LONG, duration_us LONG, roundtrip_ok BOOLEAN",
     )
+
+
+# --------------------------------------------------------------------------
+# image_phash_neardup — perceptual (dHash) image near-dup over decoded pixels
+# --------------------------------------------------------------------------
+
+_DH_GRID_W, _DH_GRID_H = 11, 6  # 60-bit dHash = SimHash width → same banding
+_DH_BANDS, _DH_BITS = 4, 15
+_DH_HAM = 6  # near-dup verify threshold (same as neardup_simhash_pairs)
+
+
+@register(
+    "image_phash_neardup",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           16 + doc_id % 17 AS w,
+           16 + doc_id % 13 AS h,
+           md5(text) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM d
+),
+-- nearest-neighbor {_DH_GRID_W}x{_DH_GRID_H} thumbnail of the w×h image whose
+-- pixel (y,x) is digest byte (y*w+x) mod 16 (the with_png_payload fixture):
+-- thumb[i] for i in 0..{_DH_GRID_W * _DH_GRID_H - 1}, row-major
+g AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, {_DH_GRID_W * _DH_GRID_H - 1}), i ->
+               db[(least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
+                   + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)) % 16 + 1]
+           ) AS p
+    FROM b
+),
+fp AS (
+    -- CAST back to BIGINT: list_aggregate 'sum' widens to HUGEINT, which
+    -- pandas fetches as lossy float64 — bits above 2^53 would tie-collide
+    SELECT doc_id, w, h,
+           CAST(list_aggregate(list_transform(generate_series(0, 59), bb ->
+               CASE WHEN p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 1]
+                       > p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 2]
+                    THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END), 'sum')
+               AS BIGINT) AS f
+    FROM g
+),
+banded AS (
+    SELECT doc_id, f, bd.b AS band,
+           (f >> ({_DH_BITS} * bd.b)) & {(1 << _DH_BITS) - 1} AS bv
+    FROM fp, unnest(generate_series(0, {_DH_BANDS - 1})) AS bd(b)
+),
+cand AS (
+    SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.f AS fa, r.f AS fb
+    FROM banded l JOIN banded r
+      ON l.band = r.band AND l.bv = r.bv AND l.doc_id <> r.doc_id
+),
+stats AS (
+    SELECT id_a AS doc_id,
+           count(*) AS n_band_partners,
+           min(bit_count(xor(fa, fb))) AS min_h,
+           count(*) FILTER (WHERE bit_count(xor(fa, fb)) <= {_DH_HAM}) AS n_neardups
+    FROM cand GROUP BY 1
+)
+SELECT fp.doc_id,
+       CAST(fp.w AS INT) AS width,
+       CAST(fp.h AS INT) AS height,
+       fp.f AS dhash,
+       CAST(coalesce(s.n_band_partners, 0) AS INT) AS n_band_partners,
+       CAST(coalesce(s.min_h, -1) AS INT) AS min_hamming,
+       CAST(coalesce(s.n_neardups, 0) AS INT) AS n_neardups
+FROM fp LEFT JOIN stats s USING (doc_id)
+""",
+)
+def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image near-dup — the dedup tier for the image modality
+    (the text tiers are exact/MinHash/SimHash; this is their pixel-space
+    sibling). Per doc: build the deterministic PNG payload
+    (operators/multimodal.py:with_png_payload — REAL spec-conformant blob,
+    dims ``16+id%17 × 16+id%13``, pixels = md5(text) digest repeated),
+    fully DECODE it (CRC chunk walk + inflate + unfilter,
+    functions/codecs.py:decode_png), downsample the decoded pixels to an
+    11×6 thumbnail and take the 60-bit dHash (functions/codecs.py:dhash60
+    — Krawetz's difference hash, public scheme). The near-dup readout then
+    reuses the SimHash banding machinery verbatim: 4×15-bit bands,
+    candidates = docs sharing any band value, verify = xor+popcount. Emits
+    per doc the hash plus its candidate stats (partner count, min Hamming
+    distance over candidates, count within the ≤6 near-dup cut).
+
+    Per-doc emission (not pairs) keeps the sf-corpus result non-degenerate:
+    the shipped corpus has no duplicate texts, so true pairs exist only in
+    planted corpora (tests/test_llm_extra24.py plants re-encoded
+    filter-variant PNGs and asserts byte-dedup misses them while this hash
+    finds them at Hamming 0); here the varying ``min_hamming`` over random
+    band collisions still oracle-checks the full band/xor path.
+
+    Scale shape: the hash is computed in the decode scan (map-only
+    Arrow-batched mapInPandas — the blob never shuffles); only
+    (doc_id, band, 15-bit band value) rides the self-join, which AQE can
+    skew-split; candidate verify is one xor per pair. The oracle replays
+    pixel synthesis, nearest-neighbor indexing, diff bits, and banding
+    arithmetically from md5(text) — the hash match fails unless the codec
+    reproduced every decoded pixel bit-exactly.
+    """
+    cx = _ship_codecs()
+    docs = _load_parallel(spark, sf_dir, "documents")
+    blobs = mm.with_png_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "dhash": []}
+            for i, blob in zip(pdf["doc_id"], pdf["payload"]):
+                d = cx.decode_png(bytes(blob))
+                out["doc_id"].append(int(i))
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["dhash"].append(
+                    cx.dhash60(d["pixels"], d["width"], d["height"],
+                               _DH_GRID_W, _DH_GRID_H)
+                )
+            yield pd.DataFrame(out)
+
+    fp = blobs.mapInPandas(
+        batches, "doc_id LONG, width INT, height INT, dhash LONG"
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), b * _DH_BITS)
+                .bitwiseAND(F.lit((1 << _DH_BITS) - 1))
+                .alias("bv"),
+            )
+            for b in range(_DH_BANDS)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", F.col("dhash").alias("f"), F.explode(band_structs).alias("bk")
+    ).select("doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.f").alias("fa"),
+            F.col("r.f").alias("fb"),
+        )
+        .dropDuplicates(["doc_id", "id_b"])
+    )
+    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    stats = (
+        cand.withColumn("hamming", ham)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_band_partners"),
+            F.min("hamming").cast("int").alias("min_h"),
+            F.count(F.when(F.col("hamming") <= _DH_HAM, 1))
+            .cast("int")
+            .alias("n_neardups"),
+        )
+    )
+    return fp.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "width",
+        "height",
+        "dhash",
+        F.coalesce("n_band_partners", F.lit(0)).cast("int").alias("n_band_partners"),
+        F.coalesce("min_h", F.lit(-1)).cast("int").alias("min_hamming"),
+        F.coalesce("n_neardups", F.lit(0)).cast("int").alias("n_neardups"),
+    )

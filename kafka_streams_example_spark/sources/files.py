@@ -91,6 +91,38 @@ def table_row_count(spark: SparkSession, sf_dir: str, name: str) -> int:
     return load_table(spark, sf_dir, name).count()
 
 
+def table_uncompressed_bytes(sf_dir: str, name: str) -> int:
+    """Total UNCOMPRESSED byte size of a testdata table from parquet
+    FOOTER metadata (sum of row-group ``total_byte_size``) — driver-side,
+    zero Spark jobs. Operators that must decide broadcast-vs-shuffle
+    before the plan runs (the decontam family's eval-gram side) size the
+    decision from this instead of assuming "the bench set is tiny".
+    Returns -1 when the size cannot be read (non-parquet input) — callers
+    must treat unknown as TOO BIG and keep the shuffle join: a wrongly
+    skipped broadcast costs one exchange, a wrongly taken one OOMs the
+    executors."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    try:
+        files = (
+            [path]
+            if os.path.isfile(path)
+            else sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        )
+        if not files:
+            return -1
+        total = 0
+        for f in files:
+            md = _pq.ParquetFile(f).metadata
+            total += sum(md.row_group(i).total_byte_size for i in range(md.num_row_groups))
+        return total
+    except Exception:
+        return -1
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables=ALL_TABLES) -> None:
     """Register each table as a temp view for spark.sql() queries."""
     for name in tables:

@@ -647,6 +647,30 @@ def streaming_ingest_neardup(
     return docs_stream, publish
 
 
+# Static bench-index rows above which the decontam gate's per-batch probe
+# stops broadcasting the index (8-byte hashes; 32M rows ~ 256 MB on the
+# wire — the same safety rationale as queries/dedup.py's
+# _BENCH_BCAST_MAX_BYTES guard).
+_BENCH_IDX_BCAST_MAX_ROWS = 32_000_000
+
+
+def _parquet_dir_rows(path: str) -> float:
+    """Row count of a parquet directory from FOOTER metadata — driver-side,
+    zero jobs. Unknown/unreadable reads as +inf so callers treat it as too
+    big to broadcast (the safe direction)."""
+    import glob as _glob
+
+    import pyarrow.parquet as _pq
+
+    try:
+        files = sorted(_glob.glob(os.path.join(path, "*.parquet")))
+        if not files:
+            return float("inf")
+        return float(sum(_pq.ParquetFile(f).metadata.num_rows for f in files))
+    except Exception:
+        return float("inf")
+
+
 def streaming_decontam_gate(
     docs_stream: DataFrame,
     bench_seed: DataFrame,
@@ -667,10 +691,13 @@ def streaming_decontam_gate(
 
     - the probe index is STATIC: ``bench_ngrams/`` is written ONCE from
       the eval corpus at state-dir creation (distinct 64-bit xxhash64
-      gram hashes — never benchmark text; a held-out set small enough to
-      broadcast, which is what makes the per-batch probe a map-side
-      join). There is no extend step — ingested documents must never
-      widen the blocklist.
+      gram hashes — never benchmark text). Real held-out sets are small
+      enough to broadcast, which makes the per-batch probe a map-side
+      join — but the broadcast is SIZE-GUARDED by the index's parquet
+      footer row count (_parquet_dir_rows vs _BENCH_IDX_BCAST_MAX_ROWS),
+      so an oversized seed degrades to a shuffle join, never an OOM.
+      There is no extend step — ingested documents must never widen the
+      blocklist.
     - ``quarantine/batch=<id>/``: APPEND-ONLY parquet of
       (doc_id, n_overlap) for the batch's contaminated docs — the
       actionable exclusion list, partitioned by contributing batch with
@@ -728,9 +755,12 @@ def streaming_decontam_gate(
             batch_df.unpersist()
             _republish()
             return
-        bench = F.broadcast(
-            owner.read.parquet(idx_path).withColumn("hit", F.lit(1))
-        )
+        bench = owner.read.parquet(idx_path).withColumn("hit", F.lit(1))
+        if _parquet_dir_rows(idx_path) <= _BENCH_IDX_BCAST_MAX_ROWS:
+            # real eval suites are MBs of gram hashes — broadcast; an
+            # oversized (or unreadable, rows = +inf) seed degrades to a
+            # shuffle join instead of OOMing every executor
+            bench = F.broadcast(bench)
         overlaps = (
             _grams_of(batch_df)
             .join(bench, "gh", "left")

@@ -1,0 +1,194 @@
+"""Semantic tests for the perceptual image near-dup tier
+(image_phash_neardup): dHash invariance under re-encoding — the case
+byte-level dedup provably misses — robustness to tiny pixel
+perturbations vs separation of unrelated images, and the planted
+near-identical-image pair surfacing through the banded-Hamming path on
+a Spark corpus. Oracle parity runs via test_oracle_parity."""
+
+from __future__ import annotations
+
+import hashlib
+
+from kafka_streams_example_spark import registry
+from kafka_streams_example_spark.functions import codecs as cx
+
+_DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
+
+
+def _image(doc_id: int, text: str) -> tuple[int, int, bytes]:
+    """The with_png_payload fixture image: dims from the id, pixels =
+    md5(text) digest repeated row-major."""
+    w, h = 16 + doc_id % 17, 16 + doc_id % 13
+    digest = hashlib.md5(text.encode("utf-8")).digest()
+    return w, h, (digest * (w * h // 16 + 1))[: w * h]
+
+
+def test_dhash_reencode_invariance():
+    """Re-encoding the same pixels (different scanline filter, different
+    zlib level) yields byte-DIFFERENT blobs — exact/byte dedup misses the
+    duplicate — while the dHash over DECODED pixels is identical."""
+    w, h, px = _image(5, "the quick brown fox jumps over the lazy dog")
+    base = cx.encode_png_gray8(w, h, px)
+    variants = [
+        cx.encode_png_gray8(w, h, px, filter_type=1),
+        cx.encode_png_gray8(w, h, px, filter_type=2),
+        cx.encode_png_gray8(w, h, px, zlevel=9),
+        cx.encode_png_gray8(w, h, px, filter_type=1, zlevel=1),
+    ]
+    ref = cx.dhash60(px, w, h)
+    blobs = {hashlib.md5(base).hexdigest()}
+    for blob in variants:
+        assert blob != base  # byte-level dedup would NOT pair these
+        blobs.add(hashlib.md5(blob).hexdigest())
+        d = cx.decode_png(blob)
+        assert d["pixels"] == px  # decode is exact for every filter
+        assert cx.dhash60(d["pixels"], d["width"], d["height"]) == ref
+    assert len(blobs) >= 4  # genuinely distinct wire bytes
+
+
+def test_dhash_perturbation_near_and_unrelated_far():
+    """A 1-pixel brightness nudge stays within the near-dup Hamming cut;
+    an unrelated image lands far outside it."""
+    w, h, px = _image(9, "alpha beta gamma delta epsilon zeta")
+    ref = cx.dhash60(px, w, h)
+    nudged = bytearray(px)
+    nudged[(h // 2) * w + w // 2] = (nudged[(h // 2) * w + w // 2] + 1) % 256
+    near = cx.dhash60(bytes(nudged), w, h)
+    assert bin(ref ^ near).count("1") <= 6
+    w2, h2, px2 = _image(9, "one two three four five six seven eight")
+    far = cx.dhash60(px2, w2, h2)  # same dims, unrelated content
+    assert bin(ref ^ far).count("1") > 6
+
+
+def test_image_phash_neardup_planted_pair(spark, tmp_path):
+    """Planted corpus: two docs with identical text and ids congruent mod
+    lcm(17,13)=221 produce byte-different parquet rows but IDENTICAL
+    images — the query must report them as Hamming-0 near-dups of each
+    other, and nobody else as a near-dup."""
+    texts = [" ".join(f"tok{i}w{j}" for j in range(30)) for i in range(20)]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    rows.append((221, texts[0], "en", "s0", len(texts[0])))  # dims == doc 0's
+    sf = tmp_path / "phash"
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["image_phash_neardup"](spark, str(sf)).collect()
+    }
+    assert set(out) == {r[0] for r in rows}
+    assert out[0].dhash == out[221].dhash
+    for i in (0, 221):
+        assert out[i].min_hamming == 0
+        assert out[i].n_neardups >= 1
+    for i in out:
+        if i not in (0, 221):
+            assert out[i].n_neardups == 0
+
+
+# ---------------------------------------------------------------------------
+# decontam bench broadcast size guard (batch + streaming gate)
+# ---------------------------------------------------------------------------
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_decontam_bench_broadcast_size_guard(spark, monkeypatch):
+    """The eval-gram side broadcasts when the footer estimate proves it
+    small, and degrades to a plain shuffle join when forced oversized —
+    with IDENTICAL output either way. Auto-broadcast is disabled for the
+    duration so the HINT (the guard's decision) alone decides the
+    strategy — at real scale the bench side's size estimate exceeds the
+    auto threshold anyway, which is exactly when the guard matters."""
+    from kafka_streams_example_spark.queries import dedup as dq
+    from tests.conftest import SF_SMOKE
+
+    fn = registry.QUERIES["decontam_ngram_overlap"]
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = fn(spark, SF_SMOKE)
+        assert "BroadcastHashJoin" in _plan(small)  # guard passes → broadcast
+        small_rows = sorted(map(tuple, small.collect()))
+
+        monkeypatch.setattr(dq, "_BENCH_BCAST_MAX_BYTES", -1)  # force "too big"
+        big = fn(spark, SF_SMOKE)
+        plan = _plan(big)
+        assert "BroadcastHashJoin" not in plan
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert sorted(map(tuple, big.collect())) == small_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_decontam_unknown_size_keeps_shuffle_join(spark, tmp_path):
+    """Footer stats unreadable (non-parquet layout) → est = -1 → the safe
+    direction is NO broadcast hint."""
+    from kafka_streams_example_spark.queries import dedup as dq
+    from kafka_streams_example_spark.sources.files import table_uncompressed_bytes
+
+    assert table_uncompressed_bytes(str(tmp_path), "documents") == -1
+    bench = spark.range(3).selectExpr("CAST(id AS STRING) AS g")
+    out = dq._maybe_broadcast_bench(str(tmp_path), bench)
+    assert out is bench  # un-hinted frame returned as-is
+
+
+def test_streaming_gate_index_guard_shuffle_parity(spark, tmp_path, monkeypatch):
+    """Forcing the standing decontam gate's static index oversized flips
+    the probe to a shuffle join with byte-identical totals/quarantine."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming import contract as ct
+
+    bench_text = " ".join(f"ev{i}" for i in range(12))
+    docs = [
+        (1, "en", bench_text),  # fully contaminated
+        (2, "en", " ".join(f"cl{i}" for i in range(12))),  # clean
+        (3, "de", f"{' '.join(f'x{i}' for i in range(7))} {bench_text}"),
+    ]
+
+    def run_once(tag):
+        seed = spark.createDataFrame(
+            [(0, "en", bench_text)], "doc_id LONG, lang STRING, text STRING"
+        )
+        src = tmp_path / f"in_{tag}"
+        _os.makedirs(src)
+        stream = spark.readStream.schema(
+            "doc_id LONG, lang STRING, text STRING"
+        ).json(str(src))
+        _, publish = ct.streaming_decontam_gate(
+            stream, seed, state_dir=str(tmp_path / f"state_{tag}")
+        )
+        q = (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(publish)
+            .option("checkpointLocation", str(tmp_path / f"ck_{tag}"))
+            .start()
+        )
+        with open(src / "b0.json", "w") as f:
+            for did, lang, text in docs:
+                f.write(_json.dumps({"doc_id": did, "lang": lang, "text": text}) + "\n")
+        q.processAllAvailable()
+        q.stop()
+        totals = sorted(
+            map(tuple, spark.sql("SELECT * FROM decontam_totals").collect())
+        )
+        quar = sorted(
+            map(
+                tuple,
+                spark.read.parquet(
+                    str(tmp_path / f"state_{tag}" / "quarantine")
+                ).collect(),
+            )
+        )
+        return totals, quar
+
+    base = run_once("bcast")
+    monkeypatch.setattr(ct, "_BENCH_IDX_BCAST_MAX_ROWS", -1)
+    forced = run_once("shuffle")
+    assert forced == base
+    assert base[0]  # non-degenerate: some totals rows
+    assert base[1]  # planted contamination quarantined
