@@ -1,16 +1,21 @@
-"""Pure-stdlib media codecs: PNG (zlib/struct) and WAV (struct).
+"""Pure-stdlib media codecs: PNG (zlib/struct), baseline JPEG
+(struct/math), and WAV (struct) — plus the dHash perceptual fingerprint
+over decoded pixels.
 
 These are REAL codecs, not stubs: the PNG path writes spec-conformant
 files (signature, CRC-32-checked chunks, zlib-compressed filtered
 scanlines per the PNG spec, ISO/IEC 15948) and the decoder does the full
 inverse — chunk walk with CRC verification, IDAT inflate, per-scanline
 unfiltering for ALL five filter types (None/Sub/Up/Average/Paeth).
+The JPEG path implements baseline ITU-T T.81 for grayscale end-to-end
+(DCT, quantization, zigzag, DC-difference + AC run-length Huffman with
+the Annex K tables, byte stuffing; and the full decoder inverse).
 The WAV path writes/parses canonical RIFF PCM.
 
-They exist because this container has no PIL/libsndfile: the multimodal
-operators (operators/multimodal.py) need a decode stage that actually
-executes, and PNG/WAV are the two open formats simple enough to implement
-from their public specifications with nothing but ``zlib`` and ``struct``.
+They exist because this container has no PIL/libjpeg/libsndfile: the
+multimodal operators (operators/multimodal.py) need a decode stage that
+actually executes, and PNG/JPEG/WAV are open formats implementable from
+their public specifications with nothing but ``zlib``/``struct``/``math``.
 Production swaps these for libvips/ffmpeg workers behind the same
 mapInPandas kernel shape; everything Spark-side (schema, batching,
 partitioning) is identical.
@@ -253,4 +258,398 @@ def decode_wav(blob: bytes) -> dict:
         "bits_per_sample": bits,
         "n_samples": n_vals // n_channels,
         "samples": samples,
+    }
+
+
+# ---------------------------------------------------------------------------
+# Baseline JPEG (ITU-T T.81 / ISO 10918-1) — grayscale, stdlib-only.
+#
+# A REAL codec, not a stub: the encoder writes spec-conformant baseline
+# JFIF streams (DQT/SOF0/DHT/SOS markers, forward DCT, quantization,
+# zigzag, DC-difference + AC run-length Huffman coding with the spec's
+# Annex K example tables, 0xFF byte stuffing) and the decoder does the
+# full inverse (marker walk, DHT canonical-code construction, bit reader
+# with stuffing removal, entropy decode, dequantize, inverse zigzag,
+# full 2D IDCT, level shift + clamp). Grayscale only — the one-component
+# case needs no chroma subsampling/upsampling — and no progressive mode,
+# restart markers, or arithmetic coding (rejected loudly, not silently
+# mis-decoded). Production swaps this for libjpeg-turbo workers behind
+# the same mapInPandas kernel; the wire format and block math here are
+# the real thing.
+# ---------------------------------------------------------------------------
+
+# Annex K.3 example Huffman tables (luminance): BITS = code counts for
+# lengths 1..16, VALS = symbols in code order. The tables ride the DHT
+# segment, so the decoder always builds its codes from the FILE.
+_JPG_DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+_JPG_DC_VALS = list(range(12))
+_JPG_AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+_JPG_AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA,
+]
+
+# zigzag scan order: _JPG_ZIGZAG[k] = (row-major) coefficient index of the
+# k-th zigzagged element (spec Figure 5)
+_JPG_ZIGZAG = [
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+]
+
+# DCT basis: _JPG_COS[x][u] = cos((2x+1) u pi / 16); C(0)=1/sqrt(2)
+import math as _math
+
+_JPG_COS = [
+    [_math.cos((2 * x + 1) * u * _math.pi / 16) for u in range(8)] for x in range(8)
+]
+_JPG_C = [1 / _math.sqrt(2)] + [1.0] * 7
+
+
+def _jpg_canonical_codes(bits: list[int], vals: list[int]) -> dict[int, tuple[int, int]]:
+    """symbol → (code, length) per the spec's canonical construction
+    (Annex C): codes of each length assigned in value order."""
+    out: dict[int, tuple[int, int]] = {}
+    code, k = 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _jpg_category(v: int) -> int:
+    """Size category S: smallest S with |v| < 2^S (0 for v == 0)."""
+    s, a = 0, abs(v)
+    while a:
+        s += 1
+        a >>= 1
+    return s
+
+
+class _JpgBitWriter:
+    def __init__(self) -> None:
+        self.buf = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            byte = (self.acc >> (self.n - 8)) & 0xFF
+            self.buf.append(byte)
+            if byte == 0xFF:  # byte stuffing (spec F.1.2.3)
+                self.buf.append(0x00)
+            self.n -= 8
+        self.acc &= (1 << self.n) - 1
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            byte = ((self.acc << pad) | ((1 << pad) - 1)) & 0xFF  # 1-fill
+            self.buf.append(byte)
+            if byte == 0xFF:
+                self.buf.append(0x00)
+            self.acc, self.n = 0, 0
+        return bytes(self.buf)
+
+
+def _jpg_fdct(block: list[int]) -> list[float]:
+    """Forward 2D DCT-II of one level-shifted 8×8 block (row-major)."""
+    out = [0.0] * 64
+    for v in range(8):
+        for u in range(8):
+            s = 0.0
+            for y in range(8):
+                cy = _JPG_COS[y][v]
+                base = y * 8
+                for x in range(8):
+                    s += block[base + x] * _JPG_COS[x][u] * cy
+            out[v * 8 + u] = 0.25 * _JPG_C[u] * _JPG_C[v] * s
+    return out
+
+
+def _jpg_idct(coef: list[int]) -> list[float]:
+    """Inverse 2D DCT of one dequantized 8×8 coefficient block."""
+    out = [0.0] * 64
+    for y in range(8):
+        for x in range(8):
+            s = 0.0
+            for v in range(8):
+                cv = _JPG_C[v] * _JPG_COS[y][v]
+                base = v * 8
+                for u in range(8):
+                    c = coef[base + u]
+                    if c:
+                        s += _JPG_C[u] * c * _JPG_COS[x][u] * cv
+            out[y * 8 + x] = 0.25 * s
+    return out
+
+
+def encode_jpeg_gray8(
+    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a baseline JPEG (one component,
+    no subsampling). ``quant`` is the 64-entry quantization table in
+    row-major order (default all-1 = numerically lossless for blocks
+    whose DCT quantizes to integers, e.g. per-block-constant images).
+    Edge blocks replicate the last row/column (the conventional pad)."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    q = list(quant) if quant is not None else [1] * 64
+    if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
+        raise ValueError("quant table must be 64 entries in 1..255")
+
+    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+    w = _JpgBitWriter()
+    pred = 0
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = []
+            for y in range(8):
+                sy = min(by + y, height - 1)
+                row = sy * width
+                for x in range(8):
+                    block.append(pixels[row + min(bx + x, width - 1)] - 128)
+            coef = _jpg_fdct(block)
+            # quantize (round half away from zero, the symmetric choice)
+            zz = []
+            for k in range(64):
+                c = coef[_JPG_ZIGZAG[k]] / q[_JPG_ZIGZAG[k]]
+                zz.append(int(c + 0.5) if c >= 0 else -int(-c + 0.5))
+            # DC difference
+            diff = zz[0] - pred
+            pred = zz[0]
+            s = _jpg_category(diff)
+            w.write(*dc_codes[s])
+            if s:
+                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+            # AC run-length
+            run = 0
+            for k in range(1, 64):
+                if zz[k] == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    w.write(*ac_codes[0xF0])  # ZRL
+                    run -= 16
+                s = _jpg_category(zz[k])
+                w.write(*ac_codes[(run << 4) | s])
+                w.write(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
+                run = 0
+            if run:
+                w.write(*ac_codes[0x00])  # EOB
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+    zz_q = bytes(q[_JPG_ZIGZAG[k]] for k in range(64))
+    dht = (
+        bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+        + bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
+    )
+    return (
+        b"\xff\xd8"  # SOI
+        + seg(0xDB, bytes([0x00]) + zz_q)  # DQT, table 0, 8-bit
+        + seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
+        + seg(0xC4, dht)
+        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        + w.flush()
+        + b"\xff\xd9"  # EOI
+    )
+
+
+class _JpgBitReader:
+    def __init__(self, data: bytes) -> None:
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def bit(self) -> int:
+        if self.n == 0:
+            if self.pos >= len(self.data):
+                raise ValueError("JPEG entropy stream exhausted")
+            b = self.data[self.pos]
+            self.pos += 1
+            if b == 0xFF:
+                if self.pos >= len(self.data) or self.data[self.pos] != 0x00:
+                    raise ValueError("unexpected marker in entropy stream")
+                self.pos += 1  # skip stuffed 0x00
+            self.acc = b
+            self.n = 8
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _jpg_read_huff(reader: _JpgBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length <= 16:
+        code = (code << 1) | reader.bit()
+        length += 1
+        sym = table.get((code, length))
+        if sym is not None:
+            return sym
+    raise ValueError("invalid Huffman code in JPEG stream")
+
+
+def _jpg_extend(v: int, s: int) -> int:
+    """Sign-extend a received S-bit magnitude (spec F.2.2.1 EXTEND)."""
+    return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def decode_jpeg(blob: bytes) -> dict:
+    """Full baseline-JPEG decode for grayscale (1-component) streams:
+    marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman construction,
+    entropy decode with byte-unstuffing, dequantize, inverse zigzag,
+    2D IDCT, level shift + clamp. Progressive/arithmetic/multi-component/
+    restart-interval streams raise ValueError (unsupported, never
+    mis-decoded). Returns ``{width, height, bit_depth, n_components,
+    pixels}`` with pixels cropped to width×height row-major."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    qtables: dict[int, list[int]] = {}
+    htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
+    sof = None
+    scan = None
+    while pos + 4 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        marker = blob[pos + 1]
+        if marker == 0xD9:  # EOI
+            break
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        payload = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xDB:  # DQT (possibly several tables per segment)
+            p = 0
+            while p < len(payload):
+                prec, tid = payload[p] >> 4, payload[p] & 0x0F
+                if prec != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                zz = list(payload[p + 1 : p + 65])
+                tbl = [0] * 64
+                for k in range(64):
+                    tbl[_JPG_ZIGZAG[k]] = zz[k]
+                qtables[tid] = tbl
+                p += 65
+        elif marker == 0xC4:  # DHT
+            p = 0
+            while p < len(payload):
+                cls, tid = payload[p] >> 4, payload[p] & 0x0F
+                bits = list(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = list(payload[p + 17 : p + 17 + nv])
+                codes = _jpg_canonical_codes(bits, vals)
+                htables[(cls, tid)] = {
+                    (code, length): sym for sym, (code, length) in codes.items()
+                }
+                p += 17 + nv
+        elif marker == 0xC0:  # SOF0 baseline
+            prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)
+            if prec != 8 or nc != 1:
+                raise ValueError(f"unsupported JPEG: precision={prec} components={nc}")
+            comp_id, sampling, tq = payload[6], payload[7], payload[8]
+            if sampling != 0x11:
+                raise ValueError("subsampled grayscale makes no sense; bad stream")
+            sof = (w, h, tq)
+        elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+                        0xCD, 0xCE, 0xCF):
+            raise ValueError(f"non-baseline JPEG (SOF marker 0x{marker:02x})")
+        elif marker == 0xDD:
+            raise ValueError("restart intervals unsupported")
+        elif marker == 0xDA:  # SOS — entropy data follows the header
+            ns = payload[0]
+            if ns != 1:
+                raise ValueError("multi-component scan unsupported")
+            td, ta = payload[2] >> 4, payload[2] & 0x0F
+            scan = (td, ta, pos + 2 + seg_len)
+            break
+        # APPn/COM/anything else: skip by length
+        pos += 2 + seg_len
+    if sof is None or scan is None:
+        raise ValueError("missing SOF0/SOS")
+    width, height, tq = sof
+    td, ta, data_start = scan
+    data_end = blob.rfind(b"\xff\xd9")
+    if data_end < 0:
+        raise ValueError("missing EOI")
+    q = qtables[tq]
+    dc_tbl, ac_tbl = htables[(0, td)], htables[(1, ta)]
+    reader = _JpgBitReader(blob[data_start:data_end])
+
+    bw = (width + 7) // 8
+    bh = (height + 7) // 8
+    out = bytearray(bw * 8 * bh * 8)
+    pred = 0
+    for byi in range(bh):
+        for bxi in range(bw):
+            zz = [0] * 64
+            s = _jpg_read_huff(reader, dc_tbl)
+            diff = _jpg_extend(reader.bits(s), s) if s else 0
+            pred += diff
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = _jpg_read_huff(reader, ac_tbl)
+                if sym == 0x00:  # EOB
+                    break
+                if sym == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, s = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC coefficient index out of range")
+                zz[k] = _jpg_extend(reader.bits(s), s)
+                k += 1
+            coef = [0] * 64
+            for kk in range(64):
+                coef[_JPG_ZIGZAG[kk]] = zz[kk] * q[_JPG_ZIGZAG[kk]]
+            spatial = _jpg_idct(coef)
+            for y in range(8):
+                orow = (byi * 8 + y) * bw * 8 + bxi * 8
+                for x in range(8):
+                    v = int(round(spatial[y * 8 + x])) + 128
+                    out[orow + x] = 0 if v < 0 else (255 if v > 255 else v)
+    # crop the padded MCU grid back to the declared dims
+    pixels = bytes(
+        out[y * bw * 8 + x] for y in range(height) for x in range(width)
+    ) if (bw * 8 != width or bh * 8 != height) else bytes(out)
+    return {
+        "width": width,
+        "height": height,
+        "bit_depth": 8,
+        "n_components": 1,
+        "pixels": pixels,
     }

@@ -365,3 +365,93 @@ def byte_features_arrow(
             )
 
     return df.select(id_col, bin_col).mapInArrow(batches, FEATURES_SCHEMA)
+
+
+JPEG_DECODED_SCHEMA = (
+    "doc_id LONG, width INT, height INT, n_blocks INT, n_pixels LONG, "
+    "pixel_sum LONG, roundtrip_ok BOOLEAN, ok BOOLEAN"
+)
+
+
+def with_jpeg_payload(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Fixture flow with REAL baseline-JPEG blobs: dims ``8*(1+id%3) ×
+    8*(1+id%2)``, each 8×8 block a constant value = md5(text) digest byte
+    (block index mod 16). Per-block-constant content makes the lossy
+    format numerically exact (only the DC coefficient is nonzero and it
+    quantizes to an integer under the all-1 table), so a full-value
+    oracle over the decoded pixels exists — while the encoder/decoder
+    still run the complete baseline pipeline (DCT, quantization, zigzag,
+    DC-diff + AC run-length Huffman, byte stuffing, IDCT)."""
+    cx = _ship_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blobs = []
+            for i, t in zip(pdf[id_col], pdf[text_col]):
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                wb = w // 8
+                px = bytearray(w * h)
+                for by in range(h // 8):
+                    for bx in range(wb):
+                        v = digest[(by * wb + bx) % 16]
+                        for y in range(8):
+                            row = (by * 8 + y) * w + bx * 8
+                            px[row : row + 8] = bytes([v]) * 8
+                blobs.append(cx.encode_jpeg_gray8(w, h, bytes(px)))
+            yield pd.DataFrame({"doc_id": pdf[id_col], "payload": blobs})
+
+    return df.select(id_col, text_col).mapInPandas(batches, "doc_id LONG, payload BINARY")
+
+
+def decode_jpegs(
+    df: DataFrame, id_col: str = "doc_id", bin_col: str = "payload"
+) -> DataFrame:
+    """Decode stage for baseline JPEG: binary → decoded stream properties
+    + pixel aggregate (functions/codecs.py:decode_jpeg — full marker walk,
+    DHT canonical codes, entropy decode, dequant, IDCT). Undecodable
+    blobs (corrupt bytes, progressive/multi-component streams, formats
+    needing an external codec) emit ``ok=False`` with NULL fields — a bad
+    blob degrades one row, never the job."""
+    cx = _ship_codecs()
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "width", "height", "n_blocks", "n_pixels", "pixel_sum", "ok",
+            )}
+            for b in pdf[bin_col]:
+                try:
+                    d = cx.decode_jpeg(bytes(b))
+                    out["width"].append(d["width"])
+                    out["height"].append(d["height"])
+                    out["n_blocks"].append(
+                        ((d["width"] + 7) // 8) * ((d["height"] + 7) // 8)
+                    )
+                    out["n_pixels"].append(len(d["pixels"]))
+                    out["pixel_sum"].append(sum(d["pixels"]))
+                    out["ok"].append(True)
+                except (ValueError, TypeError, KeyError, IndexError, struct.error):
+                    for k in ("width", "height", "n_blocks", "n_pixels", "pixel_sum"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf[id_col],
+                    "width": pd.Series(out["width"], dtype="Int32"),
+                    "height": pd.Series(out["height"], dtype="Int32"),
+                    "n_blocks": pd.Series(out["n_blocks"], dtype="Int32"),
+                    "n_pixels": pd.Series(out["n_pixels"], dtype="Int64"),
+                    "pixel_sum": pd.Series(out["pixel_sum"], dtype="Int64"),
+                    "ok": out["ok"],
+                }
+            )
+
+    return df.select(id_col, bin_col).mapInPandas(
+        batches,
+        "doc_id LONG, width INT, height INT, n_blocks INT, n_pixels LONG, "
+        "pixel_sum LONG, ok BOOLEAN",
+    )

@@ -511,3 +511,66 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("min_h", F.lit(-1)).cast("int").alias("min_hamming"),
         F.coalesce("n_neardups", F.lit(0)).cast("int").alias("n_neardups"),
     )
+
+
+# --------------------------------------------------------------------------
+# multimodal_decode_real_jpeg — REAL baseline-JPEG roundtrip
+# --------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_decode_real_jpeg",
+    """
+WITH d AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) AS w,
+           8 * (1 + doc_id % 2) AS h,
+           md5(text) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, w, h, (w // 8) * (h // 8) AS nb,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM d
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(nb AS INT) AS n_blocks,
+       CAST(w * h AS BIGINT) AS n_pixels,
+       CAST(64 * list_aggregate(db[1:nb], 'sum') AS BIGINT) AS pixel_sum,
+       TRUE AS ok
+FROM b
+""",
+)
+def multimodal_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-JPEG roundtrip over the documents corpus — the
+    dominant web-image wire format a multimodal crawl actually carries
+    (PNG and WAV got their real codecs in r07; this closes the set).
+    Per doc: synthesize the per-block-constant grayscale image
+    (operators/multimodal.py:with_jpeg_payload), ENCODE it as a
+    spec-conformant baseline JFIF stream (forward DCT, all-1 quant
+    table, zigzag, DC-difference + AC run-length Huffman with the Annex K
+    tables, 0xFF stuffing), then fully DECODE it (marker walk, canonical
+    Huffman construction, entropy decode, dequantize, inverse zigzag,
+    2D IDCT, level shift) and emit the DECODED dims and pixel sum
+    (functions/codecs.py:encode_jpeg_gray8/decode_jpeg).
+
+    JPEG is lossy in general, so the full-value oracle exists by
+    construction: per-block-constant content leaves only the DC
+    coefficient nonzero (8·(v−128), an exact integer under Q=1), which
+    the IDCT returns bit-exactly — the oracle recomputes every block's
+    contribution arithmetically from md5(text), and the hash match fails
+    on any Huffman/bit-order/zigzag/DCT defect in EITHER direction. The
+    general lossy path (AC coefficients, quantization error ≤1) is
+    pinned by definition-level tests against an independent matrix-form
+    DCT (tests/test_llm_extra24.py).
+
+    Scale shape: two map-only Arrow mapInPandas stages composed into one
+    scan-side pipeline — blobs never shuffle, no aggregation, no join.
+    """
+    docs = _load_parallel(spark, sf_dir, "documents")
+    return mm.decode_jpegs(mm.with_jpeg_payload(docs))

@@ -893,3 +893,170 @@ def compact_ingest_index(
         shutil.rmtree(os.path.join(idx_dir, f"batch={k}"))
     os.remove(marker)
     return {"absorbed": len(absorb), "rows": n_rows, "new_id": new_id}
+
+
+def streaming_quality_gate(
+    docs_stream: DataFrame,
+    seed_corpus: DataFrame,
+    state_dir: str | None = None,
+    keep_tokens: float = 0.75,
+    threshold: float | None = None,
+) -> tuple[DataFrame, "callable"]:
+    """Quality filtering as a STANDING ingest gate — the fourth ingest
+    twin: the batch quality cutoff (``doc_perplexity_proxy`` scoring +
+    ``quality_threshold_for_budget``'s token-budget threshold solve) as a
+    per-micro-batch keep/drop decision on the shared commit-state
+    machinery (exactly-once counters, replay/rewind handling, restart
+    resume, O(1) plan depth).
+
+    Static artifacts, written ONCE at state-dir creation from the seed
+    corpus (the gate must be deterministic across its lifetime — a score
+    model that drifts with ingest would reclassify the same document
+    differently on different days):
+
+    - ``lm_freq/``: the unigram LM as a (token, c) parquet — vocab-sized,
+      broadcast into the per-batch probe when its parquet footer row
+      count is small (_parquet_dir_rows, same guard as the decontam
+      index), shuffle join otherwise;
+    - ``threshold.json``: the total seed token count (the LM's
+      denominator) and the score cutoff. An explicit ``threshold`` is
+      taken as-is; otherwise it is SOLVED from the seed at seeding time
+      with the histogram-CDF device (2dp score bins, cumulative token
+      mass, smallest bin keeping ``keep_tokens`` of seed tokens —
+      ``quality_threshold_for_budget``'s formulation, deliberately not a
+      corpus-sorting quantile).
+
+    Per batch: tokenize, score avg-neg-logp over IN-VOCAB tokens
+    (rounded 6dp, the batch query's discipline), keep docs with
+    score <= threshold. Docs with ZERO in-vocab tokens are unscorable
+    and REJECTED — the safe direction for a quality gate (and the
+    correct reading of the proxy: a doc sharing no vocabulary with the
+    reference corpus is exactly what the filter exists to stop).
+    Rejected ids land in append-only ``rejects/batch=<id>/`` parquet
+    (doc_id, score — score NULL when unscorable), the exclusion list
+    downstream packing consumes. Published view: ``quality_totals`` with
+    per-lang (lang, n_incoming, n_kept, n_rejected, n_unscorable).
+    """
+    import tempfile
+
+    from kafka_streams_example_spark.operators.text import tokens
+
+    owner = seed_corpus.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="quality_state_")
+    lm_path = os.path.join(root, "lm_freq")
+    thr_path = os.path.join(root, "threshold.json")
+
+    def _doc_tokens(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("txt")
+        ).select("id", F.explode(tokens(F.lower(F.col("txt")))).alias("token"))
+
+    def _scores(tok_df: DataFrame, freq: DataFrame, n_total: int) -> DataFrame:
+        """(id, token) ⨝ LM → (id, score) over in-vocab tokens, 6dp."""
+        return (
+            tok_df.join(freq, "token")
+            .withColumn(
+                "logp", F.log(F.col("c").cast("double") / F.lit(float(n_total)))
+            )
+            .groupBy("id")
+            .agg(F.round(-F.sum("logp") / F.count("*"), 6).alias("score"))
+        )
+
+    state = _load_commit_state(root)
+    if not state["resumed"]:
+        seed_toks = _doc_tokens(seed_corpus)
+        seed_toks.groupBy("token").agg(F.count("*").alias("c")).write.mode(
+            "overwrite"
+        ).parquet(lm_path)
+        freq = owner.read.parquet(lm_path)
+        n_total = freq.agg(F.sum("c")).first()[0] or 0
+        if threshold is None:
+            # histogram-CDF token-budget solve on the SEED (2dp bins,
+            # bins-bounded frame — one tiny aggregate, no corpus sort)
+            sc = _scores(seed_toks, freq, n_total)
+            mass = (
+                _doc_tokens(seed_corpus)
+                .groupBy("id")
+                .agg(F.count("*").alias("nt"))
+                .join(sc, "id")
+                .groupBy(F.round("score", 2).alias("bin"))
+                .agg(F.sum("nt").alias("m"))
+            )
+            from pyspark.sql.window import Window as _W
+
+            cum = mass.withColumn(
+                "cm", F.sum("m").over(_W.orderBy("bin").rowsBetween(
+                    _W.unboundedPreceding, _W.currentRow))
+            )
+            total_m = mass.agg(F.sum("m")).first()[0] or 0
+            row = (
+                cum.filter(F.col("cm") >= keep_tokens * total_m)
+                .agg(F.min("bin"))
+                .first()
+            )
+            threshold = float(row[0]) if row and row[0] is not None else float("inf")
+        tmp = thr_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(
+                {"threshold": threshold, "n_total": int(n_total),
+                 "keep_tokens": keep_tokens}, fh,
+            )
+        os.replace(tmp, thr_path)
+    with open(thr_path) as fh:
+        art = json.load(fh)
+    thr, n_total = art["threshold"], art["n_total"]
+
+    def _republish() -> None:
+        if state["gen"] > 0:
+            committed = os.path.join(root, f"totals_gen{(state['gen'] - 1) % 2}")
+            owner.read.parquet(committed).createOrReplaceTempView("quality_totals")
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.count()
+        try:
+            replay = _is_replay(state, root, batch_id)
+        except RuntimeError:
+            batch_df.unpersist()
+            raise
+        if replay:
+            batch_df.unpersist()
+            _republish()
+            return
+        freq = owner.read.parquet(lm_path)
+        if _parquet_dir_rows(lm_path) <= _BENCH_IDX_BCAST_MAX_ROWS:
+            freq = F.broadcast(freq)
+        sc = _scores(_doc_tokens(batch_df), freq, n_total)
+        probed = (
+            batch_df.select(F.col("doc_id").alias("id"), "lang")
+            .join(sc, "id", "left")
+            .withColumn(
+                "kept",
+                F.col("score").isNotNull() & (F.col("score") <= F.lit(thr)),
+            )
+        )
+        batch_counts = probed.groupBy("lang").agg(
+            F.count("*").alias("n_incoming"),
+            F.count(F.when(F.col("kept"), 1)).alias("n_kept"),
+            F.count(F.when(~F.col("kept"), 1)).alias("n_rejected"),
+            F.count(F.when(F.col("score").isNull(), 1)).alias("n_unscorable"),
+        )
+        gen = state["gen"]
+        merged = _merge_running_totals(
+            owner,
+            None if gen == 0 else os.path.join(root, f"totals_gen{(gen - 1) % 2}"),
+            batch_counts,
+            ["n_incoming", "n_kept", "n_rejected", "n_unscorable"],
+        )
+        totals_path = os.path.join(root, f"totals_gen{gen % 2}")
+        merged.write.mode("overwrite").parquet(totals_path)
+        probed.filter(~F.col("kept")).select(
+            F.col("id").alias("doc_id"), "score"
+        ).write.mode("overwrite").parquet(
+            os.path.join(root, f"rejects/batch={batch_id}")
+        )
+        batch_df.unpersist()
+        _commit_marker(root, state, batch_id)
+        owner.read.parquet(totals_path).createOrReplaceTempView("quality_totals")
+
+    return docs_stream, publish

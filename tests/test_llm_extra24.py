@@ -192,3 +192,116 @@ def test_streaming_gate_index_guard_shuffle_parity(spark, tmp_path, monkeypatch)
     assert forced == base
     assert base[0]  # non-degenerate: some totals rows
     assert base[1]  # planted contamination quarantined
+
+
+# ---------------------------------------------------------------------------
+# baseline JPEG codec (multimodal_decode_real_jpeg)
+# ---------------------------------------------------------------------------
+
+
+def test_jpeg_dct_matches_matrix_reference():
+    """_jpg_fdct/_jpg_idct agree with an INDEPENDENT matrix-form DCT-II
+    (numpy, C @ X @ C.T) on random blocks, and compose to the identity."""
+    import numpy as np
+
+    from kafka_streams_example_spark.functions import codecs as cx
+
+    C = np.zeros((8, 8))
+    for u in range(8):
+        a = np.sqrt(0.125) if u == 0 else 0.5
+        for x in range(8):
+            C[u, x] = a * np.cos((2 * x + 1) * u * np.pi / 16)
+    rng = np.random.default_rng(42)
+    for _ in range(5):
+        block = rng.integers(-128, 128, size=(8, 8))
+        ref = C @ block @ C.T
+        got = np.array(cx._jpg_fdct([int(v) for v in block.flatten()])).reshape(8, 8)
+        assert np.allclose(got, ref, atol=1e-9)
+        back = np.array(
+            cx._jpg_idct([float(v) for v in got.flatten()])
+        ).reshape(8, 8)
+        assert np.allclose(back, block, atol=1e-9)
+
+
+def test_jpeg_roundtrip_exact_on_block_constant_and_bounded_elsewhere():
+    """Per-block-constant images roundtrip bit-exactly (the oracle
+    device); arbitrary content is within quantization error (≤1 at Q=1) —
+    the honest lossy bound. Non-multiple-of-8 dims pad with edge
+    replication and crop back."""
+    import random
+
+    from kafka_streams_example_spark.functions import codecs as cx
+
+    random.seed(3)
+    w, h = 24, 16
+    px = bytearray(w * h)
+    for by in range(2):
+        for bx in range(3):
+            v = random.randrange(256)
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                px[row : row + 8] = bytes([v]) * 8
+    d = cx.decode_jpeg(cx.encode_jpeg_gray8(w, h, bytes(px)))
+    assert d["pixels"] == bytes(px)
+    assert (d["width"], d["height"]) == (w, h)
+
+    noisy = bytes(random.randrange(256) for _ in range(w * h))
+    d2 = cx.decode_jpeg(cx.encode_jpeg_gray8(w, h, noisy))
+    assert max(abs(a - b) for a, b in zip(noisy, d2["pixels"])) <= 1
+
+    odd = bytes((i * 11) % 256 for i in range(20 * 12))
+    d3 = cx.decode_jpeg(cx.encode_jpeg_gray8(20, 12, odd))
+    assert (d3["width"], d3["height"]) == (20, 12)
+    assert len(d3["pixels"]) == 240
+    assert max(abs(a - b) for a, b in zip(odd, d3["pixels"])) <= 1
+
+
+def test_jpeg_ac_path_and_quant_table():
+    """A non-trivial quant table exercises dequantization, and a
+    single-gradient block forces genuine AC coefficients through the
+    Huffman run-length path (not just DC+EOB)."""
+    from kafka_streams_example_spark.functions import codecs as cx
+
+    w = h = 8
+    px = bytes(min(255, x * 30) for y in range(8) for x in range(8))
+    q = [1] * 64
+    q[1] = 2  # non-uniform: dequant must multiply back
+    d = cx.decode_jpeg(cx.encode_jpeg_gray8(w, h, px, quant=q))
+    # lossy but tightly bounded: only coefficient (0,1) was coarsened
+    assert max(abs(a - b) for a, b in zip(px, d["pixels"])) <= 2
+
+
+def test_jpeg_rejects_and_degrades():
+    """Corrupt/foreign bytes raise (the exception types decode_jpegs
+    catches per-row) at the codec layer — one bad blob never kills the
+    task because the Spark stage maps them to ok=False rows."""
+    import struct as _struct
+
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.functions import codecs as cx
+
+    with _pytest.raises(ValueError):
+        cx.decode_jpeg(b"not a jpeg at all")
+    good = cx.encode_jpeg_gray8(8, 8, bytes(range(64)))
+    with _pytest.raises((ValueError, IndexError, _struct.error)):
+        cx.decode_jpeg(good[: len(good) // 2])
+
+
+def test_jpeg_decode_stage_per_row_degradation(spark):
+    """Non-JPEG payloads (utf-8 text bytes) through decode_jpegs yield
+    ok=False rows; real JPEG payloads decode to their true dims — the
+    test_decode_real_path_stdlib_png pattern for the JPEG stage."""
+    from kafka_streams_example_spark.operators import multimodal as mm
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(12)
+    good = mm.decode_jpegs(mm.with_jpeg_payload(docs)).collect()
+    assert len(good) == 12
+    for r in good:
+        assert r.ok, r
+        assert r.width == 8 * (1 + r.doc_id % 3)
+        assert r.height == 8 * (1 + r.doc_id % 2)
+        assert r.n_pixels == r.width * r.height
+    bad = mm.decode_jpegs(mm.with_binary_payload(docs)).collect()
+    assert len(bad) == 12
+    assert all((not r.ok) and r.width is None and r.pixel_sum is None for r in bad)

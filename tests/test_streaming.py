@@ -2509,3 +2509,299 @@ def test_compact_ingest_index_crash_recovery(spark, tmp_path):
     assert not _os.path.exists(_os.path.join(state_dir, "compact.json"))
     final = sorted(r.fp for r in spark.read.parquet(idx).select("fp").collect())
     assert final == before
+
+
+# --------------------------------------------------------------------------
+# streaming_quality_gate — standing quality-cutoff ingest gate (4th twin)
+# --------------------------------------------------------------------------
+
+
+def _q_round(x: float, scale: int) -> float:
+    """HALF_UP rounding matching Spark's F.round on positive doubles."""
+    import math as _m
+
+    p = 10.0 ** scale
+    return _m.floor(x * p + 0.5) / p
+
+
+def _q_tokens(text: str) -> list[str]:
+    import re as _re
+
+    return [t for t in _re.split(r"[ \t\n\x0B\f\r]+", text.strip().lower()) if t]
+
+
+def test_streaming_quality_gate_matches_batch_replay(spark, tmp_path):
+    """5-micro-batch parity against an independent Python replay of the
+    gate definition (in-vocab avg-neg-logp under the SEED-trained unigram
+    LM, 6dp HALF_UP, keep iff score <= explicit threshold; OOV-only docs
+    unscorable -> rejected) over the real sf0.001 corpus."""
+    import json as _json
+    import math as _math
+    import os as _os
+    from collections import defaultdict
+
+    from kafka_streams_example_spark.sources.files import load_table
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_quality_gate,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = (
+        load_table(spark, SF_SMOKE, "documents")
+        .select("doc_id", "lang", "text")
+        .collect()
+    )
+    seed_rows = [r for r in rows if r.doc_id % 17 == 0]
+    incoming = [r for r in rows if r.doc_id % 17 != 0]
+    # plant one OOV-only doc per batch bucket to pin the unscorable path
+    incoming_extra = [(10_000 + b, "xx", "zzqqy" * 3) for b in range(5)]
+
+    # --- independent replay ---
+    lm: dict[str, int] = defaultdict(int)
+    for r in seed_rows:
+        for t in _q_tokens(r.text):
+            lm[t] += 1
+    n_total = sum(lm.values())
+    threshold = 8.0  # explicit: the solve has its own test below
+
+    def score(text):
+        lps = [_math.log(lm[t] / n_total) for t in _q_tokens(text) if t in lm]
+        if not lps:
+            return None
+        return _q_round(-sum(lps) / len(lps), 6)
+
+    want = defaultdict(lambda: [0, 0, 0, 0])
+    for r in list(incoming) + [
+        type("R", (), {"doc_id": d, "lang": lang, "text": t})
+        for d, lang, t in incoming_extra
+    ]:
+        s = score(r.text)
+        kept = s is not None and s <= threshold
+        want[r.lang][0] += 1
+        want[r.lang][1] += kept
+        want[r.lang][2] += not kept
+        want[r.lang][3] += s is None
+    assert sum(v[3] for v in want.values()) >= 5  # unscorable path exercised
+    assert 0 < sum(v[2] for v in want.values())  # some genuine rejects
+
+    seed = spark.createDataFrame(
+        [(r.doc_id, r.lang, r.text) for r in seed_rows],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    src = tmp_path / "qg_in"
+    _os.makedirs(src)
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(src))
+    _, publish = streaming_quality_gate(
+        stream, seed, state_dir=str(tmp_path / "qg_state"), threshold=threshold
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "qg_ck"))
+        .start()
+    )
+    for b in range(5):
+        with open(src / f"b{b}.json", "w") as f:
+            for r in incoming:
+                if r.doc_id % 5 == b:
+                    f.write(
+                        _json.dumps(
+                            {"doc_id": r.doc_id, "lang": r.lang, "text": r.text}
+                        )
+                        + "\n"
+                    )
+            d, lang, t = incoming_extra[b]
+            f.write(_json.dumps({"doc_id": d, "lang": lang, "text": t}) + "\n")
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT * FROM quality_totals").collect(), key=lambda r: r.lang
+    )
+    assert [tuple(r) for r in got] == [
+        (lang, c[0], c[1], c[2], c[3]) for lang, c in sorted(want.items())
+    ]
+
+
+def test_streaming_quality_gate_threshold_solve_and_static_artifacts(
+    spark, tmp_path
+):
+    """The seeding-time histogram-CDF threshold solve lands on the exact
+    token-budget bin, and neither the LM nor the threshold artifact moves
+    after batches are published; rejects are per-batch partitions with
+    NULL score for unscorable docs."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_quality_gate,
+    )
+
+    # vocab: a:9 b:3 c:6 over n=18 seed tokens; per-doc scores (6dp):
+    # d0 = -ln(9/18) = 0.693147 (6 tokens), d2 = 1.098612 (6), d1 =
+    # mixed = 1.242453 (6). keep_tokens=0.75 -> need >= 13.5 of 18
+    # cumulative tokens -> threshold = round(1.242453, 2) = 1.24.
+    seed = spark.createDataFrame(
+        [
+            (0, "en", "a a a a a a"),
+            (1, "en", "a a a b b b"),
+            (2, "en", "c c c c c c"),
+        ],
+        "doc_id LONG, lang STRING, text STRING",
+    )
+    state_dir = str(tmp_path / "qs_state")
+    _os.makedirs(tmp_path / "qs_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "qs_unused"))
+    _, publish = streaming_quality_gate(stream, seed, state_dir=state_dir)
+    with open(_os.path.join(state_dir, "threshold.json")) as fh:
+        art = _json.load(fh)
+    assert art == {"threshold": 1.24, "n_total": 18, "keep_tokens": 0.75}
+    lm_before = sorted(
+        map(tuple, spark.read.parquet(_os.path.join(state_dir, "lm_freq")).collect())
+    )
+    assert lm_before == [("a", 9), ("b", 3), ("c", 6)]
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, text STRING"
+    )
+    # scores: "a a a"=0.693147 keep; "b b"=1.791759 reject;
+    # "qqz qqz"=unscorable reject; "a qqz"=0.693147 keep (OOV ignored);
+    # "c b"=1.445186 reject
+    publish(
+        mk(
+            [
+                (10, "en", "a a a"),
+                (11, "en", "b b"),
+                (12, "de", "qqz qqz"),
+                (13, "de", "a qqz"),
+            ]
+        ),
+        0,
+    )
+    publish(mk([(14, "en", "c b")]), 1)
+    got = sorted(spark.sql("SELECT * FROM quality_totals").collect())
+    assert [tuple(r) for r in got] == [
+        ("de", 2, 1, 1, 1),
+        ("en", 3, 1, 2, 0),
+    ]
+    rej = spark.read.parquet(_os.path.join(state_dir, "rejects"))
+    assert sorted(rej.columns) == ["batch", "doc_id", "score"]
+    by_id = {r.doc_id: r for r in rej.collect()}
+    assert set(by_id) == {11, 12, 14}
+    assert by_id[11].score == 1.791759 and by_id[11].batch == 0
+    assert by_id[12].score is None
+    assert by_id[14].score == 1.445186 and by_id[14].batch == 1
+    # static artifacts unmoved
+    with open(_os.path.join(state_dir, "threshold.json")) as fh:
+        assert _json.load(fh) == art
+    lm_after = sorted(
+        map(tuple, spark.read.parquet(_os.path.join(state_dir, "lm_freq")).collect())
+    )
+    assert lm_after == lm_before
+
+
+def test_streaming_quality_gate_replay_restart_and_rewind(spark, tmp_path):
+    """Exactly-once counters under crash-replay; restart resumes (LM and
+    threshold NOT re-seeded); rewound checkpoint raises — the shared
+    commit-state quartet leg for the quality surface."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_quality_gate,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", "w w w w v v")], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "qr_state")
+    _os.makedirs(tmp_path / "qr_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "qr_unused"))
+    _, publish = streaming_quality_gate(
+        stream, seed, state_dir=state_dir, threshold=1.0
+    )
+    mk = lambda i, text: spark.createDataFrame(
+        [(i, "en", text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    # w: -ln(4/6)=0.405465 keep; v: -ln(2/6)=1.098612 reject
+    publish(mk(1, "w w"), 0)
+    publish(mk(2, "v"), 1)
+    want = [("en", 2, 1, 1, 0)]
+    got = sorted(spark.sql("SELECT * FROM quality_totals").collect())
+    assert [tuple(r) for r in got] == want
+    publish(mk(2, "v"), 1)  # crash-replay: counters must not move
+    got = sorted(spark.sql("SELECT * FROM quality_totals").collect())
+    assert [tuple(r) for r in got] == want
+    _, publish2 = streaming_quality_gate(
+        stream, seed, state_dir=state_dir, threshold=1.0
+    )
+    publish2(mk(3, "w v w"), 2)  # (0.405465*2+1.098612)/3=0.636514 keep
+    got = sorted(spark.sql("SELECT * FROM quality_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 2, 1, 0)]
+    _, publish3 = streaming_quality_gate(
+        stream, seed, state_dir=state_dir, threshold=1.0
+    )
+    with _pytest.raises(RuntimeError, match="reset/rewound"):
+        publish3(mk(4, "whatever"), 0)
+
+
+def test_streaming_quality_gate_checkpoint_restart_end_to_end(spark, tmp_path):
+    """Full restart integration: a NEW streaming query resumed from the
+    SAME checkpoint delivers exactly the counters a never-restarted run
+    would — scoring post-restart docs against the never-reseeded LM."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_quality_gate,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", "g g g h h h")], "doc_id LONG, lang STRING, text STRING"
+    )
+    src = tmp_path / "qe2e_in"
+    _os.makedirs(src)
+    state_dir = str(tmp_path / "qe2e_state")
+    ck = str(tmp_path / "qe2e_ck")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for did, lang, text in rows:
+                f.write(
+                    _json.dumps({"doc_id": did, "lang": lang, "text": text}) + "\n"
+                )
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id LONG, lang STRING, text STRING"
+        ).json(str(src))
+        _, publish = streaming_quality_gate(
+            stream, seed, state_dir=state_dir, threshold=0.8
+        )
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(publish)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    # g,h both -ln(3/6)=0.693147 <= 0.8 keep; OOV-only rejects
+    q = start()
+    write("b0.json", [(1, "en", "g g"), (2, "en", "nope nope")])
+    q.processAllAvailable()
+    q.stop()
+    q = start()  # restart from the same checkpoint
+    write("b1.json", [(3, "en", "h g h"), (4, "de", "zz")])
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(spark.sql("SELECT * FROM quality_totals").collect())
+    assert [tuple(r) for r in got] == [
+        ("de", 1, 0, 1, 1),
+        ("en", 3, 2, 1, 1),
+    ]
