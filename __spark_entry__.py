@@ -109,6 +109,7 @@ def _rotated(names: list[str]) -> list[str]:
 _TOUCHED_THIS_ROUND: set[str] = {
     "decontam_ngram_overlap",
     "corpus_curation_pipeline",
+    "semdedup_prune",
 }
 
 

@@ -1588,6 +1588,8 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SD_TAU = 0.35
 _SD_MIN_CELLS = 16  # cell-count floor (small inputs)
 _SD_PER_CELL = 128  # target vectors per cell — bounds in-cell pair work
+_SD_LOCAL_K = 16  # local centroids per sign-bucket (cells per bucket)
+_SD_SIGN_BITS = 16  # axis-aligned hyperplane bits folded into buckets
 
 
 def sd_cell_count(n_vectors: int) -> int:
@@ -1600,22 +1602,45 @@ def sd_cell_count(n_vectors: int) -> int:
     return max(_SD_MIN_CELLS, n_vectors // _SD_PER_CELL)
 
 
-@register(
-    "semdedup_prune",
-    f"""
-WITH ncell AS (
-    SELECT greatest({_SD_MIN_CELLS},
-                    CAST(count(*) // {_SD_PER_CELL} AS BIGINT)) AS k
+def sd_bucket_count(n_vectors: int) -> int:
+    """Number of coarse sign-LSH buckets: cells / 16 local centroids per
+    bucket. The TWO-LEVEL assignment exists because a flat
+    nearest-of-all-cells scan is O(N·k) = O(N²/128) when k scales with N
+    — measured superlinear (×100 exponent 1.141, 2.2 s → 420 s) in the
+    r10 decade-3 sweep before this rewrite. Bucketing first makes the
+    assignment O(N·(bits + 16)) = linear; real SemDeDup deployments get
+    the same effect from faiss's hierarchical k-means."""
+    return max(1, sd_cell_count(n_vectors) // _SD_LOCAL_K)
+
+
+def _sd_duck_sql() -> str:
+    sign_int = (
+        "list_aggregate(list_transform(generate_series(0, "
+        f"{_SD_SIGN_BITS - 1}), j -> CASE WHEN embedding[j + 1] > 0 "
+        "THEN (1 << j) ELSE 0 END), 'sum')"
+    )
+    return f"""
+WITH params AS (
+    SELECT greatest(1, greatest({_SD_MIN_CELLS},
+                    CAST(count(*) // {_SD_PER_CELL} AS BIGINT)) // {_SD_LOCAL_K}) AS b
     FROM embeddings),
-cent AS (SELECT vec_id AS centroid_id, embedding AS cv
-         FROM embeddings, ncell WHERE vec_id < ncell.k),
+v AS (
+    SELECT vec_id, embedding,
+           CAST({sign_int} % (SELECT b FROM params) AS BIGINT) AS bucket
+    FROM embeddings),
+cent AS (
+    SELECT bucket, vec_id AS centroid_id, embedding AS cv
+    FROM (SELECT bucket, vec_id, embedding,
+                 row_number() OVER (PARTITION BY bucket ORDER BY vec_id) AS rk
+          FROM v)
+    WHERE rk <= {_SD_LOCAL_K}),
 assign AS (
     SELECT vec_id, embedding, centroid_id FROM (
         SELECT c.vec_id, c.embedding, cent.centroid_id,
                row_number() OVER (PARTITION BY c.vec_id
                    ORDER BY {_duck_cosine("c.embedding", "cent.cv")} DESC,
                             cent.centroid_id) AS rn
-        FROM embeddings c CROSS JOIN cent)
+        FROM v c JOIN cent ON c.bucket = cent.bucket)
     WHERE rn = 1),
 drops AS (
     SELECT DISTINCT b.vec_id
@@ -1625,27 +1650,91 @@ drops AS (
 )
 SELECT a.vec_id, a.centroid_id, (d.vec_id IS NULL) AS keep
 FROM assign a LEFT JOIN drops d USING (vec_id)
-""",
-)
-def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method):
-    assign every embedding to its nearest of 16 fixed centroid cells,
-    then drop any vector that has a LOWER-id in-cell neighbor with
-    cosine >= tau — semantic near-duplicates collapse to their most
-    senior representative without any corpus-wide pair search.
+"""
 
-    100 TB shape: the only pairwise work is WITHIN centroid cells, and
-    the cell count scales with the input (sd_cell_count: ~128 vectors
-    per cell from the parquet footer row count, zero Spark jobs) so that
-    stage grows linearly in rows, not quadratically; the assignment is
-    the proven broadcast-centroids scan with map-side argmax, and norms
-    fold once there."""
+
+@register("semdedup_prune", _sd_duck_sql())
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540 — public method)
+    with a TWO-LEVEL cell assignment: vectors first land in a coarse
+    sign-LSH bucket (the 16-bit pattern of axis hyperplane
+    signs, folded mod sd_bucket_count — Charikar's random-hyperplane
+    scheme specialized to axis planes, exact in both engines because
+    ``component > 0`` is bit-deterministic), then in the Voronoi cell of
+    the nearest of their bucket's 16 local centroids (the
+    bucket's lowest vec_ids — the fixed-seed analogue of a trained
+    k-means, like the IVF queries'). Any vector with a LOWER-id in-cell
+    neighbor at cosine >= tau drops; semantic near-duplicates (cosine
+    ≈ 1 ⇒ identical sign pattern ⇒ same bucket, same nearest centroid)
+    collapse to their most senior representative without a corpus-wide
+    pair search. At the floor (one bucket — every test/driver SF) the
+    cells are IDENTICAL to the former flat-assignment formulation.
+
+    100 TB shape — why two-level: the flat nearest-of-all-cells scan is
+    O(N·k) with k ~ N/128, i.e. O(N²/128): the r10 ×100 sweep measured
+    exponent 1.141 (2.2 s → 420 s) on the flat form, and at 5B vectors
+    it would also need a 40M-centroid broadcast. Here the assignment is
+    O(N·(bits+16)) map work plus a bucket-keyed equi-join; in-cell pair
+    work stays bounded (~128/cell); the one rank window (electing the
+    16 lowest ids per bucket) runs over ~2048-row partitions — bucket
+    balance rests on components being roughly sign-balanced around
+    zero, true of centered/normalized embeddings (production would fold
+    per-component medians into the planes; the mod-B fold already
+    spreads partial imbalance). Pinned by the ×100 bucket-histogram
+    test (tests/test_llm_extra24.py).
+    """
+    from pyspark.sql.window import Window
+
+    from kafka_streams_example_spark.operators import ensure_min_partitions
     from kafka_streams_example_spark.sources.files import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
-    k = sd_cell_count(table_row_count(spark, sf_dir, "embeddings"))
-    cells = sim.ivf_assign(
-        emb, emb.filter(F.col("vec_id") < k), dim=64, keep_norm=True
+    n_b = sd_bucket_count(table_row_count(spark, sf_dir, "embeddings"))
+    sign_int = None
+    for j in range(_SD_SIGN_BITS):
+        bit = F.when(
+            F.element_at(F.col("embedding"), j + 1) > 0, F.lit(1 << j)
+        ).otherwise(F.lit(0))
+        sign_int = bit if sign_int is None else sign_int + bit
+    vecs = (
+        ensure_min_partitions(emb)
+        .select("vec_id", "embedding")
+        .withColumn("nrm", sim.norm(F.col("embedding"), 64))
+        .withColumn("bucket", (sign_int % F.lit(n_b)).cast("long"))
+    )
+    cents = (
+        vecs.withColumn(
+            "rk",
+            F.row_number().over(Window.partitionBy("bucket").orderBy("vec_id")),
+        )
+        .filter(F.col("rk") <= _SD_LOCAL_K)
+        .select(
+            "bucket",
+            F.col("vec_id").alias("centroid_id"),
+            F.col("embedding").alias("c_vec"),
+            F.col("nrm").alias("c_nrm"),
+        )
+    )
+    scored = vecs.join(cents, "bucket").withColumn(
+        "c_score",
+        sim.dot(F.col("embedding"), F.col("c_vec"), 64)
+        / F.nullif(F.col("nrm") * F.col("c_nrm"), F.lit(0.0)),
+    )
+    # argmax via max_by on (score, -centroid_id): best cosine, ties to the
+    # lowest centroid id — map-side-combinable, unlike a rank window
+    best = F.max_by(
+        F.struct(
+            F.col("embedding").alias("v"),
+            F.col("centroid_id").alias("cid"),
+            F.col("nrm").alias("nrm"),
+        ),
+        F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("neg")),
+    ).alias("b")
+    cells = scored.groupBy("vec_id").agg(best).select(
+        "vec_id",
+        F.col("b.cid").alias("centroid_id"),
+        F.col("b.v").alias("embedding"),
+        F.col("b.nrm").alias("nrm"),
     )
     a = cells.select(
         F.col("centroid_id"),

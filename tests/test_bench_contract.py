@@ -9,6 +9,7 @@ import subprocess
 import sys
 
 
+
 def test_bench_emits_single_json_line_quickly():
     """Run bench.py against the smoke SF with a trimmed headline list via
     env override is not supported — instead just validate the contract on

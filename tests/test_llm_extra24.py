@@ -305,3 +305,73 @@ def test_jpeg_decode_stage_per_row_degradation(spark):
     bad = mm.decode_jpegs(mm.with_binary_payload(docs)).collect()
     assert len(bad) == 12
     assert all((not r.ok) and r.width is None and r.pixel_sum is None for r in bad)
+
+
+# ---------------------------------------------------------------------------
+# semdedup two-level assignment (the r10 x100 superlinearity fix)
+# ---------------------------------------------------------------------------
+
+
+def test_semdedup_bucket_count_and_assignment_cost_linear():
+    """The two-level assignment's per-vector work is CONSTANT (16 sign
+    bits + <=16 local-centroid cosines) because bucket count scales with
+    corpus size; the flat form's per-vector work grew with the corpus
+    (nearest of N/128 centroids — the measured x100 exponent-1.141
+    pathology this rewrite removed)."""
+    from kafka_streams_example_spark.queries.dedup import (
+        sd_bucket_count,
+        sd_cell_count,
+    )
+
+    assert sd_bucket_count(2_000) == 1  # floor: identical to the old cells
+    assert sd_bucket_count(200_000) == 97
+    assert sd_bucket_count(5_000_000_000) == 2_441_406
+    for n in (10_000, 1_000_000, 100_000_000):
+        # per-vector candidate centroids bounded by 16 regardless of n;
+        # expected in-cell occupancy stays ~128
+        assert n / sd_cell_count(n) <= 130
+        # expected bucket size ~2048; integer flooring of cells//16 can
+        # push it toward 2x the design point, never beyond
+        assert n / sd_bucket_count(n) <= 4096
+
+
+def test_semdedup_sign_buckets_balanced_and_neardups_colocated(spark, tmp_path):
+    """On a sign-balanced corpus (centered embeddings — the realistic
+    shape) the coarse buckets stay bounded: max occupancy within a small
+    factor of the mean, so the rank window and the in-bucket join never
+    see a corpus-sized partition. True near-dups (cosine ~ 1) share the
+    sign pattern, hence the bucket, hence the cell — they are still
+    caught after the rewrite."""
+    import random
+
+    from kafka_streams_example_spark.queries.dedup import semdedup_prune
+
+    random.seed(11)
+    rows = []
+    for i in range(4096):
+        v = [random.uniform(-1, 1) for _ in range(64)]
+        rows.append((i, v))
+    # planted twin: 5000 is vec 40 with tiny jitter -> cosine ~ 1
+    twin = [x + 1e-4 for x in rows[40][1]]
+    rows.append((5000, twin))
+    spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>").write.parquet(
+        str(tmp_path / "embeddings.parquet")
+    )
+    out = {r.vec_id: r for r in semdedup_prune(spark, str(tmp_path)).collect()}
+    assert len(out) == 4097
+    assert out[40].keep is True
+    assert out[5000].keep is False  # junior twin dropped
+    assert out[5000].centroid_id == out[40].centroid_id
+    # bucket occupancy: reconstruct buckets the way the query does
+    from kafka_streams_example_spark.queries.dedup import (
+        _SD_SIGN_BITS,
+        sd_bucket_count,
+    )
+
+    n_b = sd_bucket_count(4097)
+    assert n_b == 2
+    occ = [0] * n_b
+    for _, v in rows:
+        pattern = sum((1 << j) for j in range(_SD_SIGN_BITS) if v[j] > 0)
+        occ[pattern % n_b] += 1
+    assert max(occ) <= 2 * (sum(occ) / n_b)  # balanced within 2x of mean

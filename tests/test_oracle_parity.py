@@ -10,6 +10,7 @@ from tests.conftest import SF_CORRECT
 from tests.parity import compare, duck_connection, run_query_pair
 
 
+
 @pytest.fixture(scope="module")
 def duck():
     con = duck_connection(SF_CORRECT)
@@ -17,6 +18,7 @@ def duck():
     con.close()
 
 
+@pytest.mark.smoke
 @pytest.mark.parametrize("name", sorted(registry.ORACLES))
 def test_oracle_parity(spark, duck, name):
     fn = registry.QUERIES[name]
@@ -28,6 +30,7 @@ def test_oracle_parity(spark, duck, name):
 
 
 @pytest.mark.parametrize("name", sorted(set(registry.QUERIES) - set(registry.ORACLES)))
+@pytest.mark.smoke
 def test_rows_only_queries_run(spark, name):
     df = registry.QUERIES[name](spark, SF_CORRECT)
     assert df.count() >= 0

@@ -16,6 +16,8 @@ from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.plans import solar
 
+pytestmark = pytest.mark.smoke
+
 
 @pytest.fixture(scope="module")
 def fixture_df(spark):
