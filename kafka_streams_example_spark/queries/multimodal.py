@@ -574,3 +574,188 @@ def multimodal_decode_real_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _load_parallel(spark, sf_dir, "documents")
     return mm.decode_jpegs(mm.with_jpeg_payload(docs))
+
+
+# --------------------------------------------------------------------------
+# audio_features_real — DSP features over REAL decoded PCM16 samples
+# --------------------------------------------------------------------------
+
+
+@register(
+    "audio_features_real",
+    """
+WITH s AS (
+    SELECT doc_id,
+           list_transform(generate_series(0, 63 + doc_id % 64),
+                          i -> (doc_id * 31 + i * 17) % 65536 - 32768) AS smp
+    FROM documents
+)
+SELECT doc_id,
+       CAST(len(smp) AS BIGINT) AS n_samples,
+       CAST(list_aggregate(list_transform(smp, x -> x * x), 'sum') AS BIGINT)
+           AS energy,
+       CAST(greatest(list_aggregate(list_transform(smp, x -> abs(x)), 'max'), 0)
+           AS INT) AS peak_abs,
+       CAST(len(list_filter(generate_series(2, len(smp)), i ->
+               (smp[i - 1] >= 0) <> (smp[i] >= 0))) AS INT) AS zero_crossings,
+       TRUE AS ok
+FROM s
+""",
+)
+def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio feature extraction — the DSP stage after decode: per
+    doc, synthesize the deterministic PCM16 stream (the
+    multimodal_wav_roundtrip recurrence), encode it as a canonical
+    RIFF/WAVE blob, DECODE it back through the real codec
+    (functions/codecs.py:decode_wav — chunk walk, fmt/data parse), and
+    compute signal features over the DECODED samples: total energy
+    (Σx², the loudness integral), peak absolute amplitude, and the
+    zero-crossing count (the classic cheap pitch/voicedness signal).
+    All-integer arithmetic — samples are int16 and the 128-sample energy
+    bound is < 2³⁷ — so the oracle (which replays the recurrence and the
+    same feature definitions in SQL) is exact with no rounding device.
+
+    Scale shape: one map-only Arrow mapInPandas stage; blobs and samples
+    never leave the scan. Undecodable blobs degrade per-row (ok=False),
+    same contract as the image decode stages."""
+    cx = _ship_codecs()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_samples", "energy", "peak_abs", "zero_crossings", "ok",
+            )}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 64 + i % 64
+                samples = [(i * 31 + j * 17) % 65536 - 32768 for j in range(n)]
+                out["doc_id"].append(i)
+                try:
+                    d = cx.decode_wav(cx.encode_wav_pcm16(16000, samples))
+                    sm = d["samples"]
+                    zc = sum(
+                        1 for a, b in zip(sm, sm[1:]) if (a >= 0) != (b >= 0)
+                    )
+                    out["n_samples"].append(len(sm))
+                    out["energy"].append(sum(x * x for x in sm))
+                    out["peak_abs"].append(max(abs(x) for x in sm))
+                    out["zero_crossings"].append(zc)
+                    out["ok"].append(True)
+                except (ValueError, TypeError, KeyError, IndexError):
+                    for k in ("n_samples", "energy", "peak_abs", "zero_crossings"):
+                        out[k].append(None)
+                    out["ok"].append(False)
+            yield pd.DataFrame(
+                {
+                    "doc_id": out["doc_id"],
+                    "n_samples": pd.Series(out["n_samples"], dtype="Int64"),
+                    "energy": pd.Series(out["energy"], dtype="Int64"),
+                    "peak_abs": pd.Series(out["peak_abs"], dtype="Int32"),
+                    "zero_crossings": pd.Series(out["zero_crossings"], dtype="Int32"),
+                    "ok": out["ok"],
+                }
+            )
+
+    return docs.select("doc_id").mapInPandas(
+        batches,
+        "doc_id LONG, n_samples LONG, energy LONG, peak_abs INT, "
+        "zero_crossings INT, ok BOOLEAN",
+    )
+
+
+# --------------------------------------------------------------------------
+# image_phash_dedup_cut — the actionable keeper decision per phash group
+# --------------------------------------------------------------------------
+
+
+@register(
+    "image_phash_dedup_cut",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           16 + doc_id % 17 AS w,
+           16 + doc_id % 13 AS h,
+           md5(text) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM d
+),
+g AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, {_DH_GRID_W * _DH_GRID_H - 1}), i ->
+               db[(least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
+                   + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)) % 16 + 1]
+           ) AS p
+    FROM b
+),
+fp AS (
+    SELECT doc_id,
+           CAST(list_aggregate(list_transform(generate_series(0, 59), bb ->
+               CASE WHEN p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 1]
+                       > p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 2]
+                    THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END), 'sum')
+               AS BIGINT) AS f
+    FROM g
+),
+grp AS (
+    SELECT f, min(doc_id) AS keeper, count(*) AS n_members
+    FROM fp GROUP BY f
+)
+SELECT fp.doc_id, fp.f AS dhash,
+       CAST(g.n_members AS INT) AS n_members,
+       g.keeper AS keeper_id,
+       (fp.doc_id = g.keeper) AS keep
+FROM fp JOIN grp g USING (f)
+""",
+)
+def image_phash_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ACTIONABLE image-dedup decision: group images by their exact
+    60-bit dHash (re-encodes, filter/zlib variants and pixel-identical
+    copies collapse — every Hamming-0 tier of image_phash_neardup) and
+    keep one canonical member per group (lowest doc_id — the keep-first
+    policy every dedup cut in this engine uses). Emits per image its
+    hash group size, the group's keeper, and the keep flag downstream
+    packing consumes; the banded ≤6-bit tier stays a REVIEW signal in
+    image_phash_neardup because auto-dropping at Hamming > 0 without the
+    exact-verify pass would delete near-misses.
+
+    Scale shape: the decode + hash is the same map-only scan as
+    image_phash_neardup; the cut itself is one map-side-combinable
+    groupBy(dhash) (min + count) joined back on the 8-byte hash — the
+    exact-dedup survivorship shape (dedup_survivorship), no windows, no
+    pair explosion."""
+    cx = _ship_codecs()
+    docs = _load_parallel(spark, sf_dir, "documents")
+    blobs = mm.with_png_payload(docs)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, hashes = [], []
+            for i, blob in zip(pdf["doc_id"], pdf["payload"]):
+                d = cx.decode_png(bytes(blob))
+                ids.append(int(i))
+                hashes.append(
+                    cx.dhash60(d["pixels"], d["width"], d["height"],
+                               _DH_GRID_W, _DH_GRID_H)
+                )
+            yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
+
+    fp = blobs.mapInPandas(batches, "doc_id LONG, dhash LONG")
+    grp = fp.groupBy("dhash").agg(
+        F.min("doc_id").alias("keeper_id"),
+        F.count("*").cast("int").alias("n_members"),
+    )
+    return fp.join(grp, "dhash").select(
+        "doc_id",
+        "dhash",
+        "n_members",
+        "keeper_id",
+        (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
+    )

@@ -375,3 +375,51 @@ def test_semdedup_sign_buckets_balanced_and_neardups_colocated(spark, tmp_path):
         pattern = sum((1 << j) for j in range(_SD_SIGN_BITS) if v[j] > 0)
         occ[pattern % n_b] += 1
     assert max(occ) <= 2 * (sum(occ) / n_b)  # balanced within 2x of mean
+
+
+# ---------------------------------------------------------------------------
+# audio_features_real + image_phash_dedup_cut
+# ---------------------------------------------------------------------------
+
+
+def test_audio_features_definition_replay(spark):
+    """Energy/peak/zero-crossings replayed from the recurrence definition
+    in plain Python for a handful of docs — independent of both engines'
+    SQL formulations."""
+    rows = {
+        r.doc_id: r
+        for r in registry.QUERIES["audio_features_real"](
+            spark, "/root/testdata/sf0.001"
+        ).collect()
+        if r.doc_id < 8
+    }
+    for i, r in rows.items():
+        n = 64 + i % 64
+        smp = [(i * 31 + j * 17) % 65536 - 32768 for j in range(n)]
+        assert r.ok and r.n_samples == n
+        assert r.energy == sum(x * x for x in smp)
+        assert r.peak_abs == max(abs(x) for x in smp)
+        assert r.zero_crossings == sum(
+            1 for a, b in zip(smp, smp[1:]) if (a >= 0) != (b >= 0)
+        )
+
+
+def test_image_phash_dedup_cut_planted_group(spark, tmp_path):
+    """Re-encoded/identical images collapse to one keeper (lowest id);
+    singletons keep themselves."""
+    texts = [" ".join(f"cut{i}w{j}" for j in range(25)) for i in range(10)]
+    rows = [(i, t, "en", "s0", len(t)) for i, t in enumerate(texts)]
+    rows.append((221, texts[0], "en", "s0", len(texts[0])))  # image twin of 0
+    sf = tmp_path / "cut"
+    spark.createDataFrame(rows, _DOC_SCHEMA).write.parquet(
+        str(sf / "documents.parquet")
+    )
+    out = {
+        r.doc_id: r
+        for r in registry.QUERIES["image_phash_dedup_cut"](spark, str(sf)).collect()
+    }
+    assert out[0].keep is True and out[0].n_members == 2
+    assert out[221].keep is False and out[221].keeper_id == 0
+    for i in out:
+        if i not in (0, 221):
+            assert out[i].keep is True and out[i].n_members == 1
