@@ -441,13 +441,17 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     cx = _ship_codecs()
     docs = _load_parallel(spark, sf_dir, "documents")
-    blobs = mm.with_png_payload(docs)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # encode+decode+hash in ONE kernel (the multimodal_decode_real
+        # shape): blob bytes exist only inside the batch, never in a column
         for pdf in it:
             out = {"doc_id": [], "width": [], "height": [], "dhash": []}
-            for i, blob in zip(pdf["doc_id"], pdf["payload"]):
-                d = cx.decode_png(bytes(blob))
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 16 + int(i) % 17, 16 + int(i) % 13
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                px = (digest * (w * h // 16 + 1))[: w * h]
+                d = cx.decode_png(cx.encode_png_gray8(w, h, px))
                 out["doc_id"].append(int(i))
                 out["width"].append(d["width"])
                 out["height"].append(d["height"])
@@ -457,9 +461,16 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame(out)
 
-    fp = blobs.mapInPandas(
+    # Materialize the fingerprint table ONCE before fanning out: the plan
+    # references fp three times (both self-join sides + the final join
+    # back), and each reference would re-run the Python decode stage —
+    # the dominant cost in-sweep. localCheckpoint (the BPE lineage-cut
+    # precedent) executes the decode once and pins the 24-byte/doc hash
+    # table, exactly the "write the fingerprint table, then self-join it"
+    # shape a production pipeline ships at 100 TB.
+    fp = docs.select("doc_id", "text").mapInPandas(
         batches, "doc_id LONG, width INT, height INT, dhash LONG"
-    )
+    ).localCheckpoint(eager=True)
     band_structs = F.array(
         *[
             F.struct(
@@ -733,13 +744,15 @@ def image_phash_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair explosion."""
     cx = _ship_codecs()
     docs = _load_parallel(spark, sf_dir, "documents")
-    blobs = mm.with_png_payload(docs)
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             ids, hashes = [], []
-            for i, blob in zip(pdf["doc_id"], pdf["payload"]):
-                d = cx.decode_png(bytes(blob))
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 16 + int(i) % 17, 16 + int(i) % 13
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                px = (digest * (w * h // 16 + 1))[: w * h]
+                d = cx.decode_png(cx.encode_png_gray8(w, h, px))
                 ids.append(int(i))
                 hashes.append(
                     cx.dhash60(d["pixels"], d["width"], d["height"],
@@ -747,7 +760,10 @@ def image_phash_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             yield pd.DataFrame({"doc_id": ids, "dhash": hashes})
 
-    fp = blobs.mapInPandas(batches, "doc_id LONG, dhash LONG")
+    # one decode pass, not one per plan reference (see image_phash_neardup)
+    fp = docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id LONG, dhash LONG"
+    ).localCheckpoint(eager=True)
     grp = fp.groupBy("dhash").agg(
         F.min("doc_id").alias("keeper_id"),
         F.count("*").cast("int").alias("n_members"),
