@@ -59,13 +59,22 @@ def _rotated(names: list[str]) -> list[str]:
        ``no_oracle`` row for a query that now has an oracle) — re-verified
        before anything else so defects can't rotate out of the window;
     2. queries never recorded in any CORRECTNESS_r*.json;
-    3. green queries, least-often-verified first.
+    3. green queries, STALEST first: ordered by the round of their most
+       recent green record (then by how often they've been verified).
+       Recency, not count, is the staleness signal — a flagship verified
+       twice by r04 has gone unchecked for longer than a query verified
+       once in r09, and under a count-first policy the early cohort's
+       high counts would keep it out of the window indefinitely (found
+       in r10 when the r04/r05 solar rows sorted to positions 55+).
 
     Stable registration order within each group.
     """
     green_counts = dict.fromkeys(names, 0)
     last_green: dict[str, bool] = {}
-    for path in sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json"))):
+    last_green_round = dict.fromkeys(names, -1)
+    for rnd, path in enumerate(
+        sorted(glob.glob(os.path.join(_REPO, "CORRECTNESS_r*.json")))
+    ):
         try:
             with open(path) as fh:
                 seen = json.load(fh)
@@ -80,6 +89,7 @@ def _rotated(names: list[str]) -> list[str]:
             last_green[n] = ok
             if ok:
                 green_counts[n] += 1
+                last_green_round[n] = rnd
     order = {n: i for i, n in enumerate(names)}
 
     def group(n: str) -> int:
@@ -92,9 +102,14 @@ def _rotated(names: list[str]) -> list[str]:
             return 1
         if n in _TOUCHED_THIS_ROUND:
             return 2
-        return 3
+        if n in _REVERIFY_THIS_ROUND:
+            return 3
+        return 4
 
-    return sorted(names, key=lambda n: (group(n), green_counts[n], order[n]))
+    return sorted(
+        names,
+        key=lambda n: (group(n), last_green_round[n], green_counts[n], order[n]),
+    )
 
 
 # Queries whose plan or oracle changed since their last recorded green
@@ -110,6 +125,21 @@ _TOUCHED_THIS_ROUND: set[str] = {
     "decontam_ngram_overlap",
     "corpus_curation_pipeline",
     "semdedup_prune",
+}
+
+# Explicitly pinned re-verification cohort (cleared once recorded): the
+# reference-parity flagship family, whose last driver records are r04/r05
+# — the r09 verdict's item 2 asks for all six green in CORRECTNESS_r10.
+# The staleness-ordered green tier fronts five of them on its own; the
+# sixth (solar_wire_reference_format) sits just past the ~50-slot window
+# behind its r05 cohort peers, so the set pins the family as a unit.
+_REVERIFY_THIS_ROUND: set[str] = {
+    "solar_module_agg",
+    "solar_panel_stats",
+    "solar_anomalies",
+    "solar_wire_reference_format",
+    "json_wire_roundtrip",
+    "udaf_weighted_avg",
 }
 
 
