@@ -1060,3 +1060,174 @@ def streaming_quality_gate(
         owner.read.parquet(totals_path).createOrReplaceTempView("quality_totals")
 
     return docs_stream, publish
+
+
+def streaming_ingest_phash(
+    docs_stream: DataFrame,
+    index_seed: DataFrame,
+    state_dir: str | None = None,
+    max_hamming: int = 6,
+) -> tuple[DataFrame, "callable"]:
+    """PERCEPTUAL image ingest dedup as a STANDING job — the fifth ingest
+    twin, closing the modality set (exact text, MinHash near-dup text,
+    benchmark decontam, quality, now images): each arriving micro-batch's
+    images are DECODED through the real PNG codec and dHashed
+    (functions/codecs.py:dhash60, the batch machinery of
+    queries/multimodal.py:image_phash_neardup — same 60-bit hash, same
+    4×15-bit banding), probe the persisted index for band collisions
+    with already-ingested images, VERIFY candidates by exact Hamming
+    distance (≤ ``max_hamming``), classify near-dup-vs-new per language,
+    and extend the index with the batch's novel images.
+
+    Unlike the MinHash twin (whose exact-Jaccard verify needs shingle
+    sets that never enter its index), the phash verify tier lives INSIDE
+    the gate: the index carries each image's full 8-byte hash next to
+    its band rows, so a band collision is confirmed or refuted by one
+    xor+popcount — band-only classification would degrade as the index
+    grows (15-bit collisions accumulate), verified classification does
+    not. Still only hashes persist: no pixels, no blobs, ~40 bytes per
+    ingested image.
+
+    State layout, exactly-once counters, replay/rewind handling, restart
+    resume, and O(1) plan depth are the shared commit-state machinery's;
+    the published view is ``ingest_phash_totals`` with per-lang
+    (n_incoming, n_neardup_vs_index, n_new). The stream carries
+    (doc_id, lang, text) and the image payload is the deterministic
+    fixture blob built in-kernel (the batch query's device); a
+    production stream carries binary payloads and the kernel decodes
+    those instead — schema, banding, probe and index are identical.
+    """
+    import hashlib as _hashlib
+    import tempfile
+
+    import pandas as _pd
+
+    from kafka_streams_example_spark.operators.multimodal import _ship_codecs
+    from kafka_streams_example_spark.queries.multimodal import (
+        _DH_BANDS,
+        _DH_BITS,
+        _DH_GRID_H,
+        _DH_GRID_W,
+    )
+
+    owner = index_seed.sparkSession
+    root = state_dir or tempfile.mkdtemp(prefix="ingest_phash_state_")
+    idx_dir = os.path.join(root, "phash_index")
+    cx = _ship_codecs()
+
+    def _hashes_of(df: DataFrame) -> DataFrame:
+        """(doc_id, text, ...) → (id, band, bv, dhash): decode + dHash in
+        one Arrow kernel, then the 4×15-bit band explode (JVM-side)."""
+
+        def batches(it):
+            for pdf in it:
+                ids, hashes = [], []
+                for i, t in zip(pdf["doc_id"], pdf["text"]):
+                    w, h = 16 + int(i) % 17, 16 + int(i) % 13
+                    digest = _hashlib.md5(str(t).encode("utf-8")).digest()
+                    px = (digest * (w * h // 16 + 1))[: w * h]
+                    d = cx.decode_png(cx.encode_png_gray8(w, h, px))
+                    ids.append(int(i))
+                    hashes.append(
+                        cx.dhash60(d["pixels"], d["width"], d["height"],
+                                   _DH_GRID_W, _DH_GRID_H)
+                    )
+                yield _pd.DataFrame({"id": ids, "dhash": hashes})
+
+        fp = df.select("doc_id", "text").mapInPandas(
+            batches, "id LONG, dhash LONG"
+        )
+        band_structs = F.array(
+            *[
+                F.struct(
+                    F.lit(b).alias("band"),
+                    F.shiftright(F.col("dhash"), b * _DH_BITS)
+                    .bitwiseAND(F.lit((1 << _DH_BITS) - 1))
+                    .alias("bv"),
+                )
+                for b in range(_DH_BANDS)
+            ]
+        )
+        return fp.select(
+            "id", "dhash", F.explode(band_structs).alias("bk")
+        ).select("id", "dhash", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+
+    state = _load_commit_state(root)
+    if not state["resumed"]:
+        _hashes_of(index_seed).select("band", "bv", "dhash").distinct().write.mode(
+            "overwrite"
+        ).parquet(os.path.join(idx_dir, "batch=-1"))
+
+    def _republish() -> None:
+        if state["gen"] > 0:
+            committed = os.path.join(root, f"totals_gen{(state['gen'] - 1) % 2}")
+            owner.read.parquet(committed).createOrReplaceTempView(
+                "ingest_phash_totals"
+            )
+
+    def publish(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.persist()
+        batch_df.count()
+        try:
+            replay = _is_replay(state, root, batch_id)
+        except RuntimeError:
+            batch_df.unpersist()
+            raise
+        if replay:
+            batch_df.unpersist()
+            _republish()
+            return
+        # probe strictly-earlier batches: band collision proposes, exact
+        # Hamming on the stored full hashes confirms
+        index = (
+            owner.read.parquet(idx_dir)
+            .filter(F.col("batch") < batch_id)
+            .select("band", "bv", F.col("dhash").alias("idx_dhash"))
+            .distinct()
+        )
+        batch_bands = _hashes_of(batch_df)
+        hit_ids = (
+            batch_bands.join(index, ["band", "bv"])
+            .filter(
+                F.bit_count(F.col("dhash").bitwiseXOR(F.col("idx_dhash")))
+                <= max_hamming
+            )
+            .select("id")
+            .distinct()
+            .withColumn("dup", F.lit(1))
+        )
+        probed = batch_df.select(F.col("doc_id").alias("id"), "lang").join(
+            hit_ids, "id", "left"
+        )
+        batch_counts = probed.groupBy("lang").agg(
+            F.count("*").alias("n_incoming"),
+            F.count(F.when(F.col("dup").isNotNull(), 1)).alias(
+                "n_neardup_vs_index"
+            ),
+            F.count(F.when(F.col("dup").isNull(), 1)).alias("n_new"),
+        )
+        gen = state["gen"]
+        merged = _merge_running_totals(
+            owner,
+            None if gen == 0 else os.path.join(root, f"totals_gen{(gen - 1) % 2}"),
+            batch_counts,
+            ["n_incoming", "n_neardup_vs_index", "n_new"],
+        )
+        totals_path = os.path.join(root, f"totals_gen{gen % 2}")
+        merged.write.mode("overwrite").parquet(totals_path)
+        # novel images extend the index (deterministic partition —
+        # crash-replay rewrites the same files)
+        (
+            batch_bands.join(hit_ids, "id", "left_anti")
+            .select("band", "bv", "dhash")
+            .distinct()
+            .write.mode("overwrite")
+            .parquet(os.path.join(idx_dir, f"batch={batch_id}"))
+        )
+        batch_df.unpersist()
+        _commit_marker(root, state, batch_id)
+        owner.read.parquet(totals_path).createOrReplaceTempView(
+            "ingest_phash_totals"
+        )
+
+    return docs_stream, publish

@@ -2805,3 +2805,241 @@ def test_streaming_quality_gate_checkpoint_restart_end_to_end(spark, tmp_path):
         ("de", 1, 0, 1, 1),
         ("en", 3, 2, 1, 1),
     ]
+
+
+# --------------------------------------------------------------------------
+# streaming_ingest_phash — standing perceptual image ingest dedup (5th twin)
+# --------------------------------------------------------------------------
+
+
+def _ph_hash(doc_id: int, text: str) -> int:
+    """Python replay of the fixture image dHash (decode-free: the pixel
+    grid is derivable arithmetically — the oracle device)."""
+    import hashlib as _h
+
+    w, h = 16 + doc_id % 17, 16 + doc_id % 13
+    db = _h.md5(text.encode("utf-8")).digest()
+    gw, gh = 11, 6
+    p = [
+        db[(min((i // gw) * h // gh, h - 1) * w + min((i % gw) * w // gw, w - 1)) % 16]
+        for i in range(gw * gh)
+    ]
+    f = 0
+    for bb in range(60):
+        if p[(bb // 10) * 11 + (bb % 10)] > p[(bb // 10) * 11 + (bb % 10) + 1]:
+            f |= 1 << bb
+    return f
+
+
+def _ph_dup(h: int, index: set[int], max_ham: int = 6) -> bool:
+    """Replay the gate's rule: some shared 15-bit band AND Hamming <= 6."""
+    for h0 in index:
+        if bin(h ^ h0).count("1") <= max_ham and any(
+            (h >> (15 * b)) & 0x7FFF == (h0 >> (15 * b)) & 0x7FFF for b in range(4)
+        ):
+            return True
+    return False
+
+
+def test_streaming_ingest_phash_matches_replay(spark, tmp_path):
+    """3-micro-batch parity against an independent Python replay of the
+    perceptual gate (band-gated Hamming<=6 vs the growing index,
+    probe-then-extend) with planted image twins across batches."""
+    import json as _json
+    import os as _os
+    from collections import defaultdict
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_phash,
+    )
+
+    seed_rows = [
+        (i, "en", " ".join(f"sd{i}w{j}" for j in range(20))) for i in range(6)
+    ]
+    batches = [
+        [
+            (100, "en", " ".join(f"b0a{j}" for j in range(20))),
+            # image twin of seed doc 2: same text, id ≡ 2 mod lcm(17,13)
+            (2 + 221, "en", seed_rows[2][2]),
+        ],
+        [
+            (200, "de", " ".join(f"b1a{j}" for j in range(20))),
+            # twin of batch-0's novel doc 100 (ids ≡ mod 221)
+            (100 + 221, "de", " ".join(f"b0a{j}" for j in range(20))),
+        ],
+        [
+            # WITHIN-batch twins: both must classify NEW (probe-then-extend)
+            (300, "en", " ".join(f"b2a{j}" for j in range(20))),
+            (300 + 221, "en", " ".join(f"b2a{j}" for j in range(20))),
+        ],
+    ]
+
+    # --- replay ---
+    index = {_ph_hash(i, t) for i, _, t in seed_rows}
+    want = defaultdict(lambda: [0, 0, 0])
+    for rows in batches:
+        hs = {did: _ph_hash(did, t) for did, _, t in rows}
+        novel = []
+        for did, lang, _t in rows:
+            dup = _ph_dup(hs[did], index)
+            want[lang][0] += 1
+            want[lang][1] += dup
+            want[lang][2] += not dup
+            if not dup:
+                novel.append(hs[did])
+        index |= set(novel)
+    assert sum(v[1] for v in want.values()) == 2  # exactly the two twins
+
+    seed = spark.createDataFrame(seed_rows, "doc_id LONG, lang STRING, text STRING")
+    src = tmp_path / "ph_in"
+    _os.makedirs(src)
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(src))
+    _, publish = streaming_ingest_phash(
+        stream, seed, state_dir=str(tmp_path / "ph_state")
+    )
+    q = (
+        stream.writeStream.outputMode("append")
+        .foreachBatch(publish)
+        .option("checkpointLocation", str(tmp_path / "ph_ck"))
+        .start()
+    )
+    for b, rows in enumerate(batches):
+        with open(src / f"b{b}.json", "w") as f:
+            for did, lang, text in rows:
+                f.write(_json.dumps({"doc_id": did, "lang": lang, "text": text}) + "\n")
+        q.processAllAvailable()
+    q.stop()
+    got = sorted(
+        spark.sql("SELECT * FROM ingest_phash_totals").collect(),
+        key=lambda r: r.lang,
+    )
+    assert [tuple(r) for r in got] == [
+        (lang, c[0], c[1], c[2]) for lang, c in sorted(want.items())
+    ]
+
+
+def test_streaming_ingest_phash_index_content_and_growth(spark, tmp_path):
+    """The index holds only (band, bv, dhash) rows — no pixels, blobs or
+    text — in per-batch partitions; a dup batch contributes nothing."""
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_phash,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", "seed words here")], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "phg_state")
+    _os.makedirs(tmp_path / "ph_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "ph_unused"))
+    _, publish = streaming_ingest_phash(stream, seed, state_dir=state_dir)
+    idx = spark.read.parquet(_os.path.join(state_dir, "phash_index"))
+    assert sorted(idx.columns) == ["band", "batch", "bv", "dhash"]
+    n_seed = idx.count()
+    assert n_seed == 4  # one image x 4 bands
+
+    mk = lambda rows: spark.createDataFrame(
+        rows, "doc_id LONG, lang STRING, text STRING"
+    )
+    publish(mk([(50, "en", "novel picture text")]), 0)
+    publish(mk([(50 + 221, "en", "novel picture text")]), 1)  # exact twin → dup
+    idx = spark.read.parquet(_os.path.join(state_dir, "phash_index"))
+    assert idx.count() == 8  # seed 4 + batch-0 novel 4; dup batch adds 0
+    assert idx.filter("batch = 1").count() == 0
+    got = sorted(spark.sql("SELECT * FROM ingest_phash_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 2, 1, 1)]
+
+
+def test_streaming_ingest_phash_replay_restart_and_rewind(spark, tmp_path):
+    """Crash-replay no-op at the watermark; restart resumes against the
+    durable index; rewound checkpoint raises."""
+    import os as _os
+
+    import pytest as _pytest
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_phash,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", "first image")], "doc_id LONG, lang STRING, text STRING"
+    )
+    state_dir = str(tmp_path / "phr_state")
+    _os.makedirs(tmp_path / "phr_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "phr_unused"))
+    _, publish = streaming_ingest_phash(stream, seed, state_dir=state_dir)
+    mk = lambda i, text: spark.createDataFrame(
+        [(i, "en", text)], "doc_id LONG, lang STRING, text STRING"
+    )
+    publish(mk(10, "second image"), 0)
+    publish(mk(221, "first image"), 1)  # twin of seed 0 → dup
+    want = [("en", 2, 1, 1)]
+    got = sorted(spark.sql("SELECT * FROM ingest_phash_totals").collect())
+    assert [tuple(r) for r in got] == want
+    publish(mk(221, "first image"), 1)  # crash replay: no movement
+    got = sorted(spark.sql("SELECT * FROM ingest_phash_totals").collect())
+    assert [tuple(r) for r in got] == want
+    _, publish2 = streaming_ingest_phash(stream, seed, state_dir=state_dir)
+    publish2(mk(10 + 221, "second image"), 2)  # dup vs batch-0 novel
+    got = sorted(spark.sql("SELECT * FROM ingest_phash_totals").collect())
+    assert [tuple(r) for r in got] == [("en", 3, 2, 1)]
+    _, publish3 = streaming_ingest_phash(stream, seed, state_dir=state_dir)
+    with _pytest.raises(RuntimeError, match="reset/rewound"):
+        publish3(mk(99, "whatever"), 0)
+
+
+def test_streaming_ingest_phash_checkpoint_restart_end_to_end(spark, tmp_path):
+    """A restarted query resumed from the SAME checkpoint classifies a
+    post-restart image twin of a pre-restart novel image as dup."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_phash,
+    )
+
+    seed = spark.createDataFrame(
+        [(0, "en", "genesis image")], "doc_id LONG, lang STRING, text STRING"
+    )
+    src = tmp_path / "phe_in"
+    _os.makedirs(src)
+    state_dir = str(tmp_path / "phe_state")
+    ck = str(tmp_path / "phe_ck")
+
+    def write(name, rows):
+        with open(src / name, "w") as f:
+            for did, lang, text in rows:
+                f.write(_json.dumps({"doc_id": did, "lang": lang, "text": text}) + "\n")
+
+    def start():
+        stream = spark.readStream.schema(
+            "doc_id LONG, lang STRING, text STRING"
+        ).json(str(src))
+        _, publish = streaming_ingest_phash(stream, seed, state_dir=state_dir)
+        return (
+            stream.writeStream.outputMode("append")
+            .foreachBatch(publish)
+            .option("checkpointLocation", ck)
+            .start()
+        )
+
+    q = start()
+    write("b0.json", [(7, "en", "fresh photo"), (8, "de", "andere bild")])
+    q.processAllAvailable()
+    q.stop()
+    q = start()
+    write("b1.json", [(7 + 221, "en", "fresh photo"), (9, "de", "neu bild")])
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(spark.sql("SELECT * FROM ingest_phash_totals").collect())
+    assert [tuple(r) for r in got] == [
+        ("de", 2, 0, 2),
+        ("en", 2, 1, 1),
+    ]
