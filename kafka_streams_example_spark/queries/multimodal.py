@@ -775,3 +775,107 @@ def image_phash_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         "keeper_id",
         (F.col("doc_id") == F.col("keeper_id")).alias("keep"),
     )
+
+
+# --------------------------------------------------------------------------
+# image_crossformat_phash_match — same image, PNG vs JPEG, one fingerprint
+# --------------------------------------------------------------------------
+
+
+@register(
+    "image_crossformat_phash_match",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           8 * (1 + doc_id % 3) AS w,
+           8 * (1 + doc_id % 2) AS h,
+           md5(text) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM d
+),
+-- thumbnail of the per-8x8-block-constant image: sampled pixel (oy, ox)
+-- = digest byte of its block index (y//8)*(w//8) + (x//8)
+g AS (
+    SELECT doc_id, w, h,
+           list_transform(generate_series(0, {_DH_GRID_W * _DH_GRID_H - 1}), i ->
+               db[((least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) // 8) * (w // 8)
+                   + (least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1) // 8)) % 16 + 1]
+           ) AS p
+    FROM b
+)
+SELECT doc_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(list_aggregate(list_transform(generate_series(0, 59), bb ->
+           CASE WHEN p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 1]
+                   > p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 2]
+                THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END), 'sum')
+           AS BIGINT) AS dhash,
+       TRUE AS formats_match
+FROM g
+""",
+)
+def image_crossformat_phash_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FORMAT perceptual identity — the case no byte- or even
+    format-aware exact dedup can see: the SAME image saved as PNG and as
+    JPEG is two wire-incompatible blobs through two different codecs,
+    yet one picture. Per doc: build the per-8×8-block-constant grayscale
+    image (the JPEG-exact fixture), encode it BOTH ways, decode each
+    through its REAL codec (decode_png's chunk-walk/inflate/unfilter;
+    decode_jpeg's Huffman/dequant/IDCT), dHash both decoded pixel
+    buffers, and emit the shared fingerprint plus the equality flag.
+    ``formats_match`` is computed honestly Spark-side (pixel-for-pixel
+    AND hash equality across the two decode paths); the oracle asserts
+    TRUE, so any divergence between the two codecs — or any loss in the
+    DC-only JPEG roundtrip — breaks the driver hash match. The dHash is
+    replayed arithmetically from the block structure in SQL.
+
+    This is the operator that makes the perceptual index format-proof:
+    image_phash_neardup / streaming_ingest_phash key on exactly this
+    hash, so a crawl carrying the same picture as PNG here and JPEG
+    there still collapses it to one keeper. One map-only Arrow kernel;
+    nothing but the 8-byte hash leaves the scan."""
+    cx = _ship_codecs()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "dhash": [],
+                   "formats_match": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                wb = w // 8
+                px = bytearray(w * h)
+                for by in range(h // 8):
+                    for bx in range(wb):
+                        v = digest[(by * wb + bx) % 16]
+                        for y in range(8):
+                            row = (by * 8 + y) * w + bx * 8
+                            px[row : row + 8] = bytes([v]) * 8
+                px = bytes(px)
+                dp = cx.decode_png(cx.encode_png_gray8(w, h, px))
+                dj = cx.decode_jpeg(cx.encode_jpeg_gray8(w, h, px))
+                hp = cx.dhash60(dp["pixels"], w, h, _DH_GRID_W, _DH_GRID_H)
+                hj = cx.dhash60(dj["pixels"], w, h, _DH_GRID_W, _DH_GRID_H)
+                out["doc_id"].append(i)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["dhash"].append(hp)
+                out["formats_match"].append(
+                    hp == hj and dp["pixels"] == dj["pixels"]
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id LONG, width INT, height INT, dhash LONG, formats_match BOOLEAN",
+    )

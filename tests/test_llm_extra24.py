@@ -423,3 +423,29 @@ def test_image_phash_dedup_cut_planted_group(spark, tmp_path):
     for i in out:
         if i not in (0, 221):
             assert out[i].keep is True and out[i].n_members == 1
+
+
+def test_crossformat_png_jpeg_identical_pixels_and_dhash():
+    """The same block-constant image through the PNG codec and the JPEG
+    codec: wire-incompatible blobs, bit-identical decoded pixels, one
+    dHash — the cross-format duplicate only perceptual dedup can see."""
+    import random
+
+    from kafka_streams_example_spark.functions import codecs as cxx
+
+    random.seed(21)
+    w, h = 24, 16
+    px = bytearray(w * h)
+    for by in range(2):
+        for bx in range(3):
+            v = random.randrange(256)
+            for y in range(8):
+                row = (by * 8 + y) * w + bx * 8
+                px[row : row + 8] = bytes([v]) * 8
+    px = bytes(px)
+    png = cxx.encode_png_gray8(w, h, px)
+    jpg = cxx.encode_jpeg_gray8(w, h, px)
+    assert png[:8] != jpg[:8]  # different formats entirely
+    dp, dj = cxx.decode_png(png), cxx.decode_jpeg(jpg)
+    assert dp["pixels"] == dj["pixels"] == px
+    assert cxx.dhash60(dp["pixels"], w, h) == cxx.dhash60(dj["pixels"], w, h)
