@@ -543,12 +543,21 @@ def decode_jpeg(blob: bytes) -> dict:
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     scan = None
-    while pos + 4 <= len(blob):
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError(f"marker sync lost at byte {pos}")
+        # Any number of 0xFF fill bytes may pad before a marker (spec
+        # B.1.1.2); the marker id is the first non-0xFF byte after them.
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
         marker = blob[pos + 1]
         if marker == 0xD9:  # EOI
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:  # TEM / RSTn:
+            pos += 2  # standalone markers carry no length field (B.1.1.3)
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG: segment header past end")
         (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
         payload = blob[pos + 4 : pos + 2 + seg_len]
         if marker == 0xDB:  # DQT (possibly several tables per segment)

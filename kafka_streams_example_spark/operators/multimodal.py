@@ -369,7 +369,7 @@ def byte_features_arrow(
 
 JPEG_DECODED_SCHEMA = (
     "doc_id LONG, width INT, height INT, n_blocks INT, n_pixels LONG, "
-    "pixel_sum LONG, roundtrip_ok BOOLEAN, ok BOOLEAN"
+    "pixel_sum LONG, ok BOOLEAN"
 )
 
 
@@ -450,8 +450,4 @@ def decode_jpegs(
                 }
             )
 
-    return df.select(id_col, bin_col).mapInPandas(
-        batches,
-        "doc_id LONG, width INT, height INT, n_blocks INT, n_pixels LONG, "
-        "pixel_sum LONG, ok BOOLEAN",
-    )
+    return df.select(id_col, bin_col).mapInPandas(batches, JPEG_DECODED_SCHEMA)

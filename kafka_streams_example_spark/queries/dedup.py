@@ -252,27 +252,30 @@ ORACLES["neardup_minhash_pairs"] = _duck_minhash_sql()
 
 # (from llm_extra.py)
 
-# Eval-split source bytes above which the decontam family's bench gram
-# table stops being broadcast (the "benchmark set is tiny" assumption,
-# valid for real eval suites, is NOT assumed for arbitrary inputs): the
-# gram table is O(source bytes) of 5-gram strings, and a corpus-sized
-# "eval set" broadcast would OOM every executor. 256 MiB of source text
-# comfortably broadcasts as grams; above it (or when footer stats are
-# unreadable, est < 0) the plan degrades to a plain shuffle join that AQE
-# can still turn into a broadcast at runtime if the built side proves
-# small.
+# Estimated eval-split GRAM bytes above which the decontam family's bench
+# gram table stops being broadcast (the "benchmark set is tiny"
+# assumption, valid for real eval suites, is NOT assumed for arbitrary
+# inputs): a corpus-sized "eval set" broadcast would OOM every executor.
+# The gram table is distinct word 5-grams — each token position opens a
+# ~5-word string, so the materialized grams run ~5x the SOURCE bytes;
+# the estimate below carries that expansion factor explicitly. 256 MiB
+# of estimated gram bytes comfortably broadcasts; above it (or when
+# footer stats are unreadable, est < 0) the plan degrades to a plain
+# shuffle join that AQE can still turn into a broadcast at runtime if
+# the built side proves small.
 _BENCH_BCAST_MAX_BYTES = 256 << 20
+_GRAM_EXPANSION = 5  # 5-gram strings ≈ 5x their source text bytes
 
 
 def _maybe_broadcast_bench(sf_dir: str, bench: DataFrame) -> DataFrame:
     """Broadcast-hint the eval-set gram side only when the eval split's
-    parquet footer byte size (driver-side, zero jobs —
-    sources/files.py:table_uncompressed_bytes) proves it small: the eval
-    split is the doc_id % 17 == 0 share of ``documents``, so its source
-    bytes are estimated as total/17. Unknown size (-1) keeps the shuffle
+    estimated GRAM bytes — parquet footer source bytes (driver-side,
+    zero jobs — sources/files.py:table_uncompressed_bytes) scaled by the
+    eval share (doc_id % 17 == 0 → total/17) and the ~5x 5-gram string
+    expansion — prove it small. Unknown size (-1) keeps the shuffle
     join — the safe direction."""
     est = table_uncompressed_bytes(sf_dir, "documents")
-    if 0 <= est // 17 <= _BENCH_BCAST_MAX_BYTES:
+    if 0 <= (est // 17) * _GRAM_EXPANSION <= _BENCH_BCAST_MAX_BYTES:
         return F.broadcast(bench)
     return bench
 

@@ -920,15 +920,19 @@ def streaming_quality_gate(
       index), shuffle join otherwise;
     - ``threshold.json``: the total seed token count (the LM's
       denominator) and the score cutoff. An explicit ``threshold`` is
-      taken as-is; otherwise it is SOLVED from the seed at seeding time
-      with the histogram-CDF device (2dp score bins, cumulative token
-      mass, smallest bin keeping ``keep_tokens`` of seed tokens —
-      ``quality_threshold_for_budget``'s formulation, deliberately not a
-      corpus-sorting quantile).
+      taken as-is (keep iff score <= threshold); otherwise it is SOLVED
+      from the seed at seeding time with the histogram-CDF device
+      (``floor(score*100)`` integer bins, cumulative token mass,
+      smallest bin covering ``keep_tokens`` of seed tokens — exactly
+      ``quality_threshold_for_budget``'s formulation) and the keep
+      predicate is the SAME binning, ``floor(score*100) <= t_bin``, so
+      the admitted token mass matches the CDF solve bin-exactly (a
+      center-valued ``score <= bin`` cut would reject the upper half of
+      the threshold bin and systematically undershoot the budget).
 
     Per batch: tokenize, score avg-neg-logp over IN-VOCAB tokens
-    (rounded 6dp, the batch query's discipline), keep docs with
-    score <= threshold. Docs with ZERO in-vocab tokens are unscorable
+    (rounded 6dp, the batch query's discipline), keep docs passing the
+    cutoff predicate above. Docs with ZERO in-vocab tokens are unscorable
     and REJECTED — the safe direction for a quality gate (and the
     correct reading of the proxy: a doc sharing no vocabulary with the
     reference corpus is exactly what the filter exists to stop).
@@ -970,16 +974,20 @@ def streaming_quality_gate(
         ).parquet(lm_path)
         freq = owner.read.parquet(lm_path)
         n_total = freq.agg(F.sum("c")).first()[0] or 0
+        t_bin: int | None = None
         if threshold is None:
-            # histogram-CDF token-budget solve on the SEED (2dp bins,
-            # bins-bounded frame — one tiny aggregate, no corpus sort)
+            # histogram-CDF token-budget solve on the SEED
+            # (floor(score*100) integer bins — quality_threshold_for_
+            # budget's binning — bins-bounded frame, no corpus sort)
             sc = _scores(seed_toks, freq, n_total)
             mass = (
                 _doc_tokens(seed_corpus)
                 .groupBy("id")
                 .agg(F.count("*").alias("nt"))
                 .join(sc, "id")
-                .groupBy(F.round("score", 2).alias("bin"))
+                .groupBy(
+                    F.floor(F.col("score") * 100.0).cast("bigint").alias("bin")
+                )
                 .agg(F.sum("nt").alias("m"))
             )
             from pyspark.sql.window import Window as _W
@@ -994,17 +1002,32 @@ def streaming_quality_gate(
                 .agg(F.min("bin"))
                 .first()
             )
-            threshold = float(row[0]) if row and row[0] is not None else float("inf")
+            if row and row[0] is not None:
+                t_bin = int(row[0])
+                threshold = (t_bin + 1) / 100.0  # bin's upper edge
+            else:
+                threshold = float("inf")
         tmp = thr_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(
-                {"threshold": threshold, "n_total": int(n_total),
-                 "keep_tokens": keep_tokens}, fh,
+                {"threshold": threshold, "t_bin": t_bin,
+                 "n_total": int(n_total), "keep_tokens": keep_tokens}, fh,
             )
         os.replace(tmp, thr_path)
     with open(thr_path) as fh:
         art = json.load(fh)
     thr, n_total = art["threshold"], art["n_total"]
+    # solved cutoffs keep by bin (floor(score*100) <= t_bin) so admitted
+    # mass matches the solve; explicit cutoffs (t_bin None, including
+    # pre-existing state dirs) keep by score <= threshold as documented
+    art_bin = art.get("t_bin")
+
+    def _keep_pred(score_col):
+        if art_bin is not None:
+            return (
+                F.floor(score_col * 100.0).cast("bigint") <= F.lit(int(art_bin))
+            )
+        return score_col <= F.lit(thr)
 
     def _republish() -> None:
         if state["gen"] > 0:
@@ -1032,7 +1055,7 @@ def streaming_quality_gate(
             .join(sc, "id", "left")
             .withColumn(
                 "kept",
-                F.col("score").isNotNull() & (F.col("score") <= F.lit(thr)),
+                F.col("score").isNotNull() & _keep_pred(F.col("score")),
             )
         )
         batch_counts = probed.groupBy("lang").agg(

@@ -134,7 +134,8 @@ def test_dhash_definition_replay_on_random_images():
 
 def test_quality_gate_threshold_solve_replay(spark, tmp_path):
     """The seeding-time token-budget solve == a literal Python replay
-    (per-doc in-vocab avg-neg-logp, 6dp HALF_UP, 2dp bins, cumulative
+    (per-doc in-vocab avg-neg-logp, 6dp HALF_UP, floor(score*100)
+    integer bins, cumulative
     token mass, smallest bin covering keep_tokens) on a seeded random
     corpus — not the hand-sized case the unit test pins."""
     import json as _json
@@ -163,7 +164,7 @@ def test_quality_gate_threshold_solve_replay(spark, tmp_path):
     for _, _, txt in docs:
         toks = txt.lower().split()
         score = half_up(-sum(_math.log(lm[t] / n) for t in toks) / len(toks), 6)
-        mass[half_up(score, 2)] += len(toks)
+        mass[_math.floor(score * 100.0)] += len(toks)
     total, cum, want = sum(mass.values()), 0, None
     for b in sorted(mass):
         cum += mass[b]
@@ -181,4 +182,5 @@ def test_quality_gate_threshold_solve_replay(spark, tmp_path):
     with open(_os.path.join(state_dir, "threshold.json")) as fh:
         art = _json.load(fh)
     assert art["n_total"] == n
-    assert art["threshold"] == want
+    assert art["t_bin"] == want
+    assert art["threshold"] == (want + 1) / 100.0

@@ -288,6 +288,29 @@ def test_jpeg_rejects_and_degrades():
         cx.decode_jpeg(good[: len(good) // 2])
 
 
+def test_jpeg_fill_bytes_and_standalone_markers_in_header():
+    """Spec-legal streams from OTHER encoders decode identically: any
+    number of 0xFF fill bytes may pad before a marker (T.81 B.1.1.2) and
+    TEM/RSTn are standalone markers with no length field (B.1.1.3) — a
+    walk that read a fill byte as marker 0xFF would misparse two payload
+    bytes as a segment length and fail on conformant input."""
+    from kafka_streams_example_spark.functions import codecs as cx
+
+    px = bytes((x * 7 + y * 11) % 256 for y in range(16) for x in range(16))
+    good = cx.encode_jpeg_gray8(16, 16, px)
+    want = cx.decode_jpeg(good)["pixels"]
+
+    sof = good.index(b"\xff\xc0")
+    assert sof > 2
+    # fill byte right after SOI, then TEM + RST0 + another fill before SOF
+    padded = (
+        good[:2] + b"\xff" + good[2:sof] + b"\xff\x01\xff\xd0\xff" + good[sof:]
+    )
+    d = cx.decode_jpeg(padded)
+    assert (d["width"], d["height"]) == (16, 16)
+    assert d["pixels"] == want
+
+
 def test_jpeg_decode_stage_per_row_degradation(spark):
     """Non-JPEG payloads (utf-8 text bytes) through decode_jpegs yield
     ok=False rows; real JPEG payloads decode to their true dims — the

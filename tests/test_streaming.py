@@ -2640,8 +2640,9 @@ def test_streaming_quality_gate_threshold_solve_and_static_artifacts(
 
     # vocab: a:9 b:3 c:6 over n=18 seed tokens; per-doc scores (6dp):
     # d0 = -ln(9/18) = 0.693147 (6 tokens), d2 = 1.098612 (6), d1 =
-    # mixed = 1.242453 (6). keep_tokens=0.75 -> need >= 13.5 of 18
-    # cumulative tokens -> threshold = round(1.242453, 2) = 1.24.
+    # mixed = 1.242453 (6). floor(score*100) bins: 69, 109, 124.
+    # keep_tokens=0.75 -> need >= 13.5 of 18 cumulative tokens ->
+    # t_bin = 124, stored threshold = the bin's upper edge 1.25.
     seed = spark.createDataFrame(
         [
             (0, "en", "a a a a a a"),
@@ -2658,7 +2659,9 @@ def test_streaming_quality_gate_threshold_solve_and_static_artifacts(
     _, publish = streaming_quality_gate(stream, seed, state_dir=state_dir)
     with open(_os.path.join(state_dir, "threshold.json")) as fh:
         art = _json.load(fh)
-    assert art == {"threshold": 1.24, "n_total": 18, "keep_tokens": 0.75}
+    assert art == {
+        "threshold": 1.25, "t_bin": 124, "n_total": 18, "keep_tokens": 0.75
+    }
     lm_before = sorted(
         map(tuple, spark.read.parquet(_os.path.join(state_dir, "lm_freq")).collect())
     )
