@@ -131,12 +131,13 @@ def _unfilter(raw: bytes, width: int, height: int, bpp: int) -> bytes:
     return bytes(out)
 
 
-def decode_png(blob: bytes) -> dict:
-    """Full PNG decode: signature check, chunk walk with CRC-32
-    verification, IHDR parse, IDAT concat + inflate, scanline unfilter.
-    Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
-    RGBA), no interlacing. Returns ``{width, height, bit_depth,
-    color_type, channels, pixels}``."""
+def _png_parse(blob: bytes) -> tuple[int, int, int, int, int, bytes]:
+    """Shared PNG front end: signature check, chunk walk with CRC-32
+    verification, IHDR parse, IDAT concat + inflate. Returns ``(width,
+    height, bit_depth, color_type, bpp, raw)`` where ``raw`` is the
+    decompressed filtered scanline stream (the unfilter stage — the only
+    per-pixel work — is pluggable: stdlib loop here, numpy in
+    codecs_np)."""
     if blob[:8] != PNG_SIG:
         raise ValueError("not a PNG: bad signature")
     pos = 8
@@ -164,7 +165,17 @@ def decode_png(blob: bytes) -> dict:
     if comp != 0 or filt != 0 or interlace != 0:
         raise ValueError("unsupported PNG compression/filter/interlace method")
     bpp = _PNG_CHANNELS[color_type]
-    pixels = _unfilter(zlib.decompress(bytes(idat)), width, height, bpp)
+    return width, height, bit_depth, color_type, bpp, zlib.decompress(bytes(idat))
+
+
+def decode_png(blob: bytes) -> dict:
+    """Full PNG decode: signature check, chunk walk with CRC-32
+    verification, IHDR parse, IDAT concat + inflate, scanline unfilter.
+    Supports 8-bit depth, color types 0/2/4/6 (gray, RGB, gray+alpha,
+    RGBA), no interlacing. Returns ``{width, height, bit_depth,
+    color_type, channels, pixels}``."""
+    width, height, bit_depth, color_type, bpp, raw = _png_parse(blob)
+    pixels = _unfilter(raw, width, height, bpp)
     return {
         "width": width,
         "height": height,
@@ -409,60 +420,54 @@ def _jpg_idct(coef: list[int]) -> list[float]:
     return out
 
 
-def encode_jpeg_gray8(
-    width: int, height: int, pixels: bytes, quant: list[int] | None = None
-) -> bytes:
-    """Encode 8-bit grayscale pixels as a baseline JPEG (one component,
-    no subsampling). ``quant`` is the 64-entry quantization table in
-    row-major order (default all-1 = numerically lossless for blocks
-    whose DCT quantizes to integers, e.g. per-block-constant images).
-    Edge blocks replicate the last row/column (the conventional pad)."""
-    if len(pixels) != width * height:
-        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+# Encoder code tables are the fixed Annex K pair — build once at import
+# (the decoder still constructs its tables from the FILE's DHT segment).
+_JPG_DC_CODES = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
+_JPG_AC_CODES = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+
+def _jpg_check_quant(quant: list[int] | None) -> list[int]:
     q = list(quant) if quant is not None else [1] * 64
     if len(q) != 64 or any(not (1 <= v <= 255) for v in q):
         raise ValueError("quant table must be 64 entries in 1..255")
+    return q
 
-    dc_codes = _jpg_canonical_codes(_JPG_DC_BITS, _JPG_DC_VALS)
-    ac_codes = _jpg_canonical_codes(_JPG_AC_BITS, _JPG_AC_VALS)
+
+def _jpg_entropy_encode(zz_blocks) -> bytes:
+    """Entropy-code quantized blocks (each a 64-entry zigzag-order list)
+    with DC-difference + AC run-length Huffman (Annex K tables) and byte
+    stuffing; returns the flushed scan bytes. Shared between the stdlib
+    and numpy encoders — only the DCT/quantize stage differs."""
     w = _JpgBitWriter()
+    write = w.write
+    dc_codes, ac_codes = _JPG_DC_CODES, _JPG_AC_CODES
     pred = 0
-    for by in range(0, height, 8):
-        for bx in range(0, width, 8):
-            block = []
-            for y in range(8):
-                sy = min(by + y, height - 1)
-                row = sy * width
-                for x in range(8):
-                    block.append(pixels[row + min(bx + x, width - 1)] - 128)
-            coef = _jpg_fdct(block)
-            # quantize (round half away from zero, the symmetric choice)
-            zz = []
-            for k in range(64):
-                c = coef[_JPG_ZIGZAG[k]] / q[_JPG_ZIGZAG[k]]
-                zz.append(int(c + 0.5) if c >= 0 else -int(-c + 0.5))
-            # DC difference
-            diff = zz[0] - pred
-            pred = zz[0]
-            s = _jpg_category(diff)
-            w.write(*dc_codes[s])
-            if s:
-                w.write(diff if diff >= 0 else diff + (1 << s) - 1, s)
-            # AC run-length
+    for zz in zz_blocks:
+        diff = zz[0] - pred
+        pred = zz[0]
+        s = _jpg_category(diff)
+        write(*dc_codes[s])
+        if s:
+            write(diff if diff >= 0 else diff + (1 << s) - 1, s)
+        run = 0
+        for k in range(1, 64):
+            if zz[k] == 0:
+                run += 1
+                continue
+            while run > 15:
+                write(*ac_codes[0xF0])  # ZRL
+                run -= 16
+            s = _jpg_category(zz[k])
+            write(*ac_codes[(run << 4) | s])
+            write(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
             run = 0
-            for k in range(1, 64):
-                if zz[k] == 0:
-                    run += 1
-                    continue
-                while run > 15:
-                    w.write(*ac_codes[0xF0])  # ZRL
-                    run -= 16
-                s = _jpg_category(zz[k])
-                w.write(*ac_codes[(run << 4) | s])
-                w.write(zz[k] if zz[k] >= 0 else zz[k] + (1 << s) - 1, s)
-                run = 0
-            if run:
-                w.write(*ac_codes[0x00])  # EOB
+        if run:
+            write(*ac_codes[0x00])  # EOB
+    return w.flush()
+
+
+def _jpg_wrap_stream(width: int, height: int, q: list[int], entropy: bytes) -> bytes:
+    """Assemble the JFIF stream: SOI, DQT, SOF0, DHT, SOS, scan, EOI."""
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
@@ -478,9 +483,40 @@ def encode_jpeg_gray8(
         + seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
         + seg(0xC4, dht)
         + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
-        + w.flush()
+        + entropy
         + b"\xff\xd9"  # EOI
     )
+
+
+def encode_jpeg_gray8(
+    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+) -> bytes:
+    """Encode 8-bit grayscale pixels as a baseline JPEG (one component,
+    no subsampling). ``quant`` is the 64-entry quantization table in
+    row-major order (default all-1 = numerically lossless for blocks
+    whose DCT quantizes to integers, e.g. per-block-constant images).
+    Edge blocks replicate the last row/column (the conventional pad)."""
+    if len(pixels) != width * height:
+        raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
+    q = _jpg_check_quant(quant)
+
+    zz_blocks = []
+    for by in range(0, height, 8):
+        for bx in range(0, width, 8):
+            block = []
+            for y in range(8):
+                sy = min(by + y, height - 1)
+                row = sy * width
+                for x in range(8):
+                    block.append(pixels[row + min(bx + x, width - 1)] - 128)
+            coef = _jpg_fdct(block)
+            # quantize (round half away from zero, the symmetric choice)
+            zz = []
+            for k in range(64):
+                c = coef[_JPG_ZIGZAG[k]] / q[_JPG_ZIGZAG[k]]
+                zz.append(int(c + 0.5) if c >= 0 else -int(-c + 0.5))
+            zz_blocks.append(zz)
+    return _jpg_wrap_stream(width, height, q, _jpg_entropy_encode(zz_blocks))
 
 
 class _JpgBitReader:
@@ -528,14 +564,11 @@ def _jpg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
-def decode_jpeg(blob: bytes) -> dict:
-    """Full baseline-JPEG decode for grayscale (1-component) streams:
-    marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman construction,
-    entropy decode with byte-unstuffing, dequantize, inverse zigzag,
-    2D IDCT, level shift + clamp. Progressive/arithmetic/multi-component/
-    restart-interval streams raise ValueError (unsupported, never
-    mis-decoded). Returns ``{width, height, bit_depth, n_components,
-    pixels}`` with pixels cropped to width×height row-major."""
+def _jpg_parse(blob: bytes) -> tuple[int, int, list[int], dict, dict, bytes]:
+    """Shared JPEG front end: marker walk, DQT/DHT/SOF0/SOS parse,
+    canonical Huffman construction. Returns ``(width, height, q, dc_tbl,
+    ac_tbl, entropy_bytes)`` — everything the back end (entropy decode +
+    IDCT, stdlib here / numpy in codecs_np) consumes."""
     if blob[:2] != b"\xff\xd8":
         raise ValueError("not a JPEG: bad SOI")
     pos = 2
@@ -615,42 +648,69 @@ def decode_jpeg(blob: bytes) -> dict:
         raise ValueError("missing EOI")
     q = qtables[tq]
     dc_tbl, ac_tbl = htables[(0, td)], htables[(1, ta)]
-    reader = _JpgBitReader(blob[data_start:data_end])
+    return width, height, q, dc_tbl, ac_tbl, blob[data_start:data_end]
 
+
+def _jpg_entropy_decode(
+    entropy: bytes, dc_tbl: dict, ac_tbl: dict, n_blocks: int
+) -> list[int]:
+    """Entropy-decode ``n_blocks`` blocks: Huffman read, EXTEND, DC
+    prediction accumulation. Returns a flat ``n_blocks * 64`` list of
+    ZIGZAG-ORDER coefficients (DC already un-differenced, NOT yet
+    dequantized). Shared between the stdlib and numpy decoders — only
+    dequant/IDCT/assembly differ."""
+    reader = _JpgBitReader(entropy)
+    out: list[int] = []
+    pred = 0
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        s = _jpg_read_huff(reader, dc_tbl)
+        diff = _jpg_extend(reader.bits(s), s) if s else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = _jpg_read_huff(reader, ac_tbl)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, s = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63:
+                raise ValueError("AC coefficient index out of range")
+            zz[k] = _jpg_extend(reader.bits(s), s)
+            k += 1
+        out.extend(zz)
+    return out
+
+
+def decode_jpeg(blob: bytes) -> dict:
+    """Full baseline-JPEG decode for grayscale (1-component) streams:
+    marker walk, DQT/DHT/SOF0/SOS parse, canonical Huffman construction,
+    entropy decode with byte-unstuffing, dequantize, inverse zigzag,
+    2D IDCT, level shift + clamp. Progressive/arithmetic/multi-component/
+    restart-interval streams raise ValueError (unsupported, never
+    mis-decoded). Returns ``{width, height, bit_depth, n_components,
+    pixels}`` with pixels cropped to width×height row-major."""
+    width, height, q, dc_tbl, ac_tbl, entropy = _jpg_parse(blob)
     bw = (width + 7) // 8
     bh = (height + 7) // 8
+    zz_flat = _jpg_entropy_decode(entropy, dc_tbl, ac_tbl, bw * bh)
     out = bytearray(bw * 8 * bh * 8)
-    pred = 0
-    for byi in range(bh):
-        for bxi in range(bw):
-            zz = [0] * 64
-            s = _jpg_read_huff(reader, dc_tbl)
-            diff = _jpg_extend(reader.bits(s), s) if s else 0
-            pred += diff
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = _jpg_read_huff(reader, ac_tbl)
-                if sym == 0x00:  # EOB
-                    break
-                if sym == 0xF0:  # ZRL
-                    k += 16
-                    continue
-                run, s = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63:
-                    raise ValueError("AC coefficient index out of range")
-                zz[k] = _jpg_extend(reader.bits(s), s)
-                k += 1
-            coef = [0] * 64
-            for kk in range(64):
-                coef[_JPG_ZIGZAG[kk]] = zz[kk] * q[_JPG_ZIGZAG[kk]]
-            spatial = _jpg_idct(coef)
-            for y in range(8):
-                orow = (byi * 8 + y) * bw * 8 + bxi * 8
-                for x in range(8):
-                    v = int(round(spatial[y * 8 + x])) + 128
-                    out[orow + x] = 0 if v < 0 else (255 if v > 255 else v)
+    for bi in range(bw * bh):
+        byi, bxi = bi // bw, bi % bw
+        zz = zz_flat[bi * 64 : (bi + 1) * 64]
+        coef = [0] * 64
+        for kk in range(64):
+            coef[_JPG_ZIGZAG[kk]] = zz[kk] * q[_JPG_ZIGZAG[kk]]
+        spatial = _jpg_idct(coef)
+        for y in range(8):
+            orow = (byi * 8 + y) * bw * 8 + bxi * 8
+            for x in range(8):
+                v = int(round(spatial[y * 8 + x])) + 128
+                out[orow + x] = 0 if v < 0 else (255 if v > 255 else v)
     # crop the padded MCU grid back to the declared dims
     pixels = bytes(
         out[y * bw * 8 + x] for y in range(height) for x in range(width)

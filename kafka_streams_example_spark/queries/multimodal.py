@@ -17,7 +17,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.operators import multimodal as mm
-from kafka_streams_example_spark.operators.multimodal import _ship_codecs
+from kafka_streams_example_spark.operators.multimodal import _ship_codecs_fast
 from kafka_streams_example_spark.registry import _load_parallel, register
 
 
@@ -246,7 +246,7 @@ def multimodal_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixel sum. The oracle recomputes dims and pixel sum arithmetically
     from doc_id and md5(text) in SQL, so the hash check passes only if the
     codec reproduced every pixel bit-exactly (functions/codecs.py)."""
-    cx = _ship_codecs()
+    cx = _ship_codecs_fast()
     docs = _load_parallel(spark, sf_dir, "documents")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -302,7 +302,7 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     checks), and emit the DECODED stream properties and sample sum. The
     oracle replays the recurrence in SQL — a byte-order, alignment, or
     length-accounting bug in either direction breaks the hash match."""
-    cx = _ship_codecs()
+    cx = _ship_codecs_fast()
     docs = _load_parallel(spark, sf_dir, "documents")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -439,7 +439,7 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically from md5(text) — the hash match fails unless the codec
     reproduced every decoded pixel bit-exactly.
     """
-    cx = _ship_codecs()
+    cx = _ship_codecs_fast()
     docs = _load_parallel(spark, sf_dir, "documents")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -629,7 +629,7 @@ def audio_features_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one map-only Arrow mapInPandas stage; blobs and samples
     never leave the scan. Undecodable blobs degrade per-row (ok=False),
     same contract as the image decode stages."""
-    cx = _ship_codecs()
+    cx = _ship_codecs_fast()
     docs = _load_parallel(spark, sf_dir, "documents")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -742,7 +742,7 @@ def image_phash_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy(dhash) (min + count) joined back on the 8-byte hash — the
     exact-dedup survivorship shape (dedup_survivorship), no windows, no
     pair explosion."""
-    cx = _ship_codecs()
+    cx = _ship_codecs_fast()
     docs = _load_parallel(spark, sf_dir, "documents")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -842,7 +842,7 @@ def image_crossformat_phash_match(spark: SparkSession, sf_dir: str) -> DataFrame
     hash, so a crawl carrying the same picture as PNG here and JPEG
     there still collapses it to one keeper. One map-only Arrow kernel;
     nothing but the 8-byte hash leaves the scan."""
-    cx = _ship_codecs()
+    cx = _ship_codecs_fast()
     docs = _load_parallel(spark, sf_dir, "documents")
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
