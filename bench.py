@@ -60,6 +60,20 @@ def main() -> None:
     for _ in range(n_runs):
         for name in HEADLINE:
             fn = registry.QUERIES[name]
+            # Untimed Python-worker-pool re-warm before EVERY timed run:
+            # Spark's PythonWorkerFactory reaps idle daemon workers after
+            # a hardcoded ~1 minute (cleanupIdleWorkers), so in a
+            # multi-minute sweep a query's Arrow stage pays a full pool
+            # re-fork (~0.5-0.7s) iff the PREVIOUS Python stage ran >1 min
+            # earlier — a wall-clock-position lottery that made
+            # byte-identical plans swing 2.3x across rounds (the r08-r10
+            # multimodal_decode_real adjudication; root-caused in
+            # NOTES_r11 with a 75s-idle A/B). A resident engine's pool
+            # does not idle out mid-pipeline, so warm-pool numbers are
+            # the representative ones. No-op cost (~60-80ms, untimed) for
+            # JVM-only queries; protocol tag bumped to sweep3w because
+            # Python-stage numbers are not comparable with sweep3 records.
+            spark.range(32).repartition(32).mapInPandas(_ident, "id LONG").count()
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(time.perf_counter() - t0)
@@ -83,7 +97,7 @@ def main() -> None:
     # timing protocol (the r5 back-to-back -> r6 sweep change shifted the
     # per-query mean ~1.1x with zero plan changes; tools/compare_bench.py
     # refuses cross-protocol per-query diffs).
-    protocol = f"sweep{n_runs}"
+    protocol = f"sweep{n_runs}w"  # w = per-run Python-worker-pool warm-up
     detail = {
         "metric": "headline_queries_total_wall_steady",
         "value": round(sum(timings.values()), 3),
