@@ -1243,3 +1243,183 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
             ),
         ).alias("mean_pairwise_cos"),
     )
+
+
+# (round 11)
+# --------------------------------------------------------------------------
+# similarity_ivf_trained_topk — IVF over TRAINED (k-means) centroids
+# --------------------------------------------------------------------------
+
+
+def _trained_centroid_vectors(cent_long: DataFrame) -> DataFrame:
+    """Regroup kmeans_centroids' long output (cid, dim_pos, cval) into
+    (vec_id, embedding) centroid vectors for ivf_topk — the same
+    array_sort(collect_list(struct)) device kmeans_lloyd uses internally."""
+    return (
+        cent_long.groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("dim_pos", "cval"))),
+                lambda s: s.cval,
+            ).alias("embedding")
+        )
+        .select(F.col("cid").cast("long").alias("vec_id"), "embedding")
+    )
+
+
+def _duck_trained_ivf_sql(nprobe: int = 2, k: int = 10) -> str:
+    """IVF replay over the TRAINED centroids: composes the already-proven
+    kmeans_centroids oracle (rounded-6dp centroids make both engines
+    assign against identical doubles) with the similarity_ivf_topk
+    assignment/probe/re-rank replay."""
+    from kafka_streams_example_spark.queries.relational import _duck_kmeans_sql
+
+    cos_c = _duck_cosine("c.embedding", "cent.cv")
+    cos_q = _duck_cosine("q.qv", "cent.cv")
+    cos_s = _duck_cosine("qp.qv", "a.embedding")
+    return f"""
+WITH cent AS (
+    SELECT cid AS centroid_id, list(cval ORDER BY dim_pos) AS cv
+    FROM ({_duck_kmeans_sql()}) tr
+    GROUP BY cid),
+assign AS (
+    SELECT vec_id, embedding, centroid_id FROM (
+        SELECT c.vec_id, c.embedding, cent.centroid_id,
+               row_number() OVER (PARTITION BY c.vec_id
+                   ORDER BY {cos_c} DESC, cent.centroid_id) AS rn
+        FROM embeddings c CROSS JOIN cent)
+    WHERE rn = 1),
+qprobe AS (
+    SELECT q_id, qv, centroid_id FROM (
+        SELECT q.q_id, q.qv, cent.centroid_id,
+               row_number() OVER (PARTITION BY q.q_id
+                   ORDER BY {cos_q} DESC, cent.centroid_id) AS rn
+        FROM (SELECT vec_id AS q_id, embedding AS qv
+              FROM embeddings WHERE vec_id < 8) q
+        CROSS JOIN cent)
+    WHERE rn <= {nprobe}),
+scored AS (
+    SELECT qp.q_id, a.vec_id, {cos_s} AS score
+    FROM assign a JOIN qprobe qp USING (centroid_id)
+    WHERE a.vec_id <> qp.q_id)
+SELECT q_id, vec_id, rnk, round(score, 6) AS score
+FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+          ORDER BY score DESC, vec_id) AS rnk FROM scored)
+WHERE rnk <= {k}
+"""
+
+
+@register("similarity_ivf_trained_topk", _duck_trained_ivf_sql())
+def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF search over TRAINED centroids — the production composition the
+    fixed-seed similarity_ivf_topk stands in for: kmeans_centroids (k=8
+    cosine Lloyd's, 2 iterations, 6dp-rounded — the engine's own trainer)
+    supplies the coarse quantizer, ivf_topk assigns/probes/re-ranks.
+    nprobe=2 of 8 cells = the same 25% probe share as the fixed index's
+    4 of 16, so the two variants are comparable at equal probe cost
+    (ann_recall_trained_vs_fixed reads them side by side).
+
+    Oracle-exact by the same replayed-assignment device as the fixed IVF:
+    centroids round to 6 decimals each Lloyd's iteration (both engines
+    assign against identical doubles), cosine folds run in array order on
+    both sides, ties break to the lowest centroid id.
+
+    100 TB shape: training scans the corpus twice (broadcast k-row
+    centroid joins, k*dim-row shuffles — kmeans_centroids' plan, already
+    swept), assignment is one broadcast pass, the probe join touches
+    nprobe/cells of the data; a real deployment trains on a sample and
+    writes the corpus bucketed by cell id (SCALE.md)."""
+    from kafka_streams_example_spark import registry as _reg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cent = _trained_centroid_vectors(_reg.QUERIES["kmeans_centroids"](spark, sf_dir))
+    # queries × rows × nprobe/cells: the window input unions the probed cells
+    est = 8 * table_row_count(spark, sf_dir, "embeddings") * 2 // 8
+    return sim.ivf_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        centroids=cent,
+        nprobe=2,
+        k=10,
+        dim=64,
+        candidate_rows=est,
+    )
+
+
+# --------------------------------------------------------------------------
+# ann_recall_trained_vs_fixed — index-quality A/B at equal probe cost
+# --------------------------------------------------------------------------
+
+
+def _ann_recall_ab_sql() -> str:
+    """Composes three already-proven oracles (exact brute force, fixed-seed
+    IVF, trained IVF) into per-query recall columns — bit-exact by
+    inheritance."""
+    from kafka_streams_example_spark import registry
+
+    exact_sql = registry.ORACLES["similarity_cosine_topk"]
+    fixed_sql = registry.ORACLES["similarity_ivf_topk"]
+    trained_sql = registry.ORACLES["similarity_ivf_trained_topk"]
+    return f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({exact_sql}) x),
+fixed AS (SELECT q_id, vec_id FROM ({fixed_sql}) f),
+trained AS (SELECT q_id, vec_id FROM ({trained_sql}) t),
+base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1),
+hf AS (SELECT f.q_id, count(*) AS n FROM fixed f
+       JOIN exact e USING (q_id, vec_id) GROUP BY 1),
+ht AS (SELECT t.q_id, count(*) AS n FROM trained t
+       JOIN exact e USING (q_id, vec_id) GROUP BY 1)
+SELECT b.q_id, b.n_exact,
+       coalesce(hf.n, 0) AS n_hits_fixed,
+       coalesce(ht.n, 0) AS n_hits_trained,
+       round(coalesce(hf.n, 0) / 10.0, 6) AS recall_fixed,
+       round(coalesce(ht.n, 0) / 10.0, 6) AS recall_trained
+FROM base b LEFT JOIN hf USING (q_id) LEFT JOIN ht USING (q_id)
+"""
+
+
+@register("ann_recall_trained_vs_fixed", _ann_recall_ab_sql())
+def ann_recall_trained_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The index-selection question ann_recall_at_k's single column can't
+    answer: does TRAINING the coarse quantizer buy recall at the same
+    probe cost? Per query, recall@10 of the fixed-seed IVF (16 cells,
+    nprobe=4) and the k-means-trained IVF (8 cells, nprobe=2 — the same
+    25% probe share) against the exact brute-force top-10. Both IVF
+    variants and the exact baseline reuse the registered operators, so
+    the eval inherits their plans and their oracles; the overlap joins
+    are per-query×k rows."""
+    from kafka_streams_example_spark import registry as _reg
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    rows = table_row_count(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    fixed = sim.ivf_topk(
+        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10,
+        dim=64, candidate_rows=8 * rows * 4 // 16,
+    ).select("q_id", "vec_id")
+    cent = _trained_centroid_vectors(_reg.QUERIES["kmeans_centroids"](spark, sf_dir))
+    trained = sim.ivf_topk(
+        emb, q, centroids=cent, nprobe=2, k=10, dim=64,
+        candidate_rows=8 * rows * 2 // 8,
+    ).select("q_id", "vec_id")
+    base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    hf = fixed.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits_fixed")
+    )
+    ht = trained.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits_trained")
+    )
+    zero = F.lit(0)
+    return (
+        base.join(hf, "q_id", "left")
+        .join(ht, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits_fixed", zero).alias("n_hits_fixed"),
+            F.coalesce("n_hits_trained", zero).alias("n_hits_trained"),
+            F.round(F.coalesce("n_hits_fixed", zero) / 10.0, 6).alias("recall_fixed"),
+            F.round(F.coalesce("n_hits_trained", zero) / 10.0, 6).alias("recall_trained"),
+        )
+    )

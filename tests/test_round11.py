@@ -1,0 +1,142 @@
+"""Round-11 additions: trained-IVF ANN (k-means coarse quantizer composed
+with ivf_topk) and the equal-probe-cost recall A/B."""
+
+from pyspark.sql import functions as F
+
+from kafka_streams_example_spark import registry
+from tests.conftest import SF_SMOKE
+
+
+def test_trained_ivf_scores_are_exact_cosines(spark):
+    """The trained-IVF re-rank is exact: every returned (q, candidate)
+    score equals the brute-force cosine for that pair — approximation
+    lives ONLY in candidate selection (which cells get probed)."""
+    from kafka_streams_example_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    approx = registry.QUERIES["similarity_ivf_trained_topk"](spark, SF_SMOKE)
+    exact = cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, dim=64)
+    exact_scores = {(r.q_id, r.vec_id): r.score for r in exact.collect()}
+    rows = approx.collect()
+    assert len(rows) > 0
+    per_q = {}
+    for r in rows:
+        per_q[r.q_id] = per_q.get(r.q_id, 0) + 1
+        if (r.q_id, r.vec_id) in exact_scores:
+            assert r.score == exact_scores[(r.q_id, r.vec_id)]
+    assert set(per_q) == set(range(8))  # every query answered
+
+
+def test_recall_ab_consistency_and_floor(spark):
+    """The A/B frame is internally consistent (hits <= n_exact = 10,
+    recall = hits/10) and both variants clear a sanity floor on the
+    near-orthogonal corpus (>= 0.3 mean recall at 25% probe share —
+    random cell assignment would sit near the probe share itself)."""
+    rows = registry.QUERIES["ann_recall_trained_vs_fixed"](
+        spark, SF_SMOKE
+    ).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hits_fixed <= 10 and 0 <= r.n_hits_trained <= 10
+        assert r.recall_fixed == round(r.n_hits_fixed / 10.0, 6)
+        assert r.recall_trained == round(r.n_hits_trained / 10.0, 6)
+    assert sum(r.recall_fixed for r in rows) / 8 >= 0.3
+    assert sum(r.recall_trained for r in rows) / 8 >= 0.3
+
+
+def test_trained_ivf_matches_manual_composition(spark):
+    """similarity_ivf_trained_topk == ivf_topk run by hand over the
+    regrouped kmeans_centroids vectors — the query adds no semantics of
+    its own, only the composition."""
+    from kafka_streams_example_spark.operators.similarity import ivf_topk
+    from kafka_streams_example_spark.queries.retrieval import (
+        _trained_centroid_vectors,
+    )
+
+    emb = spark.read.parquet(f"{SF_SMOKE}/embeddings.parquet")
+    cent = _trained_centroid_vectors(
+        registry.QUERIES["kmeans_centroids"](spark, SF_SMOKE)
+    )
+    want = sorted(
+        map(
+            tuple,
+            ivf_topk(
+                emb, emb.filter(F.col("vec_id") < 8), centroids=cent,
+                nprobe=2, k=10, dim=64,
+            ).collect(),
+        )
+    )
+    got = sorted(
+        map(
+            tuple,
+            registry.QUERIES["similarity_ivf_trained_topk"](
+                spark, SF_SMOKE
+            ).collect(),
+        )
+    )
+    assert got == want
+
+
+def test_video_scene_neardup_planted_replay(spark, tmp_path):
+    """Definition replay on a planted corpus: per video, frame hashes are
+    recomputed in pure Python through the STDLIB codec and the aggregate
+    (static transitions under the ≤6 Hamming cut, cuts, scenes) must
+    match the Spark kernel exactly. Includes the planted static-scene
+    case (slen=3: frames 0-2 pixel-identical → Hamming 0) and the
+    all-cuts case (slen=1: every frame its own scene)."""
+    import hashlib
+    import math
+    import os
+
+    from kafka_streams_example_spark.functions import codecs as cx
+    from kafka_streams_example_spark.queries.multimodal import (
+        _DH_GRID_H,
+        _DH_GRID_W,
+        _DH_HAM,
+        _video_frame_pixels,
+    )
+
+    # ids chosen for coverage: 2 -> slen=3/nf=6 (static runs), 3 -> slen=1
+    # (all cuts), 17 -> slen=3/nf=6, 30 -> slen=1/nf=4, 7 -> slen=2/nf=6
+    docs = [(i, "en", f"planted video doc {i}") for i in (2, 3, 7, 17, 30)]
+    want = {}
+    for i, _, t in docs:
+        w, h = 16 + i % 17, 16 + i % 13
+        nf, slen = 4 + i % 5, 1 + i % 3
+        digest = hashlib.md5(t.encode("utf-8")).digest()
+        hashes = []
+        for f in range(nf):
+            px = _video_frame_pixels(digest, w, h, f // slen)
+            d = cx.decode_png(cx.encode_png_gray8(w, h, px))
+            hashes.append(cx.dhash60(d["pixels"], w, h, _DH_GRID_W, _DH_GRID_H))
+        # same-scene consecutive frames are pixel-identical -> Hamming 0
+        for f in range(1, nf):
+            if f // slen == (f - 1) // slen:
+                assert hashes[f] == hashes[f - 1]
+        n_static = sum(
+            1 for a, b in zip(hashes, hashes[1:]) if bin(a ^ b).count("1") <= _DH_HAM
+        )
+        n_tr = nf - 1
+        want[i] = (
+            nf, n_tr, n_static, n_tr - n_static, n_tr - n_static + 1,
+            math.floor(n_static / n_tr * 1000000.0 + 0.5) / 1000000.0,
+        )
+    # the slen=3 videos must actually contain planted static transitions
+    assert want[2][2] >= 2 and want[17][2] >= 2
+    # slen=1 videos have no same-scene transitions by construction
+    sf_dir = str(tmp_path / "planted_video")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(docs, "doc_id LONG, lang STRING, text STRING").write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    from kafka_streams_example_spark import registry
+
+    got = {
+        r.doc_id: (
+            r.n_frames, r.n_transitions, r.n_static, r.n_cuts, r.n_scenes,
+            r.static_fraction,
+        )
+        for r in registry.QUERIES["video_scene_neardup"](spark, sf_dir).collect()
+    }
+    assert got == want
