@@ -10,6 +10,7 @@ in binary columns and never transit a shuffle.
 """
 
 import hashlib
+import math as _math
 from collections.abc import Iterator
 
 import pandas as pd
@@ -878,4 +879,165 @@ def image_crossformat_phash_match(spark: SparkSession, sf_dir: str) -> DataFrame
     return docs.select("doc_id", "text").mapInPandas(
         batches,
         "doc_id LONG, width INT, height INT, dhash LONG, formats_match BOOLEAN",
+    )
+
+
+# (round 11)
+# --------------------------------------------------------------------------
+# video_scene_neardup — cross-frame perceptual dedup (the video modality)
+# --------------------------------------------------------------------------
+
+_VS_SHIFT = 7  # digest-offset step between scenes (any nonzero value works)
+
+
+def _video_frame_pixels(digest: bytes, w: int, h: int, scene: int) -> bytes:
+    """Frame pixels: the doc's md5 digest cycled with a per-scene offset —
+    pixel j = digest[(j + 7*scene) % 16]. Same-scene frames are therefore
+    pixel-identical; a scene change rotates the texture. Deterministic and
+    SQL-replayable (the oracle samples the same arithmetic)."""
+    start = (_VS_SHIFT * scene) % 16
+    return (digest * (w * h // 16 + 2))[start : start + w * h]
+
+
+@register(
+    "video_scene_neardup",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           16 + doc_id % 17 AS w,
+           16 + doc_id % 13 AS h,
+           4 + doc_id % 5 AS nf,
+           1 + doc_id % 3 AS slen,
+           md5(text) AS hx
+    FROM documents
+),
+b AS (
+    SELECT doc_id, w, h, nf, slen,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM d
+),
+frames AS (
+    SELECT doc_id, w, h, nf, slen, db, fr.f AS frame_no,
+           (fr.f // slen) AS scene
+    FROM b, unnest(generate_series(0, nf - 1)) AS fr(f)
+),
+-- 11x6 nearest-neighbor thumbnail of the frame whose pixel j is
+-- db[(j + {_VS_SHIFT}*scene) % 16] (the _video_frame_pixels synthesis)
+g AS (
+    SELECT doc_id, nf, frame_no,
+           list_transform(generate_series(0, {_DH_GRID_W * _DH_GRID_H - 1}), i ->
+               db[(least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
+                   + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)
+                   + {_VS_SHIFT} * scene) % 16 + 1]
+           ) AS p
+    FROM frames
+),
+fp AS (
+    SELECT doc_id, nf, frame_no,
+           CAST(list_aggregate(list_transform(generate_series(0, 59), bb ->
+               CASE WHEN p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 1]
+                       > p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 2]
+                    THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END), 'sum')
+               AS BIGINT) AS f
+    FROM g
+),
+tr AS (
+    SELECT doc_id, nf, frame_no, f,
+           lag(f) OVER (PARTITION BY doc_id ORDER BY frame_no) AS pf
+    FROM fp
+)
+SELECT doc_id,
+       CAST(max(nf) AS INT) AS n_frames,
+       CAST(count(*) FILTER (WHERE pf IS NOT NULL) AS INT) AS n_transitions,
+       CAST(count(*) FILTER (WHERE pf IS NOT NULL
+            AND bit_count(xor(f, pf)) <= {_DH_HAM}) AS INT) AS n_static,
+       CAST(count(*) FILTER (WHERE pf IS NOT NULL
+            AND bit_count(xor(f, pf)) > {_DH_HAM}) AS INT) AS n_cuts,
+       CAST(count(*) FILTER (WHERE pf IS NOT NULL
+            AND bit_count(xor(f, pf)) > {_DH_HAM}) + 1 AS INT) AS n_scenes,
+       floor(count(*) FILTER (WHERE pf IS NOT NULL
+            AND bit_count(xor(f, pf)) <= {_DH_HAM})
+            / CAST(count(*) FILTER (WHERE pf IS NOT NULL) AS DOUBLE)
+            * 1000000.0 + 0.5) / 1000000.0 AS static_fraction
+FROM tr
+GROUP BY doc_id
+""",
+)
+def video_scene_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-FRAME perceptual dedup — the video-modality composition of
+    the engine's frame-sampling dataflow (multimodal_frame_sample's
+    1 blob → N frames shape) and the dHash stack: per video, how much of
+    it is near-static (consecutive frames within the ≤6-bit Hamming cut —
+    the frames a dedup/pretraining pipeline drops or collapses) and how
+    many scene cuts it has. The per-doc "video" synthesizes ``4 + id%5``
+    frames in scenes of length ``1 + id%3``; each frame is a REAL PNG
+    (encode → full decode through functions/codecs.py) whose pixels cycle
+    the doc's md5 digest with a per-scene offset, so same-scene frames
+    are pixel-identical (dHash Hamming 0) and scene changes rotate the
+    texture (Hamming far). Emits per video: frame/transition counts, the
+    static-transition count, cut count, scene estimate (cuts+1), and the
+    static fraction — the signals a frame-sampling curator keys on.
+
+    Scale shape: ONE map-only Arrow kernel per partition — frames are
+    synthesized, encoded, decoded and hashed inside the batch; only the
+    per-video aggregate row (7 scalars) ever leaves the scan. No shuffle,
+    no join; a 100 TB crawl of real videos swaps the synthesis for an
+    ffmpeg frame sampler behind the same kernel signature (the stub-free
+    parts — schema, batching, hash arithmetic — are exactly what runs).
+
+    The oracle replays frame synthesis (digest rotation), thumbnail
+    indexing, dHash bits, the lag window and the Hamming cut in DuckDB —
+    the hash match fails unless the codec roundtrip preserved every
+    frame's pixels bit-exactly."""
+    cx = _ship_codecs_fast()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_frames", "n_transitions", "n_static",
+                "n_cuts", "n_scenes", "static_fraction",
+            )}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 16 + i % 17, 16 + i % 13
+                nf, slen = 4 + i % 5, 1 + i % 3
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                hashes = []
+                for f in range(nf):
+                    # inline _video_frame_pixels: the kernel must reference
+                    # no module-level functions of THIS package — workers
+                    # in the driver's environment do not have the repo on
+                    # sys.path, and cloudpickle serializes module functions
+                    # by reference (only `cx` ships by value)
+                    start = (_VS_SHIFT * (f // slen)) % 16
+                    px = (digest * (w * h // 16 + 2))[start : start + w * h]
+                    d = cx.decode_png(cx.encode_png_gray8(w, h, px))
+                    hashes.append(
+                        cx.dhash60(d["pixels"], d["width"], d["height"],
+                                   _DH_GRID_W, _DH_GRID_H)
+                    )
+                n_static = sum(
+                    1 for a, b in zip(hashes, hashes[1:])
+                    if bin(a ^ b).count("1") <= _DH_HAM
+                )
+                n_tr = nf - 1
+                out["doc_id"].append(i)
+                out["n_frames"].append(nf)
+                out["n_transitions"].append(n_tr)
+                out["n_static"].append(n_static)
+                out["n_cuts"].append(n_tr - n_static)
+                out["n_scenes"].append(n_tr - n_static + 1)
+                out["static_fraction"].append(
+                    _math.floor(n_static / n_tr * 1000000.0 + 0.5) / 1000000.0
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches,
+        "doc_id LONG, n_frames INT, n_transitions INT, n_static INT, "
+        "n_cuts INT, n_scenes INT, static_fraction DOUBLE",
     )
