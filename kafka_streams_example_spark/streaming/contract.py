@@ -895,6 +895,76 @@ def compact_ingest_index(
     return {"absorbed": len(absorb), "rows": n_rows, "new_id": new_id}
 
 
+def compact_quality_state(owner: SparkSession, state_dir: str) -> dict:
+    """Offline maintenance for the QUALITY twin's state
+    (streaming_quality_gate) — the two artifact families the generic
+    batch-partition compactor alone doesn't fully cover:
+
+    - ``rejects/``: append-only per-batch exclusion-list partitions —
+      folded by :func:`compact_ingest_index` (the layout is the same
+      ``batch=<id>`` scheme; per-row batch provenance collapses into the
+      consolidated partition id, the standard log-compaction trade — the
+      downstream consumer reads rejects as a doc_id exclusion SET).
+    - ``lm_freq/``: the static unigram LM, written ONCE at seeding under
+      the session's shuffle parallelism (up to ``shuffle.partitions``
+      small files for a vocab-sized table) and re-read by EVERY batch's
+      probe. Rewritten to a single file with the same two-phase-marker
+      protocol (``lm_compact.json`` intent → ``lm_freq__new`` +
+      _SUCCESS → swap → marker removed), so either crash window
+      recovers: a complete new dir finishes the swap, a partial one is
+      discarded and the original stays authoritative. Row set is
+      unchanged — only file count drops — so scores, the threshold
+      artifact and classification are bit-identical.
+
+    Same contract as compact_ingest_index: run only while the standing
+    job is quiesced. Returns a combined summary dict."""
+    import shutil
+
+    lm_path = os.path.join(state_dir, "lm_freq")
+    lm_new = lm_path + "__new"
+    marker = os.path.join(state_dir, "lm_compact.json")
+
+    # resume a crashed LM rewrite first
+    if os.path.exists(marker):
+        if os.path.exists(os.path.join(lm_new, "_SUCCESS")):
+            if os.path.exists(lm_path):
+                shutil.rmtree(lm_path)
+            os.replace(lm_new, lm_path)
+        elif os.path.exists(lm_new):  # partial write: original untouched
+            shutil.rmtree(lm_new)
+        os.remove(marker)
+
+    rejects_dir = os.path.join(state_dir, "rejects")
+    rejects = (
+        compact_ingest_index(owner, state_dir, "rejects")
+        if os.path.isdir(rejects_dir)
+        else {"absorbed": 0, "rows": None, "new_id": None}
+    )
+
+    lm_files_before = sum(
+        1 for f in os.listdir(lm_path) if f.endswith(".parquet")
+    )
+    if lm_files_before > 1:
+        tmp = marker + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump({"target": lm_new}, fh)
+        os.replace(tmp, marker)
+        owner.read.parquet(lm_path).coalesce(1).write.mode("overwrite").parquet(
+            lm_new
+        )
+        shutil.rmtree(lm_path)
+        os.replace(lm_new, lm_path)
+        os.remove(marker)
+    lm_files_after = sum(
+        1 for f in os.listdir(lm_path) if f.endswith(".parquet")
+    )
+    return {
+        "rejects": rejects,
+        "lm_files_before": lm_files_before,
+        "lm_files_after": lm_files_after,
+    }
+
+
 def streaming_quality_gate(
     docs_stream: DataFrame,
     seed_corpus: DataFrame,

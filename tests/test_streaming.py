@@ -2511,6 +2511,198 @@ def test_compact_ingest_index_crash_recovery(spark, tmp_path):
     assert final == before
 
 
+def test_compact_ingest_index_phash_twin(spark, tmp_path):
+    """The same maintenance op over the perceptual twin's
+    (band, bv, dhash) layout: a compacted and an uncompacted gate
+    classify post-compaction batches identically, including a
+    perceptual dup of a PRE-compaction novel image (same text → same
+    fixture image → Hamming 0 against the consolidated index)."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        compact_ingest_index,
+        streaming_ingest_phash,
+    )
+
+    seed = _mk_docs(spark, [(0, "en", "phash seed image text")])
+    dirs = {n: str(tmp_path / f"cp_{n}") for n in ("a", "b")}
+    _os.makedirs(tmp_path / "cp_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "cp_unused"))
+    pubs = {
+        n: streaming_ingest_phash(stream, seed, state_dir=d)[1]
+        for n, d in dirs.items()
+    }
+    batches = [
+        [(1, "en", "novel picture one"), (2, "de", "neues bild zwei")],
+        [(3, "en", "novel picture three")],
+    ]
+    for i, b in enumerate(batches):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    idx_a = _os.path.join(dirs["a"], "phash_index")
+    before = sorted(map(tuple, spark.read.parquet(idx_a)
+                        .select("band", "bv", "dhash").collect()))
+    res = compact_ingest_index(spark, dirs["a"], "phash_index")
+    assert res["absorbed"] == 3  # seed + 2 batches
+    assert [d for d in _os.listdir(idx_a) if d.startswith("batch=")] == [
+        f"batch={res['new_id']}"
+    ]
+    after = sorted(map(tuple, spark.read.parquet(idx_a)
+                       .select("band", "bv", "dhash").collect()))
+    assert after == before
+    # id 4 ≡ 21 mod 17 ≠ 1 mod 17... same doc_id-derived dims matter only
+    # per doc; the dup signal is SAME TEXT at a doc id with the same dims
+    # mod (17, 13): 1 + 17*13 = 222 reproduces doc 1's image exactly.
+    post = [
+        [(222, "en", "novel picture one"), (5, "zh", "fresh未见 image")],
+    ]
+    for i, b in enumerate(post, start=len(batches)):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    def totals(name_dir):
+        with open(_os.path.join(name_dir, "committed.json")) as fh:
+            gen = _json.load(fh)["gen"]
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(name_dir, f"totals_gen{(gen - 1) % 2}")
+            ).collect()
+        )
+
+    t = totals(dirs["a"])
+    assert t == totals(dirs["b"])
+    # the cross-compaction perceptual dup actually registered
+    assert ("en", 3, 1, 2) in t
+
+
+def test_compact_quality_state_parity(spark, tmp_path):
+    """Quality-twin maintenance: rejects partitions fold to one (same
+    exclusion SET), lm_freq rewrites to a single file (same rows), and a
+    compacted vs uncompacted gate classify subsequent batches
+    identically."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        compact_quality_state,
+        streaming_quality_gate,
+    )
+
+    seed = _mk_docs(
+        spark,
+        [(0, "en", "a a a a a a"), (1, "en", "a a a b b b"), (2, "en", "c c c c c c")],
+    )
+    dirs = {n: str(tmp_path / f"cq_{n}") for n in ("a", "b")}
+    _os.makedirs(tmp_path / "cq_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "cq_unused"))
+    pubs = {
+        n: streaming_quality_gate(stream, seed, state_dir=d, threshold=1.3)[1]
+        for n, d in dirs.items()
+    }
+    batches = [
+        [(10, "en", "a a a"), (11, "en", "b b")],          # keep / reject
+        [(12, "de", "qqz qqz"), (13, "de", "a qqz")],      # unscorable / keep
+        [(14, "en", "c b")],                               # reject
+    ]
+    for i, b in enumerate(batches):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    a = dirs["a"]
+    rej_dir = _os.path.join(a, "rejects")
+    lm_dir = _os.path.join(a, "lm_freq")
+    excl_before = sorted(
+        (r.doc_id, r.score)
+        for r in spark.read.parquet(rej_dir).select("doc_id", "score").collect()
+    )
+    lm_before = sorted(map(tuple, spark.read.parquet(lm_dir).collect()))
+    res = compact_quality_state(spark, a)
+    assert res["rejects"]["absorbed"] == 3
+    assert res["lm_files_after"] == 1 <= res["lm_files_before"]
+    assert [d for d in _os.listdir(rej_dir) if d.startswith("batch=")] == [
+        f"batch={res['rejects']['new_id']}"
+    ]
+    assert sorted(
+        (r.doc_id, r.score)
+        for r in spark.read.parquet(rej_dir).select("doc_id", "score").collect()
+    ) == excl_before
+    assert sorted(map(tuple, spark.read.parquet(lm_dir).collect())) == lm_before
+    # second pass is a no-op on rejects and lm alike
+    res2 = compact_quality_state(spark, a)
+    assert res2["rejects"]["absorbed"] == 0 and res2["lm_files_before"] == 1
+    # post-compaction batches classify identically to the uncompacted twin
+    for i, b in enumerate(
+        [[(15, "en", "a a b"), (16, "fr", "zz zz")]], start=len(batches)
+    ):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    def totals(name_dir):
+        with open(_os.path.join(name_dir, "committed.json")) as fh:
+            gen = _json.load(fh)["gen"]
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(name_dir, f"totals_gen{(gen - 1) % 2}")
+            ).collect()
+        )
+
+    assert totals(dirs["a"]) == totals(dirs["b"])
+
+
+def test_compact_quality_state_crash_recovery(spark, tmp_path):
+    """Both LM-rewrite crash windows recover: a partial lm_freq__new
+    (no _SUCCESS) is discarded with the original authoritative; a
+    complete one finishes the swap on rerun. Rows never change."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        compact_quality_state,
+        streaming_quality_gate,
+    )
+
+    seed = _mk_docs(spark, [(0, "en", "a a a b c"), (1, "en", "b c d e f")])
+    state_dir = str(tmp_path / "cqc_state")
+    _os.makedirs(tmp_path / "cqc_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "cqc_unused"))
+    _, publish = streaming_quality_gate(stream, seed, state_dir=state_dir)
+    publish(_mk_docs(spark, [(10, "en", "a b"), (11, "en", "zz")]), 0)
+    lm_dir = _os.path.join(state_dir, "lm_freq")
+    before = sorted(map(tuple, spark.read.parquet(lm_dir).collect()))
+
+    # window B: marker + PARTIAL new dir (no _SUCCESS) → discard partial
+    lm_new = lm_dir + "__new"
+    _os.makedirs(lm_new)
+    with open(_os.path.join(lm_new, "part-00000.parquet"), "wb") as fh:
+        fh.write(b"garbage partial write")
+    with open(_os.path.join(state_dir, "lm_compact.json"), "w") as fh:
+        _json.dump({"target": lm_new}, fh)
+    res = compact_quality_state(spark, state_dir)
+    assert not _os.path.exists(lm_new)
+    assert res["lm_files_after"] == 1
+    assert sorted(map(tuple, spark.read.parquet(lm_dir).collect())) == before
+
+    # window A: marker + COMPLETE new dir → rerun finishes the swap
+    spark.read.parquet(lm_dir).coalesce(1).write.mode("overwrite").parquet(lm_new)
+    assert _os.path.exists(_os.path.join(lm_new, "_SUCCESS"))
+    with open(_os.path.join(state_dir, "lm_compact.json"), "w") as fh:
+        _json.dump({"target": lm_new}, fh)
+    res2 = compact_quality_state(spark, state_dir)
+    assert not _os.path.exists(lm_new)
+    assert not _os.path.exists(_os.path.join(state_dir, "lm_compact.json"))
+    assert sorted(map(tuple, spark.read.parquet(lm_dir).collect())) == before
+
+
 # --------------------------------------------------------------------------
 # streaming_quality_gate — standing quality-cutoff ingest gate (4th twin)
 # --------------------------------------------------------------------------
