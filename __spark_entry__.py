@@ -114,33 +114,26 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r10: the
-# decontam family's bench-gram broadcast became size-guarded
-# (queries/dedup.py:_maybe_broadcast_bench — same plan at oracle scale,
-# but the join construction changed); new r10 queries front via the
-# never-recorded group automatically, and the deliberately small set
-# leaves the window to the least-verified tier — the r04/r05 solar
-# flagship cohort, due for re-verification per the r09 verdict.
+# re-verify ahead of merely least-often-verified greens. r11: the image
+# decode kernels switched to the numpy-vectorized codec module
+# (functions/codecs_np.py — outputs byte-identical by test, but the
+# executing kernel code changed, so the driver should re-prove the
+# oracle match). New r11 queries (trained IVF, recall A/B, video scene)
+# front via the never-recorded group automatically; the remaining ~40
+# window slots go to the stalest green tier — the r5-era cohort
+# (VERDICT r10 item 2).
 _TOUCHED_THIS_ROUND: set[str] = {
-    "decontam_ngram_overlap",
-    "corpus_curation_pipeline",
-    "semdedup_prune",
+    "multimodal_decode_real",
+    "multimodal_decode_real_jpeg",
+    "image_phash_neardup",
+    "image_phash_dedup_cut",
+    "image_crossformat_phash_match",
 }
 
-# Explicitly pinned re-verification cohort (cleared once recorded): the
-# reference-parity flagship family, whose last driver records are r04/r05
-# — the r09 verdict's item 2 asks for all six green in CORRECTNESS_r10.
-# The staleness-ordered green tier fronts five of them on its own; the
-# sixth (solar_wire_reference_format) sits just past the ~50-slot window
-# behind its r05 cohort peers, so the set pins the family as a unit.
-_REVERIFY_THIS_ROUND: set[str] = {
-    "solar_module_agg",
-    "solar_panel_stats",
-    "solar_anomalies",
-    "solar_wire_reference_format",
-    "json_wire_roundtrip",
-    "udaf_weighted_avg",
-}
+# Explicitly pinned re-verification cohort (cleared once recorded):
+# empty in r11 — the r10 solar-flagship pinning was recorded green in
+# CORRECTNESS_r10, and no family needs unit-pinning this round.
+_REVERIFY_THIS_ROUND: set[str] = set()
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
