@@ -564,6 +564,10 @@ def _jpg_extend(v: int, s: int) -> int:
     return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
 
 
+# decode-table cache keyed on raw DHT bytes (see the DHT branch below)
+_JPG_DHT_CACHE: dict[bytes, dict] = {}
+
+
 def _jpg_parse(blob: bytes) -> tuple[int, int, list[int], dict, dict, bytes]:
     """Shared JPEG front end: marker walk, DQT/DHT/SOF0/SOS parse,
     canonical Huffman construction. Returns ``(width, height, q, dc_tbl,
@@ -611,11 +615,24 @@ def _jpg_parse(blob: bytes) -> tuple[int, int, list[int], dict, dict, bytes]:
                 cls, tid = payload[p] >> 4, payload[p] & 0x0F
                 bits = list(payload[p + 1 : p + 17])
                 nv = sum(bits)
-                vals = list(payload[p + 17 : p + 17 + nv])
-                codes = _jpg_canonical_codes(bits, vals)
-                htables[(cls, tid)] = {
-                    (code, length): sym for sym, (code, length) in codes.items()
-                }
+                # (code,len)→symbol decode tables are cached on the raw
+                # DHT bytes: table construction (~170 dict entries for
+                # the Annex K AC table) was a third of per-image decode
+                # time, and real corpora carry a handful of distinct
+                # tables (most encoders ship the Annex K pair verbatim)
+                key = bytes(payload[p + 1 : p + 17 + nv])
+                tbl = _JPG_DHT_CACHE.get(key)
+                if tbl is None:
+                    vals = list(payload[p + 17 : p + 17 + nv])
+                    codes = _jpg_canonical_codes(bits, vals)
+                    tbl = {
+                        (code, length): sym
+                        for sym, (code, length) in codes.items()
+                    }
+                    if len(_JPG_DHT_CACHE) >= 64:  # adversarial-stream bound
+                        _JPG_DHT_CACHE.clear()
+                    _JPG_DHT_CACHE[key] = tbl
+                htables[(cls, tid)] = tbl
                 p += 17 + nv
         elif marker == 0xC0:  # SOF0 baseline
             prec, h, w, nc = struct.unpack_from(">BHHB", payload, 0)

@@ -189,18 +189,33 @@ def decode_png(blob: bytes) -> dict:
     }
 
 
+_RESIZE_IDX_CACHE: dict[tuple, np.ndarray] = {}
+
+
 def resize_gray8_nearest(
     pixels: bytes, width: int, height: int, out_width: int, out_height: int
 ) -> bytes:
     """Fancy-index twin of codecs.resize_gray8_nearest: the same
-    ``min(o*in//out, in-1)`` source indices, materialized as two index
-    vectors and one 2-D gather."""
-    arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
-    ys = np.minimum(np.arange(out_height, dtype=np.int64) * height // out_height,
-                    height - 1)
-    xs = np.minimum(np.arange(out_width, dtype=np.int64) * width // out_width,
-                    width - 1)
-    return arr[np.ix_(ys, xs)].tobytes()
+    ``min(o*in//out, in-1)`` source indices, materialized once per
+    (in-dims, out-dims) shape as a flat gather index and cached — a
+    corpus has few distinct image geometries, so the per-image work is
+    ONE flat take."""
+    key = (width, height, out_width, out_height)
+    idx = _RESIZE_IDX_CACHE.get(key)
+    if idx is None:
+        ys = np.minimum(
+            np.arange(out_height, dtype=np.int64) * height // out_height,
+            height - 1,
+        )
+        xs = np.minimum(
+            np.arange(out_width, dtype=np.int64) * width // out_width,
+            width - 1,
+        )
+        idx = (ys[:, None] * width + xs[None, :]).ravel()
+        if len(_RESIZE_IDX_CACHE) >= 4096:  # adversarial-geometry bound
+            _RESIZE_IDX_CACHE.clear()
+        _RESIZE_IDX_CACHE[key] = idx
+    return np.frombuffer(pixels, dtype=np.uint8)[idx].tobytes()
 
 
 _DH_WEIGHTS_CACHE: dict[int, np.ndarray] = {}

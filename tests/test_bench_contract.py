@@ -20,9 +20,12 @@ def test_bench_emits_single_json_line_quickly():
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_CPUS="4", SPARK_GRAFT_BENCH_DETAIL=detail,
                SPARK_GRAFT_BENCH_RUNS="2")
+    # 1500s bound: 252 queries x 2 runs at sf0.001 on 4 cores plus the
+    # sweep3w per-run pool warm-ups sit ~900s — the old 900s bound left
+    # no headroom and tripped when the r11 queries landed
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
-        capture_output=True, text=True, timeout=900, env=env,
+        capture_output=True, text=True, timeout=1500, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')]
