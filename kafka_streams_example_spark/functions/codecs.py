@@ -466,23 +466,38 @@ def _jpg_entropy_encode(zz_blocks) -> bytes:
     return w.flush()
 
 
+def _jpg_seg(marker: int, payload: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
+
+
+# DHT and SOS segments are constants of the encoder (the Annex K tables
+# ride every stream); the DQT segment depends only on the quant table,
+# cached per table — rebuilding these per image was ~70us/image.
+_JPG_DHT_SOS_SEGS = _jpg_seg(
+    0xC4,
+    bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
+    + bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS),
+) + _jpg_seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))
+_JPG_DQT_SEG_CACHE: dict[tuple, bytes] = {}
+
+
 def _jpg_wrap_stream(width: int, height: int, q: list[int], entropy: bytes) -> bytes:
     """Assemble the JFIF stream: SOI, DQT, SOF0, DHT, SOS, scan, EOI."""
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes([0xFF, marker]) + struct.pack(">H", len(payload) + 2) + payload
-
-    zz_q = bytes(q[_JPG_ZIGZAG[k]] for k in range(64))
-    dht = (
-        bytes([0x00]) + bytes(_JPG_DC_BITS) + bytes(_JPG_DC_VALS)
-        + bytes([0x10]) + bytes(_JPG_AC_BITS) + bytes(_JPG_AC_VALS)
-    )
+    qk = tuple(q)
+    dqt = _JPG_DQT_SEG_CACHE.get(qk)
+    if dqt is None:
+        zz_q = bytes(q[_JPG_ZIGZAG[k]] for k in range(64))
+        dqt = _jpg_seg(0xDB, bytes([0x00]) + zz_q)  # DQT, table 0, 8-bit
+        if len(_JPG_DQT_SEG_CACHE) >= 64:
+            _JPG_DQT_SEG_CACHE.clear()
+        _JPG_DQT_SEG_CACHE[qk] = dqt
     return (
         b"\xff\xd8"  # SOI
-        + seg(0xDB, bytes([0x00]) + zz_q)  # DQT, table 0, 8-bit
-        + seg(0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0]))
-        + seg(0xC4, dht)
-        + seg(0xDA, bytes([1, 1, 0x00, 0, 63, 0]))  # SOS
+        + dqt
+        + _jpg_seg(
+            0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
+        )
+        + _JPG_DHT_SOS_SEGS
         + entropy
         + b"\xff\xd9"  # EOI
     )

@@ -245,16 +245,30 @@ def dhash60(
 # ---------------------------------------------------------------------------
 
 
+_JPG_Q_CACHE: dict[tuple, np.ndarray] = {}
+
+
+def _jpg_q_array(q: list[int]) -> np.ndarray:
+    qk = tuple(q)
+    arr = _JPG_Q_CACHE.get(qk)
+    if arr is None:
+        arr = np.array(q, dtype=np.float64)
+        if len(_JPG_Q_CACHE) >= 64:
+            _JPG_Q_CACHE.clear()
+        _JPG_Q_CACHE[qk] = arr
+    return arr
+
+
 def _blocks_from_pixels(pixels: bytes, width: int, height: int) -> np.ndarray:
     """(n_blocks, 8, 8) float64 level-shifted blocks in row-major block
     order, edge blocks replicating the last row/column (same pad as the
-    stdlib encoder's min() clamps)."""
+    stdlib encoder's min() clamps). Block-aligned images (the common
+    case) skip the pad entirely."""
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
     bh, bw = (height + 7) // 8, (width + 7) // 8
-    padded = np.pad(arr, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
-    blocks = (
-        padded.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
-    )
+    if bh * 8 != height or bw * 8 != width:
+        arr = np.pad(arr, ((0, bh * 8 - height), (0, bw * 8 - width)), mode="edge")
+    blocks = arr.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3).reshape(-1, 8, 8)
     return blocks.astype(np.float64) - 128.0
 
 
@@ -273,18 +287,19 @@ def encode_jpeg_gray8(
     coef = _DCT_M @ blocks @ _DCT_M.T  # (n, 8, 8)
     # rational-valued coefficients (u, v in {0, 4}): replay the stdlib's
     # exact sequential arithmetic so k+0.5 boundary cases round the same
-    # way (see _RAT_UV above). 64 vectorized adds across all blocks.
+    # way (see _RAT_UV above). np.add.accumulate has documented
+    # sequential (left-to-right) semantics — r[i] = r[i-1] + a[i] — so
+    # its last element rounds identically to the stdlib's scalar loop
+    # (pinned bit-exact in tests/test_codecs_np.py's sweeps).
     n = blocks.shape[0]
     terms = blocks[:, None, :, :] * _RAT_COSX[None, :, None, :]  # fl(b*cosx)
     terms = terms * _RAT_COSY[None, :, :, None]  # fl(prev*cosy)
     flat = terms.reshape(n, len(_RAT_UV), 64)
-    s = np.zeros((n, len(_RAT_UV)))
-    for k in range(64):  # the stdlib's flat y-major accumulation order
-        s += flat[:, :, k]
+    s = np.add.accumulate(flat, axis=2)[:, :, -1]
     rat = _RAT_SCALE[None, :] * s
     for j, (v, u) in enumerate(_RAT_UV):
         coef[:, v, u] = rat[:, j]
-    c = coef.reshape(-1, 64) / np.array(q, dtype=np.float64)
+    c = coef.reshape(-1, 64) / _jpg_q_array(q)
     zz = np.where(c >= 0, np.floor(c + 0.5), -np.floor(-c + 0.5)).astype(np.int64)
     zz_blocks = zz[:, _ZZ]  # zigzag order per block
     return _cx._jpg_wrap_stream(
@@ -306,7 +321,7 @@ def decode_jpeg(blob: bytes) -> dict:
     ).reshape(n, 64)
     coef = np.zeros((n, 64), dtype=np.float64)
     coef[:, _ZZ] = zz  # inverse zigzag: coef[zigzag[k]] = zz[k]
-    coef *= np.array(q, dtype=np.float64)
+    coef *= _jpg_q_array(q)
     spatial = _DCT_M.T @ coef.reshape(n, 8, 8) @ _DCT_M
     v = np.rint(spatial) + 128.0  # rint = round-half-even = Python round()
     grid = (
