@@ -343,9 +343,104 @@ _DH_BANDS, _DH_BITS = 4, 15
 _DH_HAM = 6  # near-dup verify threshold (same as neardup_simhash_pairs)
 
 
-@register(
-    "image_phash_neardup",
-    f"""
+def _phash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared decode-scan: (doc_id, width, height, dhash) via ONE
+    map-only Arrow kernel (encode+decode+hash per doc — blob bytes exist
+    only inside the batch), checkpointed so the plan's multiple
+    references execute the Python stage once (the BPE lineage-cut
+    precedent) — exactly the "write the fingerprint table, then
+    self-join it" shape a production pipeline ships at 100 TB."""
+    cx = _ship_codecs_fast()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"doc_id": [], "width": [], "height": [], "dhash": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                w, h = 16 + int(i) % 17, 16 + int(i) % 13
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                px = (digest * (w * h // 16 + 1))[: w * h]
+                d = cx.decode_png(cx.encode_png_gray8(w, h, px))
+                out["doc_id"].append(int(i))
+                out["width"].append(d["width"])
+                out["height"].append(d["height"])
+                out["dhash"].append(
+                    cx.dhash60(d["pixels"], d["width"], d["height"],
+                               _DH_GRID_W, _DH_GRID_H)
+                )
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "text").mapInPandas(
+        batches, "doc_id LONG, width INT, height INT, dhash LONG"
+    ).localCheckpoint(eager=True)
+
+
+def _phash_band_stats(
+    fp: DataFrame, bands: int, bits: int, ham: int
+) -> DataFrame:
+    """Banding + candidate stats over a fingerprint frame: explode to
+    ``bands`` × ``bits``-bit band values, self-join on (band, value),
+    verify by xor+popcount, aggregate per doc. Only (doc_id, band,
+    band-value) rides the join; AQE can skew-split it."""
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.shiftright(F.col("dhash"), b * bits)
+                .bitwiseAND(F.lit((1 << bits) - 1))
+                .alias("bv"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = fp.select(
+        "doc_id", F.col("dhash").alias("f"), F.explode(band_structs).alias("bk")
+    ).select("doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    cand = (
+        banded.alias("l")
+        .join(
+            banded.alias("r"),
+            (F.col("l.band") == F.col("r.band"))
+            & (F.col("l.bv") == F.col("r.bv"))
+            & (F.col("l.doc_id") != F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_id"),
+            F.col("r.doc_id").alias("id_b"),
+            F.col("l.f").alias("fa"),
+            F.col("r.f").alias("fb"),
+        )
+        .dropDuplicates(["doc_id", "id_b"])
+    )
+    hamming = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
+    stats = (
+        cand.withColumn("hamming", hamming)
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("int").alias("n_band_partners"),
+            F.min("hamming").cast("int").alias("min_h"),
+            F.count(F.when(F.col("hamming") <= ham, 1))
+            .cast("int")
+            .alias("n_neardups"),
+        )
+    )
+    return fp.join(stats, "doc_id", "left").select(
+        "doc_id",
+        "width",
+        "height",
+        "dhash",
+        F.coalesce("n_band_partners", F.lit(0)).cast("int").alias("n_band_partners"),
+        F.coalesce("min_h", F.lit(-1)).cast("int").alias("min_hamming"),
+        F.coalesce("n_neardups", F.lit(0)).cast("int").alias("n_neardups"),
+    )
+
+
+def _phash_neardup_sql(bands: int, bits: int, ham: int = _DH_HAM) -> str:
+    """The full oracle for a banded phash near-dup readout: pixel
+    synthesis, thumbnail indexing, dHash bits, the bands x bits banding,
+    distinct-pair candidates, xor/popcount verify — all replayed from
+    md5(text) arithmetic."""
+    return f"""
 WITH d AS (
     SELECT doc_id,
            16 + doc_id % 17 AS w,
@@ -385,8 +480,8 @@ fp AS (
 ),
 banded AS (
     SELECT doc_id, f, bd.b AS band,
-           (f >> ({_DH_BITS} * bd.b)) & {(1 << _DH_BITS) - 1} AS bv
-    FROM fp, unnest(generate_series(0, {_DH_BANDS - 1})) AS bd(b)
+           (f >> ({bits} * bd.b)) & {(1 << bits) - 1} AS bv
+    FROM fp, unnest(generate_series(0, {bands - 1})) AS bd(b)
 ),
 cand AS (
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.f AS fa, r.f AS fb
@@ -397,7 +492,7 @@ stats AS (
     SELECT id_a AS doc_id,
            count(*) AS n_band_partners,
            min(bit_count(xor(fa, fb))) AS min_h,
-           count(*) FILTER (WHERE bit_count(xor(fa, fb)) <= {_DH_HAM}) AS n_neardups
+           count(*) FILTER (WHERE bit_count(xor(fa, fb)) <= {ham}) AS n_neardups
     FROM cand GROUP BY 1
 )
 SELECT fp.doc_id,
@@ -408,8 +503,10 @@ SELECT fp.doc_id,
        CAST(coalesce(s.min_h, -1) AS INT) AS min_hamming,
        CAST(coalesce(s.n_neardups, 0) AS INT) AS n_neardups
 FROM fp LEFT JOIN stats s USING (doc_id)
-""",
-)
+"""
+
+
+@register("image_phash_neardup", _phash_neardup_sql(_DH_BANDS, _DH_BITS))
 def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Perceptual image near-dup — the dedup tier for the image modality
     (the text tiers are exact/MinHash/SimHash; this is their pixel-space
@@ -440,89 +537,31 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     arithmetically from md5(text) — the hash match fails unless the codec
     reproduced every decoded pixel bit-exactly.
     """
-    cx = _ship_codecs_fast()
-    docs = _load_parallel(spark, sf_dir, "documents")
+    return _phash_band_stats(
+        _phash_fp_frame(spark, sf_dir), _DH_BANDS, _DH_BITS, _DH_HAM
+    )
 
-    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # encode+decode+hash in ONE kernel (the multimodal_decode_real
-        # shape): blob bytes exist only inside the batch, never in a column
-        for pdf in it:
-            out = {"doc_id": [], "width": [], "height": [], "dhash": []}
-            for i, t in zip(pdf["doc_id"], pdf["text"]):
-                w, h = 16 + int(i) % 17, 16 + int(i) % 13
-                digest = hashlib.md5(str(t).encode("utf-8")).digest()
-                px = (digest * (w * h // 16 + 1))[: w * h]
-                d = cx.decode_png(cx.encode_png_gray8(w, h, px))
-                out["doc_id"].append(int(i))
-                out["width"].append(d["width"])
-                out["height"].append(d["height"])
-                out["dhash"].append(
-                    cx.dhash60(d["pixels"], d["width"], d["height"],
-                               _DH_GRID_W, _DH_GRID_H)
-                )
-            yield pd.DataFrame(out)
 
-    # Materialize the fingerprint table ONCE before fanning out: the plan
-    # references fp three times (both self-join sides + the final join
-    # back), and each reference would re-run the Python decode stage —
-    # the dominant cost in-sweep. localCheckpoint (the BPE lineage-cut
-    # precedent) executes the decode once and pins the 24-byte/doc hash
-    # table, exactly the "write the fingerprint table, then self-join it"
-    # shape a production pipeline ships at 100 TB.
-    fp = docs.select("doc_id", "text").mapInPandas(
-        batches, "doc_id LONG, width INT, height INT, dhash LONG"
-    ).localCheckpoint(eager=True)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("band"),
-                F.shiftright(F.col("dhash"), b * _DH_BITS)
-                .bitwiseAND(F.lit((1 << _DH_BITS) - 1))
-                .alias("bv"),
-            )
-            for b in range(_DH_BANDS)
-        ]
-    )
-    banded = fp.select(
-        "doc_id", F.col("dhash").alias("f"), F.explode(band_structs).alias("bk")
-    ).select("doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
-    cand = (
-        banded.alias("l")
-        .join(
-            banded.alias("r"),
-            (F.col("l.band") == F.col("r.band"))
-            & (F.col("l.bv") == F.col("r.bv"))
-            & (F.col("l.doc_id") != F.col("r.doc_id")),
-        )
-        .select(
-            F.col("l.doc_id").alias("doc_id"),
-            F.col("r.doc_id").alias("id_b"),
-            F.col("l.f").alias("fa"),
-            F.col("r.f").alias("fb"),
-        )
-        .dropDuplicates(["doc_id", "id_b"])
-    )
-    ham = F.bit_count(F.col("fa").bitwiseXOR(F.col("fb")))
-    stats = (
-        cand.withColumn("hamming", ham)
-        .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("int").alias("n_band_partners"),
-            F.min("hamming").cast("int").alias("min_h"),
-            F.count(F.when(F.col("hamming") <= _DH_HAM, 1))
-            .cast("int")
-            .alias("n_neardups"),
-        )
-    )
-    return fp.join(stats, "doc_id", "left").select(
-        "doc_id",
-        "width",
-        "height",
-        "dhash",
-        F.coalesce("n_band_partners", F.lit(0)).cast("int").alias("n_band_partners"),
-        F.coalesce("min_h", F.lit(-1)).cast("int").alias("min_hamming"),
-        F.coalesce("n_neardups", F.lit(0)).cast("int").alias("n_neardups"),
-    )
+@register("image_phash_neardup_wide", _phash_neardup_sql(3, 20))
+def image_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-tier banding of image_phash_neardup: the SAME 60-bit
+    dHash read through 3×20-bit bands instead of 4×15. Band-collision
+    candidates fall ~2^5 per band (and one band fewer): at the ×100
+    corpus (500 k images) that is ~0.7 M candidate pairs instead of
+    ~28 M — the banding is the knob that carries this operator to a real
+    crawl, demonstrated as a registered query rather than asserted in a
+    comment.
+
+    The recall trade is the standard LSH pigeonhole: with 3 bands over
+    60 bits, any pair within Hamming ≤ 2 ALWAYS shares an intact band
+    (2 errors can dirty at most 2 of 3 bands) — so exact re-encodes and
+    near-exact variants (the dedup-cut tier) are guaranteed found —
+    while the 4×15 banding guarantees ≤ 3 errors and catches more of the
+    looser ≤ 6 tier probabilistically. Same verify (xor+popcount ≤ 6),
+    same per-doc stats, same oracle machinery at the new constants;
+    tests pin the pigeonhole guarantee and the planted re-encode pair.
+    """
+    return _phash_band_stats(_phash_fp_frame(spark, sf_dir), 3, 20, _DH_HAM)
 
 
 # --------------------------------------------------------------------------

