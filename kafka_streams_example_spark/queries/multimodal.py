@@ -376,12 +376,25 @@ def _phash_fp_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _phash_band_stats(
-    fp: DataFrame, bands: int, bits: int, ham: int
+    fp: DataFrame, bands: int, bits: int, ham: int, max_bucket: int | None = None
 ) -> DataFrame:
     """Banding + candidate stats over a fingerprint frame: explode to
     ``bands`` × ``bits``-bit band values, self-join on (band, value),
     verify by xor+popcount, aggregate per doc. Only (doc_id, band,
-    band-value) rides the join; AQE can skew-split it."""
+    band-value) rides the join; AQE can skew-split it.
+
+    ``max_bucket`` is the production skew guard: buckets holding more
+    than that many hashes are DROPPED before the self-join. LSH bucket
+    sizes are data-dependent and pair work is Σc² — one degenerate band
+    value (flat images, boilerplate graphics, near-constant textures
+    hashing to alternating-bit patterns) turns the candidate join
+    quadratic. Measured on the ×100 corpus: the uncapped 4×15 banding
+    carries ~303 M ordered candidate pairs, 10× the uniform-hash
+    estimate, almost all from a handful of degenerate alternating-bit
+    bucket values; capping at 64 removes them while every GENUINE
+    near-dup group small enough to review survives (true re-encode
+    groups are small; mass-duplicate groups are Hamming-0 and belong to
+    the exact-hash dedup-cut tier, which has no pair explosion)."""
     band_structs = F.array(
         *[
             F.struct(
@@ -396,6 +409,14 @@ def _phash_band_stats(
     banded = fp.select(
         "doc_id", F.col("dhash").alias("f"), F.explode(band_structs).alias("bk")
     ).select("doc_id", "f", F.col("bk.band").alias("band"), F.col("bk.bv").alias("bv"))
+    if max_bucket is not None:
+        ok_buckets = (
+            banded.groupBy("band", "bv")
+            .count()
+            .filter(F.col("count") <= max_bucket)
+            .select("band", "bv")
+        )
+        banded = banded.join(ok_buckets, ["band", "bv"])
     cand = (
         banded.alias("l")
         .join(
@@ -435,11 +456,23 @@ def _phash_band_stats(
     )
 
 
-def _phash_neardup_sql(bands: int, bits: int, ham: int = _DH_HAM) -> str:
+def _phash_neardup_sql(
+    bands: int, bits: int, ham: int = _DH_HAM, max_bucket: int | None = None
+) -> str:
     """The full oracle for a banded phash near-dup readout: pixel
     synthesis, thumbnail indexing, dHash bits, the bands x bits banding,
-    distinct-pair candidates, xor/popcount verify — all replayed from
-    md5(text) arithmetic."""
+    the optional bucket-size cap, distinct-pair candidates, xor/popcount
+    verify — all replayed from md5(text) arithmetic."""
+    cap = (
+        f"""
+bsz AS (
+    SELECT band, bv FROM banded GROUP BY band, bv HAVING count(*) <= {max_bucket}
+),
+live AS (SELECT b.* FROM banded b JOIN bsz USING (band, bv)),"""
+        if max_bucket is not None
+        else """
+live AS (SELECT * FROM banded),"""
+    )
     return f"""
 WITH d AS (
     SELECT doc_id,
@@ -482,10 +515,10 @@ banded AS (
     SELECT doc_id, f, bd.b AS band,
            (f >> ({bits} * bd.b)) & {(1 << bits) - 1} AS bv
     FROM fp, unnest(generate_series(0, {bands - 1})) AS bd(b)
-),
+),{cap}
 cand AS (
     SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b, l.f AS fa, r.f AS fb
-    FROM banded l JOIN banded r
+    FROM live l JOIN live r
       ON l.band = r.band AND l.bv = r.bv AND l.doc_id <> r.doc_id
 ),
 stats AS (
@@ -542,26 +575,38 @@ def image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("image_phash_neardup_wide", _phash_neardup_sql(3, 20))
+_DH_WIDE_CAP = 64  # bucket-size skew guard (see _phash_band_stats)
+
+
+@register(
+    "image_phash_neardup_wide",
+    _phash_neardup_sql(3, 20, max_bucket=_DH_WIDE_CAP),
+)
 def image_phash_neardup_wide(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SCALE-tier banding of image_phash_neardup: the SAME 60-bit
-    dHash read through 3×20-bit bands instead of 4×15. Band-collision
-    candidates fall ~2^5 per band (and one band fewer): at the ×100
-    corpus (500 k images) that is ~0.7 M candidate pairs instead of
-    ~28 M — the banding is the knob that carries this operator to a real
-    crawl, demonstrated as a registered query rather than asserted in a
-    comment.
+    dHash read through 3×20-bit bands instead of 4×15, with the
+    production bucket-size cap (drop band values held by > 64 hashes)
+    that bounds LSH pair work against degenerate buckets. Both knobs a
+    crawl-scale perceptual index actually turns, demonstrated as a
+    registered oracle-exact query rather than asserted in a comment:
+    wider bands cut RANDOM collisions ~2^5 per band; the cap removes the
+    DATA-DEPENDENT quadratic tail (measured on the ×100 corpus: a
+    handful of alternating-bit bucket values carried most of the
+    uncapped banding's 303 M ordered candidate pairs).
 
     The recall trade is the standard LSH pigeonhole: with 3 bands over
     60 bits, any pair within Hamming ≤ 2 ALWAYS shares an intact band
-    (2 errors can dirty at most 2 of 3 bands) — so exact re-encodes and
-    near-exact variants (the dedup-cut tier) are guaranteed found —
-    while the 4×15 banding guarantees ≤ 3 errors and catches more of the
-    looser ≤ 6 tier probabilistically. Same verify (xor+popcount ≤ 6),
-    same per-doc stats, same oracle machinery at the new constants;
-    tests pin the pigeonhole guarantee and the planted re-encode pair.
+    (2 errors can dirty at most 2 of 3 bands) — so re-encodes and
+    near-exact variants are guaranteed found UNLESS their shared buckets
+    are degenerate-hot, in which case they belong to the exact-hash
+    dedup-cut tier (no pair explosion) rather than pairwise review. The
+    4×15 uncapped form stays registered as the audit/review tier. Same
+    verify (xor+popcount ≤ 6), same per-doc stats; tests pin the
+    pigeonhole guarantee and the planted re-encode pair.
     """
-    return _phash_band_stats(_phash_fp_frame(spark, sf_dir), 3, 20, _DH_HAM)
+    return _phash_band_stats(
+        _phash_fp_frame(spark, sf_dir), 3, 20, _DH_HAM, max_bucket=_DH_WIDE_CAP
+    )
 
 
 # --------------------------------------------------------------------------
