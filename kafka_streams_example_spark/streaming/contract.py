@@ -1160,6 +1160,7 @@ def streaming_ingest_phash(
     index_seed: DataFrame,
     state_dir: str | None = None,
     max_hamming: int = 6,
+    max_probe_bucket: int | None = None,
 ) -> tuple[DataFrame, "callable"]:
     """PERCEPTUAL image ingest dedup as a STANDING job — the fifth ingest
     twin, closing the modality set (exact text, MinHash near-dup text,
@@ -1189,6 +1190,20 @@ def streaming_ingest_phash(
     fixture blob built in-kernel (the batch query's device); a
     production stream carries binary payloads and the kernel decodes
     those instead — schema, banding, probe and index are identical.
+
+    ``max_probe_bucket`` (default None = probe everything) is the
+    LSH skew guard for crawl-scale indexes: band values held by more
+    than that many DISTINCT index hashes are skipped at PROBE time, so
+    one degenerate bucket (near-constant textures hash to a handful of
+    alternating-bit band values — measured at ×100 in NOTES_r11) cannot
+    multiply every colliding batch row into a quadratic join. The
+    trade, explicit and deliberate: an image whose ONLY collisions live
+    in degenerate buckets classifies as new and re-enters the index —
+    never a false near-dup (the verify tier is untouched), only
+    duplicate index rows for the common-texture population that the
+    exact-hash dedup-cut tier collapses without pair work anyway. The
+    cap is applied to the strictly-earlier-batch view the probe already
+    uses, so replay determinism is unchanged.
     """
     import hashlib as _hashlib
     import tempfile
@@ -1278,6 +1293,15 @@ def streaming_ingest_phash(
             .select("band", "bv", F.col("dhash").alias("idx_dhash"))
             .distinct()
         )
+        if max_probe_bucket is not None:
+            # skew guard: skip degenerate-hot band values (see docstring)
+            ok_buckets = (
+                index.groupBy("band", "bv")
+                .count()
+                .filter(F.col("count") <= max_probe_bucket)
+                .select("band", "bv")
+            )
+            index = index.join(ok_buckets, ["band", "bv"])
         batch_bands = _hashes_of(batch_df)
         hit_ids = (
             batch_bands.join(index, ["band", "bv"])

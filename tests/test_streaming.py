@@ -3238,3 +3238,126 @@ def test_streaming_ingest_phash_checkpoint_restart_end_to_end(spark, tmp_path):
         ("de", 2, 0, 2),
         ("en", 2, 1, 1),
     ]
+
+
+def test_streaming_ingest_phash_probe_cap_parity_and_extremes(spark, tmp_path):
+    """The probe-side bucket cap is a pure skew guard: with a generous
+    cap it is a no-op (totals identical to the uncapped twin, planted
+    dup included); with cap=0 every bucket is skipped, so even an exact
+    dup classifies new — the documented safe direction (never a false
+    near-dup, only duplicate index rows)."""
+    import json as _json
+    import os as _os
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_phash,
+    )
+
+    seed = _mk_docs(spark, [(0, "en", "seed picture"), (10, "en", "plain A")])
+    _os.makedirs(tmp_path / "pc_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "pc_unused"))
+    caps = {"none": None, "big": 1000, "zero": 0}
+    pubs = {}
+    for n, cap in caps.items():
+        d = str(tmp_path / f"pc_{n}")
+        pubs[n] = streaming_ingest_phash(
+            stream, seed, state_dir=d, max_probe_bucket=cap
+        )[1]
+    batches = [
+        # 231 = 10 + 221: identical image to doc 10 -> exact dup
+        [(231, "en", "plain A"), (3, "en", "a genuinely new picture")],
+        [(4, "de", "another new one")],
+    ]
+    for i, b in enumerate(batches):
+        for pub in pubs.values():
+            pub(_mk_docs(spark, b), i)
+
+    def totals(n):
+        d = str(tmp_path / f"pc_{n}")
+        with open(_os.path.join(d, "committed.json")) as fh:
+            gen = _json.load(fh)["gen"]
+        return sorted(
+            tuple(r)
+            for r in spark.read.parquet(
+                _os.path.join(d, f"totals_gen{(gen - 1) % 2}")
+            ).collect()
+        )
+
+    t_none, t_big, t_zero = totals("none"), totals("big"), totals("zero")
+    assert t_none == t_big  # generous cap is a no-op
+    assert ("en", 2, 1, 1) in t_none  # the exact dup was found
+    # cap=0 skips every bucket: nothing can classify near-dup
+    assert all(row[2] == 0 for row in t_zero)
+    assert ("en", 2, 0, 2) in t_zero
+
+
+def test_streaming_ingest_phash_probe_cap_skips_hot_bucket_keeps_dups(
+    spark, tmp_path
+):
+    """Plant a degenerate band value (3 DISTINCT hashes sharing one
+    15-bit band — found by scanning the fixture hash space with the
+    _ph_hash replay) and cap at 2: the hot bucket is excluded from the
+    probe, yet an exact dup of a hot-bucket member is STILL classified
+    near-dup through its three non-hot bands, and a plain dup is
+    unaffected — the cap removes probe volume, not exact recall."""
+    import json as _json
+    import os as _os
+    from collections import defaultdict
+
+    from kafka_streams_example_spark.streaming.contract import (
+        streaming_ingest_phash,
+    )
+
+    # scan texts at a fixed dims class (doc id 7 mod lcm(17,13)=221) for
+    # a (band, value) held by >= 3 distinct hashes
+    by_bucket: dict[tuple[int, int], dict[int, str]] = defaultdict(dict)
+    hot = None
+    for j in range(20000):
+        t = f"hot texture {j}"
+        f = _ph_hash(7, t)
+        for b in range(4):
+            bucket = by_bucket[(b, (f >> (15 * b)) & 0x7FFF)]
+            bucket.setdefault(f, t)
+            if len(bucket) >= 3:
+                hot = bucket
+                break
+        if hot:
+            break
+    assert hot is not None, "no 3-way band collision in 20k fixture hashes"
+    hot_texts = list(hot.values())[:3]
+    hashes = list(hot)[:3]
+    # premise: distinct hashes, one shared band value
+    assert len(set(hashes)) == 3
+
+    seed = _mk_docs(
+        spark,
+        [(7 + 221 * k, "en", t) for k, t in enumerate(hot_texts)]
+        + [(10, "en", "plain A")],
+    )
+    _os.makedirs(tmp_path / "ph_unused")
+    stream = spark.readStream.schema(
+        "doc_id LONG, lang STRING, text STRING"
+    ).json(str(tmp_path / "ph_unused"))
+    state_dir = str(tmp_path / "ph_state")
+    _, publish = streaming_ingest_phash(
+        stream, seed, state_dir=state_dir, max_probe_bucket=2
+    )
+    # exact dup of hot member 0 (id ≡ 7 mod 221 keeps dims) + dup of A
+    publish(
+        _mk_docs(
+            spark,
+            [(7 + 221 * 5, "en", hot_texts[0]), (231, "en", "plain A")],
+        ),
+        0,
+    )
+    with open(_os.path.join(state_dir, "committed.json")) as fh:
+        gen = _json.load(fh)["gen"]
+    got = sorted(
+        tuple(r)
+        for r in spark.read.parquet(
+            _os.path.join(state_dir, f"totals_gen{(gen - 1) % 2}")
+        ).collect()
+    )
+    assert got == [("en", 2, 2, 0)]  # both dups found despite the hot band
