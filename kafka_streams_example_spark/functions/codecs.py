@@ -46,8 +46,62 @@ def _png_chunk(tag: bytes, data: bytes) -> bytes:
     )
 
 
+def _png_text_chunk_bytes(text_chunks) -> bytes:
+    """Serialize (keyword, value) metadata pairs as spec-conformant
+    ancillary chunks (spec §11.3.4): tEXt for plain latin-1 values, zTXt
+    (deflate method 0) when the value is prefixed with ``"z:"`` — the
+    marker is stripped; it only selects the chunk type. Keywords must be
+    1-79 latin-1 chars per spec."""
+    out = b""
+    for keyword, value in text_chunks:
+        kb = keyword.encode("latin-1")
+        if not 1 <= len(kb) <= 79:
+            raise ValueError(f"PNG keyword length out of range: {keyword!r}")
+        if value.startswith("z:"):
+            out += _png_chunk(
+                b"zTXt", kb + b"\x00\x00" + zlib.compress(value[2:].encode("latin-1"))
+            )
+        else:
+            out += _png_chunk(b"tEXt", kb + b"\x00" + value.encode("latin-1"))
+    return out
+
+
+def png_text_chunks(blob: bytes) -> list:
+    """Parse a PNG's tEXt/zTXt ancillary metadata chunks into
+    (keyword, value, compressed) tuples, CRC-verified like the pixel
+    path. Other ancillary chunks are skipped; a malformed stream raises
+    (callers map it to per-row degradation, same contract as decode)."""
+    if blob[:8] != PNG_SIG:
+        raise ValueError("not a PNG: bad signature")
+    pos = 8
+    out = []
+    while pos < len(blob):
+        (length,) = struct.unpack_from(">I", blob, pos)
+        tag = blob[pos + 4 : pos + 8]
+        data = blob[pos + 8 : pos + 8 + length]
+        (crc,) = struct.unpack_from(">I", blob, pos + 8 + length)
+        if zlib.crc32(tag + data) & 0xFFFFFFFF != crc:
+            raise ValueError(f"CRC mismatch in {tag!r} chunk")
+        if tag == b"tEXt":
+            kw, _, val = data.partition(b"\x00")
+            out.append((kw.decode("latin-1"), val.decode("latin-1"), False))
+        elif tag == b"zTXt":
+            kw, _, rest = data.partition(b"\x00")
+            if rest[:1] != b"\x00":
+                raise ValueError("unsupported zTXt compression method")
+            out.append(
+                (kw.decode("latin-1"),
+                 zlib.decompress(rest[1:]).decode("latin-1"), True)
+            )
+        elif tag == b"IEND":
+            break
+        pos += 12 + length
+    return out
+
+
 def encode_png_gray8(
-    width: int, height: int, pixels: bytes, filter_type: int = 0, zlevel: int = 6
+    width: int, height: int, pixels: bytes, filter_type: int = 0, zlevel: int = 6,
+    text_chunks=None,
 ) -> bytes:
     """Encode 8-bit grayscale pixels (row-major, ``width*height`` bytes)
     as a real PNG: one filter byte per scanline, one zlib IDAT stream.
@@ -57,6 +111,11 @@ def encode_png_gray8(
     regardless. Two encodes of the same pixels with different filters (or
     zlib levels) are byte-different blobs with identical decoded content —
     the re-encode shape perceptual dedup must catch and byte dedup cannot.
+
+    ``text_chunks`` (optional list of (keyword, value) pairs) writes
+    tEXt/zTXt ancillary metadata between IHDR and IDAT — see
+    _png_text_chunk_bytes; the pixel decode path skips them, the
+    metadata path (png_text_chunks) parses them back.
     """
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
@@ -77,6 +136,7 @@ def encode_png_gray8(
     return (
         PNG_SIG
         + _png_chunk(b"IHDR", ihdr)
+        + (_png_text_chunk_bytes(text_chunks) if text_chunks else b"")
         + _png_chunk(b"IDAT", zlib.compress(b"".join(lines), zlevel))
         + _png_chunk(b"IEND", b"")
     )

@@ -94,12 +94,17 @@ _RAT_SCALE = np.array(
 # ---------------------------------------------------------------------------
 
 
+png_text_chunks = _cx.png_text_chunks  # chunk walk is not pixel-parallel work
+
+
 def encode_png_gray8(
-    width: int, height: int, pixels: bytes, filter_type: int = 0, zlevel: int = 6
+    width: int, height: int, pixels: bytes, filter_type: int = 0, zlevel: int = 6,
+    text_chunks=None,
 ) -> bytes:
     """Vectorized twin of codecs.encode_png_gray8: filters 0/1/2 as
     whole-image uint8 array ops (modular arithmetic is exact), one zlib
-    IDAT. Byte-identical output for the same inputs."""
+    IDAT. Byte-identical output for the same inputs (incl. tEXt/zTXt
+    metadata chunks, which delegate to the stdlib serializer)."""
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
     arr = np.frombuffer(pixels, dtype=np.uint8).reshape(height, width)
@@ -122,6 +127,7 @@ def encode_png_gray8(
     return (
         PNG_SIG
         + _cx._png_chunk(b"IHDR", ihdr)
+        + (_cx._png_text_chunk_bytes(text_chunks) if text_chunks else b"")
         + _cx._png_chunk(b"IDAT", zlib.compress(lines.tobytes(), zlevel))
         + _cx._png_chunk(b"IEND", b"")
     )

@@ -186,3 +186,42 @@ def test_image_phash_neardup_wide_planted_pair(spark, tmp_path):
     assert sum(r.n_band_partners for r in wide.values()) <= sum(
         r.n_band_partners for r in base.values()
     )
+
+
+def test_png_text_chunk_roundtrip_and_pixel_isolation():
+    """tEXt/zTXt ancillary metadata round-trips through the CRC-verified
+    chunk walk (zTXt deflate inflated back), is byte-identical across
+    the stdlib and numpy encoders, never disturbs the pixel decode, and
+    a corrupted metadata chunk raises (the per-row degradation types)."""
+    import pytest
+
+    from kafka_streams_example_spark.functions import codecs as cx
+    from kafka_streams_example_spark.functions import codecs_np as cnp
+
+    px = bytes(range(256)) * 4  # 32x32
+    chunks = [("Title", "doc 42"), ("Author", "en"), ("Source", "z:" + "ab" * 16)]
+    a = cx.encode_png_gray8(32, 32, px, text_chunks=chunks)
+    b = cnp.encode_png_gray8(32, 32, px, text_chunks=chunks)
+    assert a == b
+    got = cx.png_text_chunks(a)
+    assert got == [
+        ("Title", "doc 42", False),
+        ("Author", "en", False),
+        ("Source", "ab" * 16, True),  # z: marker stripped, inflated back
+    ]
+    assert cnp.png_text_chunks(a) == got
+    # metadata chunks are invisible to the pixel path — and vice versa
+    assert cx.decode_png(a)["pixels"] == px
+    assert cnp.decode_png(a)["pixels"] == px
+    assert cx.png_text_chunks(cx.encode_png_gray8(32, 32, px)) == []
+    # corrupt the tEXt payload without fixing its CRC → loud failure
+    pos = a.index(b"tEXt")
+    bad = bytearray(a)
+    bad[pos + 6] ^= 0xFF
+    with pytest.raises(ValueError):
+        cx.png_text_chunks(bytes(bad))
+    # spec bounds: empty / overlong keywords rejected at encode time
+    with pytest.raises(ValueError):
+        cx.encode_png_gray8(32, 32, px, text_chunks=[("", "v")])
+    with pytest.raises(ValueError):
+        cx.encode_png_gray8(32, 32, px, text_chunks=[("k" * 80, "v")])
