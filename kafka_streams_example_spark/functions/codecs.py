@@ -541,8 +541,72 @@ _JPG_DHT_SOS_SEGS = _jpg_seg(
 _JPG_DQT_SEG_CACHE: dict[tuple, bytes] = {}
 
 
-def _jpg_wrap_stream(width: int, height: int, q: list[int], entropy: bytes) -> bytes:
-    """Assemble the JFIF stream: SOI, DQT, SOF0, DHT, SOS, scan, EOI."""
+def _jpg_misc_segments(jfif, comments) -> bytes:
+    """Serialize the tables/misc metadata segments (T.81 B.2.4.5-6) an
+    encoder may place after SOI: a JFIF APP0 (JFIF 1.02 identifier +
+    version/units/density, no thumbnail) and any number of COM segments
+    (latin-1 text). Shared by the stdlib and numpy encoders so both
+    emit identical wire bytes."""
+    out = b""
+    if jfif is not None:
+        vmaj, vmin, units, xd, yd = jfif
+        out += _jpg_seg(
+            0xE0,
+            b"JFIF\x00" + struct.pack(">BBBHHBB", vmaj, vmin, units, xd, yd, 0, 0),
+        )
+    for c in comments or ():
+        out += _jpg_seg(0xFE, c.encode("latin-1"))
+    return out
+
+
+def jpeg_metadata(blob: bytes) -> dict:
+    """Parse a JPEG's metadata segments without touching the pixel path:
+    walks the header section with the same spec-conformance rules as
+    ``_jpg_parse`` (0xFF fill bytes per B.1.1.2, length-less TEM/RSTn per
+    B.1.1.3), collecting COM comment strings and the typed JFIF APP0
+    fields, stopping at SOS. Returns ``{"comments": [str, ...],
+    "jfif": None | {"version", "units", "x_density", "y_density"}}``."""
+    if blob[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG: bad SOI")
+    pos = 2
+    comments: list[str] = []
+    jfif = None
+    while pos + 2 <= len(blob):
+        if blob[pos] != 0xFF:
+            raise ValueError(f"marker sync lost at byte {pos}")
+        while pos + 1 < len(blob) and blob[pos + 1] == 0xFF:
+            pos += 1
+        marker = blob[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / SOS: header section over
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("truncated JPEG: segment header past end")
+        (seg_len,) = struct.unpack_from(">H", blob, pos + 2)
+        payload = blob[pos + 4 : pos + 2 + seg_len]
+        if marker == 0xFE:  # COM
+            comments.append(payload.decode("latin-1"))
+        elif marker == 0xE0 and payload[:5] == b"JFIF\x00":
+            if len(payload) < 12:
+                raise ValueError("truncated JFIF APP0")
+            vmaj, vmin, units, xd, yd = struct.unpack_from(">BBBHH", payload, 5)
+            jfif = {
+                "version": f"{vmaj}.{vmin:02d}",
+                "units": units,
+                "x_density": xd,
+                "y_density": yd,
+            }
+        pos += 2 + seg_len
+    return {"comments": comments, "jfif": jfif}
+
+
+def _jpg_wrap_stream(
+    width: int, height: int, q: list[int], entropy: bytes, misc: bytes = b""
+) -> bytes:
+    """Assemble the JFIF stream: SOI, [misc metadata], DQT, SOF0, DHT,
+    SOS, scan, EOI."""
     qk = tuple(q)
     dqt = _JPG_DQT_SEG_CACHE.get(qk)
     if dqt is None:
@@ -553,6 +617,7 @@ def _jpg_wrap_stream(width: int, height: int, q: list[int], entropy: bytes) -> b
         _JPG_DQT_SEG_CACHE[qk] = dqt
     return (
         b"\xff\xd8"  # SOI
+        + misc
         + dqt
         + _jpg_seg(
             0xC0, struct.pack(">BHHB", 8, height, width, 1) + bytes([1, 0x11, 0])
@@ -564,13 +629,21 @@ def _jpg_wrap_stream(width: int, height: int, q: list[int], entropy: bytes) -> b
 
 
 def encode_jpeg_gray8(
-    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: list[int] | None = None,
+    jfif: tuple[int, int, int, int, int] | None = None,
+    comments: list[str] | None = None,
 ) -> bytes:
     """Encode 8-bit grayscale pixels as a baseline JPEG (one component,
     no subsampling). ``quant`` is the 64-entry quantization table in
     row-major order (default all-1 = numerically lossless for blocks
     whose DCT quantizes to integers, e.g. per-block-constant images).
-    Edge blocks replicate the last row/column (the conventional pad)."""
+    Edge blocks replicate the last row/column (the conventional pad).
+    ``jfif`` = (ver_major, ver_minor, units, x_density, y_density) emits
+    a JFIF APP0 after SOI; ``comments`` emits COM text segments — both
+    parse back via ``jpeg_metadata`` and are ignored by the pixel path."""
     if len(pixels) != width * height:
         raise ValueError(f"need {width * height} pixels, got {len(pixels)}")
     q = _jpg_check_quant(quant)
@@ -591,7 +664,10 @@ def encode_jpeg_gray8(
                 c = coef[_JPG_ZIGZAG[k]] / q[_JPG_ZIGZAG[k]]
                 zz.append(int(c + 0.5) if c >= 0 else -int(-c + 0.5))
             zz_blocks.append(zz)
-    return _jpg_wrap_stream(width, height, q, _jpg_entropy_encode(zz_blocks))
+    return _jpg_wrap_stream(
+        width, height, q, _jpg_entropy_encode(zz_blocks),
+        misc=_jpg_misc_segments(jfif, comments),
+    )
 
 
 class _JpgBitReader:

@@ -95,6 +95,7 @@ _RAT_SCALE = np.array(
 
 
 png_text_chunks = _cx.png_text_chunks  # chunk walk is not pixel-parallel work
+jpeg_metadata = _cx.jpeg_metadata  # marker walk is not pixel-parallel work
 
 
 def encode_png_gray8(
@@ -279,7 +280,12 @@ def _blocks_from_pixels(pixels: bytes, width: int, height: int) -> np.ndarray:
 
 
 def encode_jpeg_gray8(
-    width: int, height: int, pixels: bytes, quant: list[int] | None = None
+    width: int,
+    height: int,
+    pixels: bytes,
+    quant: list[int] | None = None,
+    jfif: tuple[int, int, int, int, int] | None = None,
+    comments: list[str] | None = None,
 ) -> bytes:
     """Vectorized twin of codecs.encode_jpeg_gray8: one matrix-form
     forward DCT over ALL blocks (M @ B @ M.T batched), one vectorized
@@ -309,7 +315,8 @@ def encode_jpeg_gray8(
     zz = np.where(c >= 0, np.floor(c + 0.5), -np.floor(-c + 0.5)).astype(np.int64)
     zz_blocks = zz[:, _ZZ]  # zigzag order per block
     return _cx._jpg_wrap_stream(
-        width, height, q, _cx._jpg_entropy_encode(zz_blocks.tolist())
+        width, height, q, _cx._jpg_entropy_encode(zz_blocks.tolist()),
+        misc=_cx._jpg_misc_segments(jfif, comments),
     )
 
 

@@ -483,3 +483,166 @@ def cosine_topk_vectorized(
             F.round("score", 6).alias("score"),
         )
     )
+
+
+def sqdist(a: Column, b: Column, dim: int) -> Column:
+    """Σ (a[i]-b[i])² folded in array order, all-double arithmetic — the
+    same sequential fold discipline as ``dot`` so DuckDB's list sum
+    reproduces it bit-exactly."""
+    def diff(i: Column) -> Column:
+        return F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
+
+    return F.aggregate(
+        F.sequence(F.lit(1), F.lit(dim)),
+        F.lit(0.0),
+        lambda acc, i: acc + diff(i) * diff(i),
+    )
+
+
+def pq_codebook(
+    src: DataFrame,
+    n_sub: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization codebook from a deterministic source frame:
+    codeword (m, cid) = the m-th ``d_sub``-dim slice of ``src``'s row
+    ``cid``. ``src`` is the training device — fixed ids for the
+    oracle-exact demo (the ivf_topk precedent), k-means sub-space
+    centroids in production. Output: (m, cid, cw) — n_sub × |src| rows,
+    always broadcast-sized."""
+    slices = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("cw"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+    return src.select(
+        F.col(id_col).alias("cid"), F.explode(slices).alias("s")
+    ).select(F.col("s.m").alias("m"), "cid", F.col("s.cw").alias("cw"))
+
+
+def pq_encode(
+    vecs: DataFrame,
+    codebook: DataFrame,
+    n_sub: int,
+    d_sub: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode every vector to its PQ code and reconstruction: per
+    sub-space, the nearest codeword by squared L2 (ties → lowest codeword
+    id), then codes/reconstructions regrouped in sub-space order.
+
+    The index-build shape at 100 TB: explode each vector into n_sub
+    narrow sub-vector rows, broadcast-join the (n_sub × K)-row codebook,
+    and collapse with two map-side-combinable hash aggregations — the
+    per-(vector, sub-space) argmin combines k candidate rows to one
+    BEFORE its shuffle (the ivf_assign max_by device), and the regroup
+    shuffles n_sub rows of (m, cid, 8 doubles) per vector. Blobs never
+    shuffle; the output is the compressed index (n_sub small ints per
+    vector — 8 bytes against the 256-byte float64 original here)."""
+    subs = F.array(
+        *[
+            F.struct(
+                F.lit(m).alias("m"),
+                F.transform(
+                    F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
+                    lambda x: x.cast("double"),
+                ).alias("sub"),
+            )
+            for m in range(n_sub)
+        ]
+    )
+    exploded = vecs.select(F.col(id_col), F.explode(subs).alias("s")).select(
+        id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
+    )
+    scored = exploded.join(F.broadcast(codebook), "m").withColumn(
+        "d", sqdist(F.col("sub"), F.col("cw"), d_sub)
+    )
+    best = scored.groupBy(id_col, "m").agg(
+        F.min_by(
+            F.struct(F.col("cid"), F.col("cw")), F.struct(F.col("d"), F.col("cid"))
+        ).alias("b")
+    )
+    return best.groupBy(id_col).agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col("b.cid").alias("cid")))),
+            lambda s: s.cid,
+        ).alias("code"),
+        F.flatten(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("m", F.col("b.cw").alias("cw")))),
+                lambda s: s.cw,
+            )
+        ).alias("recon"),
+    )
+
+
+def pq_adc_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    codebook_src: DataFrame,
+    n_sub: int = 8,
+    d_sub: int = 8,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ search with asymmetric distance computation: full-precision
+    queries scored against the RECONSTRUCTED corpus (Σ over sub-spaces of
+    ‖q_m − codeword(code_m)‖² = the squared distance to the reconstruction,
+    folded over the full dim so both engines share one fold order), ranked
+    ascending, then the top-k candidates re-ranked with the EXACT cosine
+    by joining the (queries × k)-row winner set back to the corpus —
+    approximation lives only in candidate selection, the emitted score is
+    exact (the ivf_topk contract).
+
+    Scale shape: the scan side is the compressed reconstruction table
+    (built once by pq_encode, 8 small ints per vector on disk — ADC in
+    production reads codes + a per-query 256-entry lookup table; the
+    reconstruction form here is the same arithmetic expressed join-free),
+    queries broadcast, and the exact re-rank touches only queries × k
+    full vectors via a broadcast semi-join — full-precision vectors are
+    never shuffled."""
+    dim = n_sub * d_sub
+    cb = pq_codebook(codebook_src, n_sub, d_sub, id_col, vec_col)
+    enc = pq_encode(corpus, cb, n_sub, d_sub, id_col, vec_col)
+    q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    scored = (
+        enc.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
+        .withColumn("adist", sqdist(F.col("q_vec"), F.col("recon"), dim))
+        .select("q_id", id_col, "adist")
+    )
+    w = Window.partitionBy("q_id").orderBy(
+        F.col("adist").asc_nulls_last(), F.col(id_col).asc()
+    )
+    topk = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+    )
+    qn = q.withColumn("q_nrm", norm(F.col("q_vec"), dim))
+    cand = topk.join(F.broadcast(qn), "q_id")
+    full = corpus.select(
+        F.col(id_col), F.col(vec_col).alias("full_vec")
+    ).withColumn("nrm", norm(F.col("full_vec"), dim))
+    # winner set is queries×k rows — broadcast it against the corpus scan
+    rer = full.join(F.broadcast(cand), id_col).withColumn(
+        "score",
+        dot(F.col("q_vec"), F.col("full_vec"), dim)
+        / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+    )
+    return rer.select(
+        "q_id",
+        F.col(id_col),
+        "rnk",
+        F.round("adist", 6).alias("adist"),
+        F.round("score", 6).alias("score"),
+    )

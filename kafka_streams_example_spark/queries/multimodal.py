@@ -1203,3 +1203,425 @@ def image_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id LONG, n_chunks INT, title STRING, author STRING, "
         "source_md5 STRING, n_compressed INT, pixels_ok BOOLEAN",
     )
+
+
+# (round 11, continued)
+# --------------------------------------------------------------------------
+# video_fingerprint_neardup — cross-VIDEO perceptual dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "video_fingerprint_neardup",
+    f"""
+WITH d AS (
+    SELECT doc_id,
+           16 + doc_id % 17 AS w,
+           16 + doc_id % 13 AS h,
+           4 + doc_id % 5 AS nf,
+           1 + doc_id % 3 AS slen,
+           md5(text) AS hx
+    FROM documents
+),
+vids AS (
+    SELECT doc_id, doc_id AS video_id, nf AS n_use, w, h, slen, hx FROM d
+    UNION ALL
+    -- the planted trimmed re-encode: same video minus its last frame
+    SELECT doc_id, -doc_id - 1 AS video_id, nf - 1 AS n_use, w, h, slen, hx
+    FROM d WHERE doc_id % 4 = 1
+),
+b AS (
+    SELECT video_id, n_use, w, h, slen,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(hx, 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(hx, 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM vids
+),
+frames AS (
+    SELECT video_id, w, h, db, (fr.f // slen) AS scene
+    FROM b, unnest(generate_series(0, n_use - 1)) AS fr(f)
+),
+g AS (
+    SELECT video_id,
+           list_transform(generate_series(0, {_DH_GRID_W * _DH_GRID_H - 1}), i ->
+               db[(least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
+                   + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)
+                   + {_VS_SHIFT} * scene) % 16 + 1]
+           ) AS p
+    FROM frames
+),
+fps AS (
+    SELECT DISTINCT video_id,
+           CAST(list_aggregate(list_transform(generate_series(0, 59), bb ->
+               CASE WHEN p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 1]
+                       > p[(bb // {_DH_GRID_W - 1}) * {_DH_GRID_W} + (bb % {_DH_GRID_W - 1}) + 2]
+                    THEN (CAST(1 AS BIGINT) << bb) ELSE CAST(0 AS BIGINT) END), 'sum')
+               AS BIGINT) AS fhash
+    FROM g
+),
+sizes AS (SELECT video_id, count(*) AS n FROM fps GROUP BY 1),
+pairs AS (
+    SELECT l.video_id AS video_a, r.video_id AS video_b,
+           count(*) AS n_shared
+    FROM fps l JOIN fps r ON l.fhash = r.fhash AND l.video_id < r.video_id
+    GROUP BY 1, 2
+)
+SELECT p.video_a, p.video_b,
+       CAST(p.n_shared AS INT) AS n_shared,
+       CAST(sa.n AS INT) AS n_a,
+       CAST(sb.n AS INT) AS n_b,
+       round(p.n_shared / CAST(sa.n + sb.n - p.n_shared AS DOUBLE), 6)
+           AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.video_id = p.video_a
+JOIN sizes sb ON sb.video_id = p.video_b
+WHERE p.n_shared / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) >= 0.5
+""",
+)
+def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-VIDEO perceptual dedup — the video-level sibling of
+    video_scene_neardup's frame-level readout: each video's fingerprint
+    is its SET of distinct frame dHashes (the bag-of-perceptual-hashes
+    video signature real pipelines index), candidates are videos sharing
+    any frame hash, and a pair is a near-dup when the Jaccard of the two
+    hash sets clears 0.5 — which catches trims, re-muxes and re-encodes
+    that byte-level video dedup provably misses. The corpus plants the
+    positive class: docs with ``doc_id % 4 == 1`` also emit a trimmed
+    re-encode (the same frames minus the last, video_id = -doc_id-1);
+    set arithmetic guarantees those pairs land at Jaccard ≥ 0.5 (the
+    trim removes at most one scene: |B| ≥ |A|-1 with B ⊆ A), while
+    unrelated videos share no hashes at all and never even form a
+    candidate row.
+
+    Scale shape: ONE map-only Arrow kernel synthesizes, encodes (real
+    PNG round-trip), decodes and hashes the frames — only the distinct
+    (video_id, 8-byte hash) fingerprint rows leave the scan. The
+    candidate join is an equi-join on the exact hash value (each value
+    held by the videos that contain that frame — bounded by true
+    duplication, not by corpus size); per-pair counting and the two
+    size join-backs are map-side-combinable hash aggregations. Boilerplate
+    frames (intros, slates, black frames) are the real-world hot-bucket
+    risk — the same population _phash_band_stats' max_bucket cap handles
+    on the image tier, and the same fix applies here.
+
+    Oracle: the full replay — synthesis, variant planting, thumbnail
+    indexing, dHash bits, set dedup, pair counting, Jaccard — fails
+    unless every frame's codec round-trip preserved pixels bit-exactly."""
+    cx = _ship_codecs_fast()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {"video_id": [], "fhash": []}
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                i = int(i)
+                w, h = 16 + i % 17, 16 + i % 13
+                nf, slen = 4 + i % 5, 1 + i % 3
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                hashes = []
+                for f in range(nf):
+                    # inlined synthesis (no module-level helpers: workers
+                    # in the driver's environment lack the repo on
+                    # sys.path; only `cx` ships by value)
+                    start = (_VS_SHIFT * (f // slen)) % 16
+                    px = (digest * (w * h // 16 + 2))[start : start + w * h]
+                    d = cx.decode_png(cx.encode_png_gray8(w, h, px))
+                    hashes.append(
+                        cx.dhash60(d["pixels"], d["width"], d["height"],
+                                   _DH_GRID_W, _DH_GRID_H)
+                    )
+                for fh in set(hashes):
+                    out["video_id"].append(i)
+                    out["fhash"].append(fh)
+                if i % 4 == 1:
+                    for fh in set(hashes[:-1]):
+                        out["video_id"].append(-i - 1)
+                        out["fhash"].append(fh)
+            yield pd.DataFrame(out)
+
+    fps = docs.select("doc_id", "text").mapInPandas(
+        batches, "video_id LONG, fhash LONG"
+    ).localCheckpoint(eager=True)
+    sizes = fps.groupBy("video_id").agg(F.count("*").alias("n"))
+    pairs = (
+        fps.alias("l")
+        .join(
+            fps.alias("r"),
+            (F.col("l.fhash") == F.col("r.fhash"))
+            & (F.col("l.video_id") < F.col("r.video_id")),
+        )
+        .groupBy(
+            F.col("l.video_id").alias("video_a"),
+            F.col("r.video_id").alias("video_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+        "double"
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("video_id").alias("video_a"), F.col("n").alias("n_a")),
+            "video_a",
+        )
+        .join(
+            sizes.select(F.col("video_id").alias("video_b"), F.col("n").alias("n_b")),
+            "video_b",
+        )
+        .filter(jac >= 0.5)
+        .select(
+            "video_a",
+            "video_b",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            F.col("n_a").cast("int").alias("n_a"),
+            F.col("n_b").cast("int").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# audio_fingerprint_match — cross-AUDIO perceptual dedup
+# --------------------------------------------------------------------------
+
+
+@register(
+    "audio_fingerprint_match",
+    """
+WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+rend AS (
+    SELECT doc_id, doc_id AS audio_id, n AS n_use FROM d
+    UNION ALL
+    -- attenuated re-master (samples floor-halved): the sign-pattern
+    -- fingerprint is EXACTLY invariant (x>=0 <=> x//2>=0 under floor
+    -- division), so its words replay as the original's — the theorem the
+    -- kernel must reproduce through the real WAV encode/decode path
+    SELECT doc_id, -doc_id - 1, n FROM d WHERE doc_id % 4 = 2
+    UNION ALL
+    -- trimmed re-master: last 16 samples dropped -> exactly one fewer word
+    SELECT doc_id, -doc_id - 1, n - 16 FROM d WHERE doc_id % 4 = 3
+),
+-- sample j: multiplicative-hash PCM (NOT audio_features_real's 17j ramp,
+-- whose zero crossings are ~1927 samples apart — every short clip would
+-- be constant-sign and all fingerprints would degenerate into two words)
+fps AS (
+    SELECT DISTINCT audio_id,
+           CAST(fr.f AS BIGINT) * 65536
+           + list_aggregate(list_transform(generate_series(0, 15), b ->
+               CASE WHEN ((doc_id + 1) % 65536)
+                         * (((16 * fr.f + b + 1) * 2654435761) % 65536)
+                         % 65536 - 32768 >= 0
+                    THEN (1 << b) ELSE 0 END), 'sum') AS wkey
+    FROM rend, unnest(generate_series(0, n_use // 16 - 1)) AS fr(f)
+),
+sizes AS (SELECT audio_id, count(*) AS n FROM fps GROUP BY 1),
+pairs AS (
+    SELECT l.audio_id AS audio_a, r.audio_id AS audio_b,
+           count(*) AS n_shared
+    FROM fps l JOIN fps r ON l.wkey = r.wkey AND l.audio_id < r.audio_id
+    GROUP BY 1, 2
+)
+SELECT p.audio_a, p.audio_b,
+       CAST(p.n_shared AS INT) AS n_shared,
+       CAST(sa.n AS INT) AS n_a,
+       CAST(sb.n AS INT) AS n_b,
+       round(p.n_shared / CAST(sa.n + sb.n - p.n_shared AS DOUBLE), 6)
+           AS jaccard
+FROM pairs p
+JOIN sizes sa ON sa.audio_id = p.audio_a
+JOIN sizes sb ON sb.audio_id = p.audio_b
+WHERE p.n_shared / CAST(sa.n + sb.n - p.n_shared AS DOUBLE) >= 0.6
+""",
+)
+def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-AUDIO perceptual dedup — the audio-modality sibling of
+    video_fingerprint_neardup, built on the property real audio
+    fingerprints (Haitsma–Kalker, Chromaprint) exploit: a GAIN change
+    rewrites every sample byte but leaves the sign/zero-crossing
+    structure intact. Per audio, the fingerprint is the set of
+    positional 16-bit sign words (frame f → bit b = sample[16f+b] ≥ 0,
+    keyed as f·65536 + word); candidates share a word, and a pair
+    matches when the set Jaccard clears 0.6. Two planted rendition
+    classes: docs with ``doc_id % 4 == 2`` add an ATTENUATED re-master
+    (samples floor-halved — sign words provably identical, Jaccard 1.0:
+    x ≥ 0 ⟺ x//2 ≥ 0 under floor division, the invariance theorem the
+    test pins), docs with ``doc_id % 4 == 3`` add a TRIMMED re-master
+    (16 samples shorter — exactly one word lost, Jaccard (k−1)/k ≥ 0.75).
+    Byte-level dedup misses both classes. Unrelated streams share
+    positional words only at low Jaccard (a chance collision contributes
+    1/(k_a+k_b−1)), though arithmetically correlated synth streams can
+    clear the cut — the classic sign-fingerprint false-positive class a
+    production pipeline adjudicates with an exact-sample verify tier —
+    and docs whose multipliers coincide mod 2¹⁶ carry literally
+    identical PCM and merge as true duplicates.
+
+    Scale shape: ONE map-only Arrow kernel synthesizes each rendition,
+    round-trips it through the REAL RIFF/WAVE codec
+    (functions/codecs.py:encode_wav_pcm16/decode_wav) and computes sign
+    words over the DECODED samples — only (audio_id, 8-byte word key)
+    rows leave the scan; the candidate equi-join and Jaccard
+    aggregations are the video-tier machinery. The oracle replays the
+    PCM recurrence and word packing in SQL; the attenuated rendition's
+    rows replay via the invariance theorem, so any codec or halving
+    defect in the kernel breaks the hash match."""
+    cx = _ship_codecs_fast()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def words(samples: list[int]) -> set[int]:
+            out = set()
+            for f in range(len(samples) // 16):
+                w = 0
+                for b in range(16):
+                    if samples[16 * f + b] >= 0:
+                        w |= 1 << b
+                out.add(f * 65536 + w)
+            return out
+
+        for pdf in it:
+            out = {"audio_id": [], "wkey": []}
+            for i in pdf["doc_id"]:
+                i = int(i)
+                n = 64 + i % 64
+                # multiplicative-hash PCM: sign-dense (the features query's
+                # 17j ramp crosses zero every ~1927 samples — constant-sign
+                # clips would collapse every fingerprint into two words)
+                base = [
+                    ((i + 1) % 65536) * (((j + 1) * 2654435761) % 65536)
+                    % 65536 - 32768
+                    for j in range(n)
+                ]
+                rends = [(i, base)]
+                if i % 4 == 2:
+                    rends.append((-i - 1, [x // 2 for x in base]))
+                elif i % 4 == 3:
+                    rends.append((-i - 1, base[:-16]))
+                for aid, samples in rends:
+                    decoded = cx.decode_wav(cx.encode_wav_pcm16(16000, samples))
+                    for wk in words(decoded["samples"]):
+                        out["audio_id"].append(aid)
+                        out["wkey"].append(wk)
+            yield pd.DataFrame(out)
+
+    fps = docs.select("doc_id").mapInPandas(
+        batches, "audio_id LONG, wkey LONG"
+    ).localCheckpoint(eager=True)
+    sizes = fps.groupBy("audio_id").agg(F.count("*").alias("n"))
+    pairs = (
+        fps.alias("l")
+        .join(
+            fps.alias("r"),
+            (F.col("l.wkey") == F.col("r.wkey"))
+            & (F.col("l.audio_id") < F.col("r.audio_id")),
+        )
+        .groupBy(
+            F.col("l.audio_id").alias("audio_a"),
+            F.col("r.audio_id").alias("audio_b"),
+        )
+        .agg(F.count("*").alias("n_shared"))
+    )
+    jac = F.col("n_shared") / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+        "double"
+    )
+    return (
+        pairs.join(
+            sizes.select(F.col("audio_id").alias("audio_a"), F.col("n").alias("n_a")),
+            "audio_a",
+        )
+        .join(
+            sizes.select(F.col("audio_id").alias("audio_b"), F.col("n").alias("n_b")),
+            "audio_b",
+        )
+        .filter(jac >= 0.6)
+        .select(
+            "audio_a",
+            "audio_b",
+            F.col("n_shared").cast("int").alias("n_shared"),
+            F.col("n_a").cast("int").alias("n_a"),
+            F.col("n_b").cast("int").alias("n_b"),
+            F.round(jac, 6).alias("jaccard"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# jpeg_metadata_extract — typed metadata OUT of the lossy image format
+# --------------------------------------------------------------------------
+
+
+@register(
+    "jpeg_metadata_extract",
+    """
+SELECT doc_id,
+       CAST(2 AS INT) AS n_comments,
+       'doc ' || CAST(doc_id AS VARCHAR) AS title,
+       lang AS author,
+       '1.02' AS jfif_version,
+       CAST(1 AS INT) AS units,
+       CAST(72 + doc_id % 5 AS INT) AS x_density,
+       CAST(96 AS INT) AS y_density,
+       TRUE AS pixels_ok
+FROM documents
+""",
+)
+def jpeg_metadata_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The image_metadata_extract contract on the LOSSY format: per doc,
+    build a baseline JPEG carrying real metadata — a JFIF APP0 (version
+    1.02, dpi units, per-doc densities) and two COM comment segments
+    (title, author) — then PARSE the typed fields back through the
+    spec-conformant marker walk (functions/codecs.py:jpeg_metadata,
+    same B.1.1.2 fill-byte / B.1.1.3 standalone-marker rules as the
+    decoder) and fully decode the per-block-constant pixels to prove
+    metadata segments never disturb the entropy-coded scan. Emitted
+    fields come from the PARSE, so the oracle (replaying the derivation
+    from doc columns) fails on any segment-serialization, length, APP0
+    layout or latin-1 defect in either direction.
+
+    Scale shape: one map-only Arrow kernel, no shuffle — the EXIF/COM
+    sweep a curation pipeline runs over a crawl's image column."""
+    cx = _ship_codecs_fast()
+    docs = _load_parallel(spark, sf_dir, "documents")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in (
+                "doc_id", "n_comments", "title", "author", "jfif_version",
+                "units", "x_density", "y_density", "pixels_ok",
+            )}
+            for i, lang, t in zip(pdf["doc_id"], pdf["lang"], pdf["text"]):
+                i = int(i)
+                w, h = 8 * (1 + i % 3), 8 * (1 + i % 2)
+                digest = hashlib.md5(str(t).encode("utf-8")).digest()
+                wb = w // 8
+                px = bytearray(w * h)
+                for by in range(h // 8):
+                    for bx in range(wb):
+                        v = digest[(by * wb + bx) % 16]
+                        for y in range(8):
+                            row = (by * 8 + y) * w + bx * 8
+                            px[row : row + 8] = bytes([v]) * 8
+                blob = cx.encode_jpeg_gray8(
+                    w, h, bytes(px),
+                    jfif=(1, 2, 1, 72 + i % 5, 96),
+                    comments=[f"doc {i}", str(lang)],
+                )
+                meta = cx.jpeg_metadata(blob)
+                d = cx.decode_jpeg(blob)
+                out["doc_id"].append(i)
+                out["n_comments"].append(len(meta["comments"]))
+                out["title"].append(meta["comments"][0])
+                out["author"].append(meta["comments"][1])
+                out["jfif_version"].append(meta["jfif"]["version"])
+                out["units"].append(meta["jfif"]["units"])
+                out["x_density"].append(meta["jfif"]["x_density"])
+                out["y_density"].append(meta["jfif"]["y_density"])
+                out["pixels_ok"].append(d["pixels"] == bytes(px))
+            yield pd.DataFrame(out)
+
+    return docs.select("doc_id", "lang", "text").mapInPandas(
+        batches,
+        "doc_id LONG, n_comments INT, title STRING, author STRING, "
+        "jfif_version STRING, units INT, x_density INT, y_density INT, "
+        "pixels_ok BOOLEAN",
+    )

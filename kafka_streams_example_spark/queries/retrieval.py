@@ -1423,3 +1423,99 @@ def ann_recall_trained_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.coalesce("n_hits_trained", zero) / 10.0, 6).alias("recall_trained"),
         )
     )
+
+
+# (round 11, continued)
+# --------------------------------------------------------------------------
+# similarity_pq_topk — product quantization with asymmetric distance
+# --------------------------------------------------------------------------
+
+
+def _duck_pq_sql(
+    n_sub: int = 8, d_sub: int = 8, n_codes: int = 16, k: int = 10
+) -> str:
+    """Full PQ replay: sub-space codebook slicing, nearest-codeword
+    encoding (squared-L2, ties → lowest codeword id), reconstruction
+    regrouped in sub-space order, the 64-wide ADC fold, ascending rank,
+    and the exact-cosine re-rank of the winners — every distance folds in
+    array order with explicit (x)*(x) squares so the doubles match Spark
+    bit-for-bit."""
+    dim = n_sub * d_sub
+    sq8 = (
+        f"list_aggregate(list_transform(generate_series(1, {d_sub}),"
+        " i -> (s.sub[i] - cw.cw[i]) * (s.sub[i] - cw.cw[i])), 'sum')"
+    )
+    adc = (
+        f"list_aggregate(list_transform(generate_series(1, {dim}),"
+        " i -> (CAST(q.qv[i] AS DOUBLE) - r.recon[i])"
+        " * (CAST(q.qv[i] AS DOUBLE) - r.recon[i])), 'sum')"
+    )
+    return f"""
+WITH cw AS (
+    SELECT ms.m, c.vec_id AS cid,
+           list_transform(generate_series(1, {d_sub}),
+               i -> CAST(c.embedding[{d_sub} * ms.m + i] AS DOUBLE)) AS cw
+    FROM embeddings c, unnest(generate_series(0, {n_sub - 1})) AS ms(m)
+    WHERE c.vec_id < {n_codes}),
+sub AS (
+    SELECT e.vec_id, ms.m,
+           list_transform(generate_series(1, {d_sub}),
+               i -> CAST(e.embedding[{d_sub} * ms.m + i] AS DOUBLE)) AS sub
+    FROM embeddings e, unnest(generate_series(0, {n_sub - 1})) AS ms(m)),
+enc AS (
+    SELECT vec_id, m, cid, cw FROM (
+        SELECT s.vec_id, s.m, cw.cid, cw.cw,
+               row_number() OVER (PARTITION BY s.vec_id, s.m
+                   ORDER BY {sq8} ASC, cw.cid) AS rn
+        FROM sub s JOIN cw USING (m))
+    WHERE rn = 1),
+recon AS (
+    SELECT vec_id, flatten(list(cw ORDER BY m)) AS recon
+    FROM enc GROUP BY vec_id),
+q AS (SELECT vec_id AS q_id, embedding AS qv FROM embeddings
+      WHERE vec_id < 8),
+scored AS (
+    SELECT q.q_id, r.vec_id, {adc} AS adist
+    FROM recon r CROSS JOIN q WHERE r.vec_id <> q.q_id),
+topk AS (
+    SELECT q_id, vec_id, adist, rnk FROM (
+        SELECT *, row_number() OVER (PARTITION BY q_id
+            ORDER BY adist ASC NULLS LAST, vec_id) AS rnk
+        FROM scored)
+    WHERE rnk <= {k})
+SELECT t.q_id, t.vec_id, t.rnk, round(t.adist, 6) AS adist,
+       round({_duck_cosine('q.qv', 'e.embedding')}, 6) AS score
+FROM topk t
+JOIN q ON q.q_id = t.q_id
+JOIN embeddings e ON e.vec_id = t.vec_id
+"""
+
+
+@register("similarity_pq_topk", _duck_pq_sql())
+def similarity_pq_topk(spark, sf_dir):
+    """Product-quantization ANN (Jégou et al., PQ/ADC): the third leg of
+    the index triad — LSH prunes candidates, IVF prunes cells, PQ
+    COMPRESSES the scan itself. dim 64 splits into 8 sub-spaces × 8 dims;
+    each sub-space quantizes to its nearest of 16 codewords (deterministic
+    demo codebook: the sub-slices of vec_id < 16, the ivf_topk fixed-seed
+    device; production trains per-sub-space k-means), so a corpus vector
+    is 8 four-bit codes — 256-byte float64 rows become 8 bytes, the
+    difference between an index that fits executor memory at 100 TB and
+    one that doesn't. Queries stay full-precision and score against the
+    reconstruction (asymmetric distance), then the top-10 candidates are
+    re-ranked with the EXACT cosine via a broadcast join-back — the
+    emitted score is exact, approximation lives only in selection.
+
+    Plan: codebook (128 rows) broadcast; encoding collapses via two
+    map-side-combinable aggregations (narrow rows only); ADC scans the
+    compressed table against broadcast queries; only queries × k winners
+    touch full vectors again. Nothing all-pairs, blobs never shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return sim.pq_adc_topk(
+        emb,
+        emb.filter(F.col("vec_id") < 8),
+        codebook_src=emb.filter(F.col("vec_id") < 16),
+        n_sub=8,
+        d_sub=8,
+        k=10,
+    )
