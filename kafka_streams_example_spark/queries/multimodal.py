@@ -1242,12 +1242,22 @@ frames AS (
     SELECT video_id, w, h, db, (fr.f // slen) AS scene
     FROM b, unnest(generate_series(0, n_use - 1)) AS fr(f)
 ),
+-- frame pixel p = digest byte scrambled by a position-dependent
+-- multiplier (NOT video_scene_neardup's bare digest cycle: that
+-- 16-value texture alphabet made unrelated videos' 60-bit dHashes
+-- collide — 79k cross-doc extra pairs at x30, quadratic — while this
+-- tier's self-join actually meets other docs; the scene-level readout
+-- never does, so its fixture stays put)
 g AS (
     SELECT video_id,
            list_transform(generate_series(0, {_DH_GRID_W * _DH_GRID_H - 1}), i ->
-               db[(least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
-                   + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)
-                   + {_VS_SHIFT} * scene) % 16 + 1]
+               (db[(least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
+                    + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)
+                    + {_VS_SHIFT} * scene) % 16 + 1]
+                * (1 + ((least((i // {_DH_GRID_W}) * h // {_DH_GRID_H}, h - 1) * w
+                         + least((i % {_DH_GRID_W}) * w // {_DH_GRID_W}, w - 1)
+                         + {_VS_SHIFT} * scene) * 2654435761) % 255)
+               ) % 256
            ) AS p
     FROM frames
 ),
@@ -1323,9 +1333,17 @@ def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 for f in range(nf):
                     # inlined synthesis (no module-level helpers: workers
                     # in the driver's environment lack the repo on
-                    # sys.path; only `cx` ships by value)
-                    start = (_VS_SHIFT * (f // slen)) % 16
-                    px = (digest * (w * h // 16 + 2))[start : start + w * h]
+                    # sys.path; only `cx` ships by value): digest byte
+                    # scrambled by a position-dependent multiplier — the
+                    # scene offset keeps same-scene frames identical
+                    # while the scramble gives each (doc, scene) a
+                    # collision-free 60-bit dHash (see the oracle note)
+                    off = _VS_SHIFT * (f // slen)
+                    px = bytes(
+                        (digest[(p + off) % 16]
+                         * (1 + ((p + off) * 2654435761) % 255)) % 256
+                        for p in range(w * h)
+                    )
                     d = cx.decode_png(cx.encode_png_gray8(w, h, px))
                     hashes.append(
                         cx.dhash60(d["pixels"], d["width"], d["height"],
@@ -1389,29 +1407,38 @@ def video_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "audio_fingerprint_match",
     """
-WITH d AS (SELECT doc_id, 64 + doc_id % 64 AS n FROM documents),
+WITH d AS (
+    SELECT doc_id, 64 + doc_id % 64 AS n,
+           list_transform(generate_series(0, 15), k ->
+               16 * (strpos('0123456789abcdef', substr(md5(text), 2*k + 1, 1)) - 1)
+                  + (strpos('0123456789abcdef', substr(md5(text), 2*k + 2, 1)) - 1)
+           ) AS db
+    FROM documents
+),
 rend AS (
-    SELECT doc_id, doc_id AS audio_id, n AS n_use FROM d
+    SELECT doc_id, doc_id AS audio_id, n AS n_use, db FROM d
     UNION ALL
     -- attenuated re-master (samples floor-halved): the sign-pattern
     -- fingerprint is EXACTLY invariant (x>=0 <=> x//2>=0 under floor
     -- division), so its words replay as the original's — the theorem the
     -- kernel must reproduce through the real WAV encode/decode path
-    SELECT doc_id, -doc_id - 1, n FROM d WHERE doc_id % 4 = 2
+    SELECT doc_id, -doc_id - 1, n, db FROM d WHERE doc_id % 4 = 2
     UNION ALL
     -- trimmed re-master: last 16 samples dropped -> exactly one fewer word
-    SELECT doc_id, -doc_id - 1, n - 16 FROM d WHERE doc_id % 4 = 3
+    SELECT doc_id, -doc_id - 1, n - 16, db FROM d WHERE doc_id % 4 = 3
 ),
--- sample j: multiplicative-hash PCM (NOT audio_features_real's 17j ramp,
--- whose zero crossings are ~1927 samples apart — every short clip would
--- be constant-sign and all fingerprints would degenerate into two words)
+-- sample 16f+b compares two md5(text) digest bytes under frame-varying
+-- index permutations: sign = db[a] >= db[b] — each doc's sign stream is
+-- a pseudo-random tournament over its 16 digest bytes (~n independent
+-- bits of doc identity), NOT a function of a 16-bit multiplier (the
+-- first synthesis saturated 2^16 signal classes and made output pair
+-- count quadratic at x30 — caught by the scale sweep, exp 1.447)
 fps AS (
     SELECT DISTINCT audio_id,
            CAST(fr.f AS BIGINT) * 65536
            + list_aggregate(list_transform(generate_series(0, 15), b ->
-               CASE WHEN ((doc_id + 1) % 65536)
-                         * (((16 * fr.f + b + 1) * 2654435761) % 65536)
-                         % 65536 - 32768 >= 0
+               CASE WHEN db[((16 * fr.f + b) * 7 + 3 * fr.f) % 16 + 1]
+                         >= db[((16 * fr.f + b) * 13 + 5 + 11 * fr.f) % 16 + 1]
                     THEN (1 << b) ELSE 0 END), 'sum') AS wkey
     FROM rend, unnest(generate_series(0, n_use // 16 - 1)) AS fr(f)
 ),
@@ -1449,12 +1476,17 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     test pins), docs with ``doc_id % 4 == 3`` add a TRIMMED re-master
     (16 samples shorter — exactly one word lost, Jaccard (k−1)/k ≥ 0.75).
     Byte-level dedup misses both classes. Unrelated streams share
-    positional words only at low Jaccard (a chance collision contributes
-    1/(k_a+k_b−1)), though arithmetically correlated synth streams can
-    clear the cut — the classic sign-fingerprint false-positive class a
-    production pipeline adjudicates with an exact-sample verify tier —
-    and docs whose multipliers coincide mod 2¹⁶ carry literally
-    identical PCM and merge as true duplicates.
+    positional words only by chance (each collision contributes
+    1/(k_a+k_b−1) Jaccard, far under the cut): the synth stream signs
+    are a pseudo-random tournament over the doc's md5 digest bytes, so
+    every doc carries ~n independent identity bits. (A first version
+    derived the stream from a 16-bit multiplier — only 2¹⁶ possible
+    signals, so output PAIR count went quadratic once the corpus passed
+    that size: ×30 exponent 1.447, caught by the scale sweep and fixed
+    at the synthesis root. The fingerprint itself was never the problem;
+    the corpus genuinely contained quadratic duplicate classes — the
+    population a pair-emitting tier must never meet, by the same rule
+    that keeps the exact-hash tiers on keep-first cuts.)
 
     Scale shape: ONE map-only Arrow kernel synthesizes each rendition,
     round-trips it through the REAL RIFF/WAVE codec
@@ -1481,17 +1513,22 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         for pdf in it:
             out = {"audio_id": [], "wkey": []}
-            for i in pdf["doc_id"]:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
                 i = int(i)
                 n = 64 + i % 64
-                # multiplicative-hash PCM: sign-dense (the features query's
-                # 17j ramp crosses zero every ~1927 samples — constant-sign
-                # clips would collapse every fingerprint into two words)
-                base = [
-                    ((i + 1) % 65536) * (((j + 1) * 2654435761) % 65536)
-                    % 65536 - 32768
-                    for j in range(n)
-                ]
+                # digest-tournament PCM: sample 16f+b = (db[a]-db[b])*128
+                # + db[a]%128, indices a/b frame-varying permutations of
+                # the md5(text) bytes — sign ⟺ db[a] >= db[b], so each
+                # doc carries ~n pseudo-random identity bits (a 16-bit
+                # multiplier synthesis saturated its signal space and
+                # went quadratic in output pairs at x30)
+                dg = hashlib.md5(str(t).encode("utf-8")).digest()
+                base = []
+                for j in range(n):
+                    f = j // 16
+                    a = dg[(j * 7 + 3 * f) % 16]
+                    b = dg[(j * 13 + 5 + 11 * f) % 16]
+                    base.append((a - b) * 128 + a % 128)
                 rends = [(i, base)]
                 if i % 4 == 2:
                     rends.append((-i - 1, [x // 2 for x in base]))
@@ -1504,7 +1541,7 @@ def audio_fingerprint_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                         out["wkey"].append(wk)
             yield pd.DataFrame(out)
 
-    fps = docs.select("doc_id").mapInPandas(
+    fps = docs.select("doc_id", "text").mapInPandas(
         batches, "audio_id LONG, wkey LONG"
     ).localCheckpoint(eager=True)
     sizes = fps.groupBy("audio_id").agg(F.count("*").alias("n"))

@@ -1519,3 +1519,79 @@ def similarity_pq_topk(spark, sf_dir):
         d_sub=8,
         k=10,
     )
+
+
+# --------------------------------------------------------------------------
+# ann_recall_pq_vs_ivf — compression-vs-pruning A/B at k=10
+# --------------------------------------------------------------------------
+
+
+def _ann_recall_pq_sql() -> str:
+    """Composes three already-proven oracles (exact brute force, fixed-seed
+    IVF, PQ/ADC) into per-query recall columns — bit-exact by
+    inheritance."""
+    from kafka_streams_example_spark import registry
+
+    exact_sql = registry.ORACLES["similarity_cosine_topk"]
+    ivf_sql = registry.ORACLES["similarity_ivf_topk"]
+    pq_sql = registry.ORACLES["similarity_pq_topk"]
+    return f"""
+WITH exact AS (SELECT q_id, vec_id FROM ({exact_sql}) x),
+ivf AS (SELECT q_id, vec_id FROM ({ivf_sql}) f),
+pq AS (SELECT q_id, vec_id FROM ({pq_sql}) t),
+base AS (SELECT q_id, count(*) AS n_exact FROM exact GROUP BY 1),
+hi AS (SELECT i.q_id, count(*) AS n FROM ivf i
+       JOIN exact e USING (q_id, vec_id) GROUP BY 1),
+hp AS (SELECT p.q_id, count(*) AS n FROM pq p
+       JOIN exact e USING (q_id, vec_id) GROUP BY 1)
+SELECT b.q_id, b.n_exact,
+       coalesce(hi.n, 0) AS n_hits_ivf,
+       coalesce(hp.n, 0) AS n_hits_pq,
+       round(coalesce(hi.n, 0) / 10.0, 6) AS recall_ivf,
+       round(coalesce(hp.n, 0) / 10.0, 6) AS recall_pq
+FROM base b LEFT JOIN hi USING (q_id) LEFT JOIN hp USING (q_id)
+"""
+
+
+@register("ann_recall_pq_vs_ivf", _ann_recall_pq_sql())
+def ann_recall_pq_vs_ivf(spark, sf_dir):
+    """The OTHER index-selection axis ann_recall_trained_vs_fixed doesn't
+    measure: PRUNING (IVF probes 25% of full-precision vectors) against
+    COMPRESSION (PQ scans 100% of 8-byte codes — 1/32 the bytes of one
+    probe share). Per query, recall@10 of each against the exact
+    brute-force top-10; at 100 TB the byte budget, not the row count, is
+    what an index buys down, so this A/B is the one a capacity planner
+    reads. Both variants and the baseline reuse the registered operators
+    and inherit their plans/oracles; overlap joins are queries × k rows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 8)
+    rows = table_row_count(spark, sf_dir, "embeddings")
+    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    ivf = sim.ivf_topk(
+        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10,
+        dim=64, candidate_rows=8 * rows * 4 // 16,
+    ).select("q_id", "vec_id")
+    pq = sim.pq_adc_topk(
+        emb, q, codebook_src=emb.filter(F.col("vec_id") < 16),
+        n_sub=8, d_sub=8, k=10,
+    ).select("q_id", "vec_id")
+    base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
+    hi = ivf.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits_ivf")
+    )
+    hp = pq.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
+        F.count("*").alias("n_hits_pq")
+    )
+    zero = F.lit(0)
+    return (
+        base.join(hi, "q_id", "left")
+        .join(hp, "q_id", "left")
+        .select(
+            "q_id",
+            "n_exact",
+            F.coalesce("n_hits_ivf", zero).alias("n_hits_ivf"),
+            F.coalesce("n_hits_pq", zero).alias("n_hits_pq"),
+            F.round(F.coalesce("n_hits_ivf", zero) / 10.0, 6).alias("recall_ivf"),
+            F.round(F.coalesce("n_hits_pq", zero) / 10.0, 6).alias("recall_pq"),
+        )
+    )

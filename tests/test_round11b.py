@@ -104,7 +104,7 @@ def test_video_fingerprint_neardup_planted_replay(spark, tmp_path):
     from kafka_streams_example_spark.queries.multimodal import (
         _DH_GRID_H,
         _DH_GRID_W,
-        _video_frame_pixels,
+        _VS_SHIFT,
     )
 
     # 1, 5, 13: doc_id % 4 == 1 -> planted trimmed variant; 2, 3: none.
@@ -118,7 +118,14 @@ def test_video_fingerprint_neardup_planted_replay(spark, tmp_path):
         digest = hashlib.md5(t.encode("utf-8")).digest()
         hashes = []
         for f in range(nf):
-            px = _video_frame_pixels(digest, w, h, f // slen)
+            # the fingerprint tier's scrambled texture (collision-free
+            # dHash alphabet), not the scene tier's bare digest cycle
+            off = _VS_SHIFT * (f // slen)
+            px = bytes(
+                (digest[(p + off) % 16] * (1 + ((p + off) * 2654435761) % 255))
+                % 256
+                for p in range(w * h)
+            )
             d = cx.decode_png(cx.encode_png_gray8(w, h, px))
             hashes.append(cx.dhash60(d["pixels"], w, h, _DH_GRID_W, _DH_GRID_H))
         fps[i] = set(hashes)
@@ -162,11 +169,17 @@ def test_audio_fingerprint_match_planted_replay(spark, tmp_path):
     from kafka_streams_example_spark import registry
     from kafka_streams_example_spark.functions import codecs as cx
 
-    def synth(i: int, n: int) -> list[int]:
-        return [
-            ((i + 1) % 65536) * (((j + 1) * 2654435761) % 65536) % 65536 - 32768
-            for j in range(n)
-        ]
+    def synth(text: str, n: int) -> list[int]:
+        import hashlib
+
+        dg = hashlib.md5(text.encode("utf-8")).digest()
+        out = []
+        for j in range(n):
+            f = j // 16
+            a = dg[(j * 7 + 3 * f) % 16]
+            b = dg[(j * 13 + 5 + 11 * f) % 16]
+            out.append((a - b) * 128 + a % 128)
+        return out
 
     def words(samples: list[int]) -> set[int]:
         out = set()
@@ -183,7 +196,7 @@ def test_audio_fingerprint_match_planted_replay(spark, tmp_path):
     docs = [(i, "en", f"planted audio doc {i}") for i in ids]
     fps = {}
     for i in ids:
-        base = synth(i, 64 + i % 64)
+        base = synth(f"planted audio doc {i}", 64 + i % 64)
         rends = [(i, base)]
         if i % 4 == 2:
             att = [x // 2 for x in base]
@@ -252,3 +265,20 @@ def test_jpeg_metadata_roundtrip_and_pixel_isolation():
 
     with pytest.raises(ValueError):
         cx.jpeg_metadata(b"\x00\x00")
+
+
+def test_recall_pq_ab_consistency_and_floor(spark):
+    """The PQ-vs-IVF A/B frame is internally consistent (hits <= n_exact
+    = 10, recall = hits/10) and both variants clear the same sanity floor
+    as the trained/fixed A/B on the near-orthogonal corpus."""
+    from kafka_streams_example_spark import registry
+
+    rows = registry.QUERIES["ann_recall_pq_vs_ivf"](spark, SF_SMOKE).collect()
+    assert len(rows) == 8
+    for r in rows:
+        assert r.n_exact == 10
+        assert 0 <= r.n_hits_ivf <= 10 and 0 <= r.n_hits_pq <= 10
+        assert r.recall_ivf == round(r.n_hits_ivf / 10.0, 6)
+        assert r.recall_pq == round(r.n_hits_pq / 10.0, 6)
+    assert sum(r.recall_ivf for r in rows) / 8 >= 0.3
+    assert sum(r.recall_pq for r in rows) / 8 >= 0.15
