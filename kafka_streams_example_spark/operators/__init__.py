@@ -63,6 +63,40 @@ def _estimated_scan_partitions(df: DataFrame) -> int | None:
         return None
 
 
+def checkpoint_reused(df: DataFrame) -> DataFrame:
+    """Eagerly localCheckpoint a SMALL derived frame that downstream plan
+    branches reference more than once.
+
+    Spark re-executes a logical subtree once PER REFERENCE — runtime
+    exchange reuse only dedupes byte-identical Exchange subplans, and the
+    multi-consumer composites here (recall A/Bs, kappa cells, trained
+    centroid tables) reference whole aggregated results whose exchanges
+    differ across consumers (measured on the executed AQE plans:
+    ann_recall_trained_vs_fixed ran 18 parquet scans / 27 exchanges for a
+    query over ONE table, ReusedExchange count 0). Checkpointing
+    materializes the subtree ONCE per invocation and every consumer reads
+    the materialized RDD — guide §3.3's "materialise an intermediate to
+    truncate the plan", applied to reused subtrees.
+
+    Unlike ``.cache()`` there is no CacheManager plan-equality entry: a
+    fresh invocation of the query recomputes from the parquet inputs, so
+    nothing persists across bench/oracle runs. Only for frames small by
+    construction (top-k winner sets, k-row centroid tables,
+    label-cardinality cells): localCheckpoint persists to executor
+    memory/disk, the in-engine analogue of the write-out a production
+    pipeline would do for a reused intermediate at 100 TB.
+
+    LAZY (eager=False), deliberately: an eager checkpoint runs the
+    subtree as its own blocking job at DataFrame-construction time, which
+    SERIALIZES work that one combined action overlaps across idle cores
+    (measured: eager checkpoints made ann_recall_trained_vs_fixed 6.7 →
+    7.5 s while lazy kept the dedup AND the overlap). The lazy form marks
+    the RDD persisted + checkpointed; the query's single action
+    materializes it once on first touch and every other consumer reads
+    the persisted partitions."""
+    return df.localCheckpoint(eager=False)
+
+
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition up to the session's core count when the input arrives in
     fewer splits. Matters for CPU-heavy per-row derivations (shingling,

@@ -32,13 +32,29 @@ def connected_components(
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
     both = both.distinct().localCheckpoint(eager=True)
 
+    # Round 1 fused into label initialization: with component == id, the
+    # first neighbor-min is simply min(v) per u, so the whole first round
+    # is ONE join-free aggregation over the edge list (the former shape
+    # paid a distinct-labels checkpoint job plus a join round for the
+    # same result). The checkpoint is LAZY — the convergence count below
+    # materializes it, one Spark job for init + round 1 together.
     labels = (
-        both.select(F.col("u").alias("id"))
-        .distinct()
-        .withColumn("component", F.col("id"))
-        .localCheckpoint(eager=True)
+        both.groupBy("u")
+        .agg(F.min("v").alias("nbr"))
+        .select(
+            F.col("u").alias("id"),
+            F.least(F.col("u"), F.col("nbr")).alias("component"),
+            (F.col("nbr") < F.col("u")).alias("__changed"),
+        )
+        .localCheckpoint(eager=False)
     )
-    for _ in range(max_iterations):
+    changed = labels.agg(
+        F.sum(F.col("__changed").cast("long")).alias("n")
+    ).first()["n"]
+    labels = labels.drop("__changed")
+    if not changed:
+        return labels
+    for _ in range(max_iterations - 1):
         neighbor_min = (
             both.join(labels, both.v == labels.id)
             .groupBy("u")

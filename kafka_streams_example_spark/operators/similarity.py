@@ -341,6 +341,8 @@ def kmeans_lloyd(
     content). Distributed top-k (orderBy+limit → TakeOrdered), never a
     full sort.
     """
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
     h = ((F.col(id_col) % F.lit(2147483647)) * F.lit(48271)) % F.lit(2147483647)
     seeds = (
         emb.select(
@@ -357,14 +359,28 @@ def kmeans_lloyd(
         .alias("cid"),
         "cv",
     )
-    vecs = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # ensure_min_partitions: a single-file corpus otherwise pins the whole
+    # per-(vector, centroid) cosine fold to ONE core (measured: the
+    # assignment stage alone was 1.3 s steady at sf0.1 on a 1-split scan).
+    # Norms fold ONCE per row / per centroid before the pairing join (the
+    # cosine_topk discipline): dot/(nrm_v * nrm_c) is the same double
+    # expression as cosine(), so assignments are bit-identical while the
+    # per-candidate cost drops from three folds to one.
+    vecs = ensure_min_partitions(emb).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn("nrm_v", norm(F.col("v"), dim))
     for _ in range(iterations):
+        cent_n = cent.withColumn("c_nrm", norm(F.col("cv"), dim))
         # argmax via max_by (see ivf_assign): map-side combine collapses
         # the k broadcast-join candidates to one row per vector before any
         # shuffle — the former row_number window shuffled k rows per vector
         best = (
-            vecs.join(F.broadcast(cent))
-            .withColumn("cos", cosine(F.col("v"), F.col("cv"), dim))
+            vecs.join(F.broadcast(cent_n))
+            .withColumn(
+                "cos",
+                dot(F.col("v"), F.col("cv"), dim)
+                / F.nullif(F.col("nrm_v") * F.col("c_nrm"), F.lit(0.0)),
+            )
             .groupBy("id")
             .agg(
                 F.max_by(
@@ -561,9 +577,13 @@ def pq_encode(
             for m in range(n_sub)
         ]
     )
-    exploded = vecs.select(F.col(id_col), F.explode(subs).alias("s")).select(
-        id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub")
-    )
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+
+    # single-file corpora otherwise pin the n_sub × K per-vector sqdist
+    # folds to one core (the kmeans_lloyd measurement, same shape)
+    exploded = ensure_min_partitions(vecs).select(
+        F.col(id_col), F.explode(subs).alias("s")
+    ).select(id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
     scored = exploded.join(F.broadcast(codebook), "m").withColumn(
         "d", sqdist(F.col("sub"), F.col("cw"), d_sub)
     )

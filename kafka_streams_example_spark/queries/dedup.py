@@ -1733,11 +1733,20 @@ def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("neg")),
     ).alias("b")
-    cells = scored.groupBy("vec_id").agg(best).select(
-        "vec_id",
-        F.col("b.cid").alias("centroid_id"),
-        F.col("b.v").alias("embedding"),
-        F.col("b.nrm").alias("nrm"),
+    # cells feeds THREE branches (both sides of the in-cell self-join +
+    # the final keep join) — without materialization the sign-fold +
+    # bucket join + argmax assignment runs three times per invocation.
+    # The cell-assignment table is what SemDeDup/faiss materialize as the
+    # index; checkpoint it once.
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    cells = checkpoint_reused(
+        scored.groupBy("vec_id").agg(best).select(
+            "vec_id",
+            F.col("b.cid").alias("centroid_id"),
+            F.col("b.v").alias("embedding"),
+            F.col("b.nrm").alias("nrm"),
+        )
     )
     a = cells.select(
         F.col("centroid_id"),
@@ -2308,10 +2317,19 @@ def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ng") > 0)
         .select("doc_id", hashed_shingles(F.col("ng")).alias("h60"))
     )
-    sigs = hashed.select(
-        "doc_id",
-        "h60",
-        minhash_signature(F.col("h60"), _BB_HASHES, _BB_SEED).alias("sig"),
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # sigs feeds FOUR plan branches (both sides of the banded self-join +
+    # both audit sides) — without materialization the shingle hash + the
+    # 32-permutation signature fold runs four times per invocation. The
+    # signature table is the artifact an LSH pipeline stores; checkpoint
+    # it once.
+    sigs = checkpoint_reused(
+        hashed.select(
+            "doc_id",
+            "h60",
+            minhash_signature(F.col("h60"), _BB_HASHES, _BB_SEED).alias("sig"),
+        )
     )
     rows = _BB_HASHES // _BB_BANDS
     band_structs = F.array(
@@ -2600,6 +2618,14 @@ def substring_exact_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # w (the stride-1 window-hash table) feeds BOTH the frequency count
+    # and the join-back — without materialization the tokenize + explode
+    # + per-window slice/join/md5 pass runs twice. The window-hash table
+    # is pass 1 of the ExactSubstr pipeline (Lee et al. materialize the
+    # suffix array the same way); checkpoint it once per invocation.
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    w = checkpoint_reused(w)
     freq = w.groupBy("h").agg(F.count("*").alias("n_occ")).filter(
         F.col("n_occ") > 1
     )
@@ -2746,6 +2772,12 @@ def substring_dedup_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("h"),
     )
+    # same discipline as substring_exact_spans: w feeds the canonical-
+    # occurrence aggregate AND the join-back — checkpoint the window-hash
+    # table so the explode/slice/md5 pass runs once per invocation
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    w = checkpoint_reused(w)
     agg = (
         w.groupBy("h")
         .agg(

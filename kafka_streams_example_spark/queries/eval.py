@@ -698,8 +698,14 @@ def cohens_kappa_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB shape: the lang_id scan collapses to a (langs × langs) cell
     table; marginals, diagonal and the kappa algebra all run on those
     few dozen rows. (N² would widen to DECIMAL(38,0) past ~3B docs.)"""
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     docs = _load_parallel(spark, sf_dir, "documents")
-    cells = (
+    # cells is (langs × langs) tiny but feeds THREE consumers (tot, ra,
+    # ca) — without materialization each one re-runs the corpus scan +
+    # lang_id stopword fold (measured: 3 parquet scans in the executed
+    # plan). One checkpoint = one scan.
+    cells = checkpoint_reused(
         docs.select(
             F.col("lang").alias("actual"),
             tx.lang_id(F.col("text")).alias("predicted"),
@@ -845,15 +851,27 @@ def bigram_crossentropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(F.countDistinct("tok").cast("long").alias("vocab"))
     )
-    tr = bg.filter(F.col("split") == "train")
-    tr_pair = tr.groupBy("lang", "a", "b").agg(
-        F.count("*").cast("long").alias("c_tr")
+    # ONE (split, lang, a, b) count pass, checkpointed: tr_pair/tr_pre/ev
+    # previously each re-ran the corpus tokenize + bigram explode (three
+    # more passes on top of tokv's). The split-tagged bigram count table
+    # is vocabulary-bounded; prefix totals roll up from it exactly
+    # (sum of pair counts per (lang, a) = the direct prefix count).
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    cnt = checkpoint_reused(
+        bg.groupBy("split", "lang", "a", "b").agg(
+            F.count("*").cast("long").alias("c")
+        )
     )
-    tr_pre = tr.groupBy("lang", "a").agg(
-        F.count("*").cast("long").alias("n_a")
+    tr_pair = cnt.filter(F.col("split") == "train").select(
+        "lang", "a", "b", F.col("c").alias("c_tr")
     )
-    ev = bg.filter(F.col("split") == "eval").groupBy("lang", "a", "b").agg(
-        F.count("*").cast("long").alias("c_ev")
+    tr_pre = (
+        tr_pair.groupBy("lang", "a")
+        .agg(F.coalesce(F.sum("c_tr"), F.lit(0).cast("long")).alias("n_a"))
+    )
+    ev = cnt.filter(F.col("split") == "eval").select(
+        "lang", "a", "b", F.col("c").alias("c_ev")
     )
     j = (
         ev.join(tr_pair, ["lang", "a", "b"], "left")

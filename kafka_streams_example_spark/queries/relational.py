@@ -572,13 +572,19 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(l_extendedprice AS DECIMAL(18,4)) * "
         "CAST(1 - l_discount AS DECIMAL(8,4))"
     )
+    # revenue is projected BELOW the Expand: grouping sets triple every
+    # input row, and an aggregate-child expression is evaluated per
+    # EXPANDED row — pre-projecting runs the decimal multiply once per
+    # source row instead of once per (row × grouping set). Same decimals
+    # summed, identical output (guide §2.3 — project before the exchange).
     return spark.sql(
         f"""
         SELECT l_returnflag, l_linestatus,
                CAST(grouping_id(l_returnflag, l_linestatus) AS INT) AS gid,
                count(*) AS n,
-               CAST(round(sum({rev}), 6) AS DOUBLE) AS revenue
-        FROM __gs_lineitem
+               CAST(round(sum(rev), 6) AS DOUBLE) AS revenue
+        FROM (SELECT l_returnflag, l_linestatus, {rev} AS rev
+              FROM __gs_lineitem)
         GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
         """
     )

@@ -597,7 +597,13 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     # queries × rows × nprobe/cells: the window input unions all 8
     # query vectors' probed cells
     est = 8 * table_row_count(spark, sf_dir, "embeddings") * 4 // 16
-    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    # the exact winner set (queries × k rows) feeds TWO consumers (base,
+    # hits) — checkpoint so the brute-force pass runs once per invocation
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    exact = checkpoint_reused(
+        sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    )
     approx = sim.ivf_topk(
         emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64,
         candidate_rows=est,
@@ -1254,8 +1260,18 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
 def _trained_centroid_vectors(cent_long: DataFrame) -> DataFrame:
     """Regroup kmeans_centroids' long output (cid, dim_pos, cval) into
     (vec_id, embedding) centroid vectors for ivf_topk — the same
-    array_sort(collect_list(struct)) device kmeans_lloyd uses internally."""
-    return (
+    array_sort(collect_list(struct)) device kmeans_lloyd uses internally.
+
+    The k-row result is eagerly checkpointed: ivf_topk references its
+    centroid frame TWICE (corpus assignment + query probe), and without
+    materialization each reference re-runs the FULL two-iteration Lloyd's
+    training (measured: similarity_ivf_trained_topk executed 8 parquet
+    scans / 15 exchanges, ReusedExchange 0). Training runs once per
+    invocation now — exactly what a production IVF build does with its
+    trained coarse quantizer."""
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    return checkpoint_reused(
         cent_long.groupBy("cid")
         .agg(
             F.transform(
@@ -1390,10 +1406,17 @@ def ann_recall_trained_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     are per-query×k rows."""
     from kafka_streams_example_spark import registry as _reg
 
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     rows = table_row_count(spark, sf_dir, "embeddings")
-    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    # exact (queries × k rows) feeds THREE consumers (base, hf, ht) —
+    # without materialization the brute-force pass executed three times
+    # (18 scans / 27 exchanges in the measured AQE plan, ReusedExchange 0)
+    exact = checkpoint_reused(
+        sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    )
     fixed = sim.ivf_topk(
         emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10,
         dim=64, candidate_rows=8 * rows * 4 // 16,
@@ -1566,7 +1589,13 @@ def ann_recall_pq_vs_ivf(spark, sf_dir):
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 8)
     rows = table_row_count(spark, sf_dir, "embeddings")
-    exact = sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    # exact feeds base + both overlap joins — one checkpoint, one pass
+    # (the ann_recall_trained_vs_fixed measurement, same shape)
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    exact = checkpoint_reused(
+        sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
+    )
     ivf = sim.ivf_topk(
         emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10,
         dim=64, candidate_rows=8 * rows * 4 // 16,

@@ -734,12 +734,28 @@ def approx_distinct_users(spark, sf_dir):
     pins the boolean TRUE, making the sketch's accuracy contract itself
     driver-hash-verifiable instead of a rows-only check."""
     ev = load_table(spark, sf_dir, "events")
+    # Two-level aggregate instead of count_distinct + approx in ONE agg:
+    # Spark plans mixed distinct/non-distinct aggregates by keying the
+    # first aggregation on (event_type, user_id) and carrying the partial
+    # HLL++ state through it — at rsd=0.01 that buffer is 1,640 LONG
+    # columns PER (event_type, user_id) GROUP (measured: the executed
+    # plan's intermediate rows were 1,642 columns wide — hundreds of MB of
+    # aggregation state at sf0.1, tens of TB at 100 TB). HLL is multiset-
+    # insensitive (the estimate is a function of the distinct SET), so
+    # pre-collapsing to distinct (event_type, user_id) pairs first and
+    # sketching the pairs yields the bit-identical estimate while the HLL
+    # buffer exists only per event_type (guide §2.3 — aggregate before
+    # you shuffle; shuffle narrow state).
+    pairs = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
     return (
-        ev.groupBy("event_type")
+        pairs.groupBy("event_type")
         .agg(
-            F.count_distinct("user_id").alias("exact_users"),
+            F.count("*").alias("exact_users"),
             F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
-            F.count("*").alias("cnt"),
+            # coalesce keeps the column non-nullable like the count(*) it
+            # replaces (sum() is nullable in the schema; groups are never
+            # empty so the value is unchanged)
+            F.coalesce(F.sum("c"), F.lit(0).cast("long")).alias("cnt"),
         )
         .select(
             "event_type",

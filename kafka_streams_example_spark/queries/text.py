@@ -1302,13 +1302,20 @@ def token_pagerank_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("u", "v")
         .cache()
     )
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     und = e.union(e.select(F.col("v"), F.col("u"))).select(
         F.col("u"), F.col("v")
     )
-    nodes = und.select(F.col("u").alias("tok")).distinct()
+    # nodes feeds r0 + every iteration's left join (4 references), src
+    # every iteration's contribution join (3): checkpoint both once —
+    # the vocabulary table and the degree-annotated edge list are the
+    # structures every PageRank implementation materializes up front.
+    nodes = checkpoint_reused(und.select(F.col("u").alias("tok")).distinct())
     n = nodes.agg(F.count("*").alias("cnt"))
     deg = und.groupBy("u").agg(F.count("*").alias("d"))
-    src = und.join(deg, "u")  # (u, v, d): contribution edges with out-degree
+    # (u, v, d): contribution edges with out-degree
+    src = checkpoint_reused(und.join(deg, "u"))
     r = nodes.crossJoin(F.broadcast(n)).select(
         "tok", (F.lit(1.0) / F.col("cnt")).alias("r")
     )
@@ -1558,7 +1565,14 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("b")
     ).select("b.tok_a", "b.tok_b")
-    pair = bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # pair feeds FOUR consumers (the report filter + pre/back/types) —
+    # checkpoint the bigram count table (the LM-count artifact) so the
+    # corpus tokenize + explode + count runs once per invocation
+    pair = checkpoint_reused(
+        bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
+    )
     pre = pair.groupBy("tok_a").agg(
         F.sum("n_ab").alias("c_a"), F.count("*").alias("n1_fwd")
     )
@@ -1748,7 +1762,15 @@ def trigram_backoff_lm(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g")
     ).select("g.w1", "g.w2", "g.w3")
-    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n_123"))
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # c3 feeds FOUR consumers (the filter + the three context rollups);
+    # without materialization each one re-runs the corpus tokenize +
+    # trigram explode + count. The trigram count table IS the artifact an
+    # LM pipeline materializes — checkpoint it once per invocation.
+    c3 = checkpoint_reused(
+        tg.groupBy("w1", "w2", "w3").agg(F.count("*").alias("n_123"))
+    )
     c12 = c3.groupBy("w1", "w2").agg(F.sum("n_123").alias("n_12"))
     c23 = c3.groupBy("w2", "w3").agg(F.sum("n_123").alias("n_23"))
     c2 = c3.groupBy("w2").agg(F.sum("n_123").alias("n_2"))
@@ -2161,12 +2183,26 @@ FROM t{s}, t0 AS b"""
     return _bpe_duck_cte(steps) + ",\n" + totals + "\n" + rows
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_STEPS):
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    steps: int = _BPE_STEPS,
+    need_final_state: bool = True,
+):
     """Shared trainer for the two BPE queries: returns (merges, states)
     where merges[i] is the 1-row merge frame of step i+1 and states[s]
-    the word-frequency table after s merges (s = 0..steps), every frame
+    the word-frequency table after s merges (s = 0..steps), every STATE
     an eagerly localCheckpoint-ed RDD (linear plan — see
-    bpe_train_merges' docstring for the lineage rationale)."""
+    bpe_train_merges' docstring for the lineage rationale).
+
+    The 1-row merge frames are NOT checkpointed: each is a pair-count
+    aggregate + TakeOrdered over its (persisted) word state, and its two
+    consumers (the merge-table union, the next state's broadcast) just
+    re-run that small aggregate lazily — the former per-step eager merge
+    checkpoint paid one extra blocking driver job per step for nothing
+    (the argmax is deterministic, so both evaluations agree).
+    ``need_final_state=False`` skips materializing the last replace pass,
+    which only the compression query reads."""
     docs = _load_parallel(spark, sf_dir, "documents")
     S, E = chr(31), chr(30)
     words = (
@@ -2208,9 +2244,10 @@ def _bpe_train(spark: SparkSession, sf_dir: str, steps: int = _BPE_STEPS):
                 F.concat("lhs", "rhs").alias("merged"),
                 "pair_count",
             )
-            .localCheckpoint()
         )
         merges.append(m)
+        if i == steps and not need_final_state:
+            break
         w = (
             w.crossJoin(F.broadcast(m))
             .select(
@@ -2273,7 +2310,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     stripped from the (synthetic-clean, verified) corpus words first; a
     production normalizer strips all control chars anyway.
     """
-    merges, _ = _bpe_train(spark, sf_dir)
+    merges, _ = _bpe_train(spark, sf_dir, need_final_state=False)
     out = merges[0]
     for m in merges[1:]:
         out = out.unionAll(m)
