@@ -30,7 +30,11 @@ def connected_components(
     both = edges.select(
         F.col(src).alias("u"), F.col(dst).alias("v")
     ).union(edges.select(F.col(dst).alias("u"), F.col(src).alias("v")))
-    both = both.distinct().localCheckpoint(eager=True)
+    # LAZY like the label checkpoints: the round-1 convergence count below
+    # materializes the edge list and the fused init labels in ONE job (an
+    # eager checkpoint here was its own blocking job); every later
+    # iteration's join reads the persisted partitions.
+    both = both.distinct().localCheckpoint(eager=False)
 
     # Round 1 fused into label initialization: with component == id, the
     # first neighbor-min is simply min(v) per u, so the whole first round

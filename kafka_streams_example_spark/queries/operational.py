@@ -1318,9 +1318,32 @@ def data_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("v").cast("long").alias("n_violations"),
         )
 
+    # All row-level checks against one table fold into ONE aggregate over
+    # ONE scan (map-side partials), then stack() fans the single row back
+    # out to one row per check — the former shape ran a separate
+    # scan+aggregate subtree per check (orders scanned 3x, events 2x).
+    # Same counts, same output rows (guide §2.3 — aggregate in one pass).
     pk_orders = orders.agg(
         F.count("*").alias("n"),
-        (F.count("*") - F.countDistinct("o_orderkey")).alias("v"),
+        (F.count("*") - F.countDistinct("o_orderkey")).alias("v_pk"),
+        F.sum(
+            (
+                ~F.col("o_orderstatus").isin("O", "F", "P")
+                | F.col("o_orderstatus").isNull()
+            ).cast("int")
+        ).alias("v_enum"),
+        F.sum(
+            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0.0)).cast(
+                "int"
+            )
+        ).alias("v_rng"),
+    ).selectExpr(
+        "stack(3,"
+        " 'pk_unique_orders', 'orders', CAST(n AS LONG), CAST(v_pk AS LONG),"
+        " 'enum_orderstatus', 'orders', CAST(n AS LONG), CAST(v_enum AS LONG),"
+        " 'range_totalprice_positive', 'orders', CAST(n AS LONG),"
+        " CAST(v_rng AS LONG)"
+        ") AS (check_name, table_name, n_rows, n_violations)"
     )
     pk_cust = customer.agg(
         F.count("*").alias("n"),
@@ -1344,42 +1367,24 @@ def data_contract_validation(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("o_orderkey").isNull().cast("int")).alias("v"),
         )
     )
-    enum_os = orders.agg(
+    ev_checks = events.agg(
         F.count("*").alias("n"),
-        F.sum(
-            (
-                ~F.col("o_orderstatus").isin("O", "F", "P")
-                | F.col("o_orderstatus").isNull()
-            ).cast("int")
-        ).alias("v"),
-    )
-    rng_tp = orders.agg(
-        F.count("*").alias("n"),
-        F.sum(
-            (F.col("o_totalprice").isNull() | (F.col("o_totalprice") <= 0.0)).cast(
-                "int"
-            )
-        ).alias("v"),
-    )
-    nn_ts = events.agg(
-        F.count("*").alias("n"),
-        F.sum(F.col("ts").isNull().cast("int")).alias("v"),
-    )
-    rng_val = events.agg(
-        F.count("*").alias("n"),
+        F.sum(F.col("ts").isNull().cast("int")).alias("v_ts"),
         F.sum(
             (F.col("value").isNull() | (F.col("value") < 0.0)).cast("int")
-        ).alias("v"),
+        ).alias("v_val"),
+    ).selectExpr(
+        "stack(2,"
+        " 'nonnull_event_ts', 'events', CAST(n AS LONG), CAST(v_ts AS LONG),"
+        " 'range_event_value', 'events', CAST(n AS LONG), CAST(v_val AS LONG)"
+        ") AS (check_name, table_name, n_rows, n_violations)"
     )
     checks = [
-        row("pk_unique_orders", "orders", pk_orders),
+        pk_orders,
         row("pk_unique_customer", "customer", pk_cust),
         row("fk_orders_customer", "orders", fk_oc),
         row("fk_lineitem_orders", "lineitem", fk_lo),
-        row("enum_orderstatus", "orders", enum_os),
-        row("range_totalprice_positive", "orders", rng_tp),
-        row("nonnull_event_ts", "events", nn_ts),
-        row("range_event_value", "events", rng_val),
+        ev_checks,
     ]
     out = checks[0]
     for c in checks[1:]:

@@ -1934,11 +1934,18 @@ def doc_perplexity_proxy(spark, sf_dir):
     """Unigram-LM quality score: mean negative log corpus-probability of a
     doc's tokens (the cheap perplexity proxy used for corpus filtering).
     Two aggregations + one broadcast-able frequency join — no Python."""
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     docs = _load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
     )
-    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # freq feeds the total rollup AND the broadcast join — without
+    # materialization the corpus tokenize+explode+count runs once per
+    # consumer (and again under every composite that embeds this query).
+    # The vocabulary count table is the unigram LM itself; checkpoint it
+    # once per invocation: tokenize passes drop 3 → 2 (freq build + score).
+    freq = checkpoint_reused(toks.groupBy("token").agg(F.count("*").alias("c")))
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(freq), "token")
@@ -2434,11 +2441,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast-join back onto the binned docs. Bucket boundaries land on
     bin edges — bin-resolution quantiles by design, corpus-size-
     independent state."""
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     docs = _load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", "lang", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
     )
-    freq = toks.groupBy("token").agg(F.count("*").alias("c"))
+    # Same discipline as doc_perplexity_proxy: freq feeds the total
+    # rollup and the broadcast join (tokenize 3× → 2× per evaluation)…
+    freq = checkpoint_reused(toks.groupBy("token").agg(F.count("*").alias("c")))
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(freq), "token")
@@ -2450,8 +2461,14 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("score")
         )
     )
-    binned = scored.withColumn(
-        "bin", F.floor(F.col("score") * F.lit(_CC_BIN)).cast("bigint")
+    # …and binned (the per-doc score table CCNet materializes between its
+    # scoring and bucketing passes — narrow: id, lang, score, bin) feeds
+    # BOTH the histogram/threshold branch and the final bucket join.
+    # Without the checkpoint the whole scoring subtree ran twice.
+    binned = checkpoint_reused(
+        scored.withColumn(
+            "bin", F.floor(F.col("score") * F.lit(_CC_BIN)).cast("bigint")
+        )
     )
     hist = binned.groupBy("lang", "bin").agg(F.count("*").alias("cnt"))
     w_cum = (
@@ -2615,14 +2632,23 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cut",
         )
     )
-    logs = curve.select(
-        "*",
-        tx.round_half_up(F.log(F.col("n_tokens").cast("double")), 6)
-        .cast("decimal(18,6)")
-        .alias("lx"),
-        tx.round_half_up(F.log(F.col("n_distinct").cast("double")), 6)
-        .cast("decimal(18,6)")
-        .alias("ly"),
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # logs is a len(_HEAPS_CUTS)-row frame, but it feeds BOTH the OLS
+    # sufficient-statistics aggregate and the final join — without
+    # materialization the entire curve subtree (TWO tokenize+explode
+    # corpus passes) executed twice. Checkpointing the 4-row curve halves
+    # the corpus work.
+    logs = checkpoint_reused(
+        curve.select(
+            "*",
+            tx.round_half_up(F.log(F.col("n_tokens").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("lx"),
+            tx.round_half_up(F.log(F.col("n_distinct").cast("double")), 6)
+            .cast("decimal(18,6)")
+            .alias("ly"),
+        )
     )
     s = logs.agg(
         F.count("*").cast("bigint").alias("n"),
