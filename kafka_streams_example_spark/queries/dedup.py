@@ -2480,12 +2480,20 @@ def er_merge_survivorship(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = dirty.select(
         "p_name", F.split(F.col("p_name"), " ").alias("w")
     ).filter(F.size("w") >= 2)
-    sig = t.groupBy(
-        "p_name",
-        F.expr(
-            f"{_phonetic_sql('w[0]')} || '-' || {_phonetic_sql('w[1]')}"
-        ).alias("signature"),
-    ).agg(F.count("*").alias("n"))
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # sig (the name-vocabulary census — one row per (signature, name))
+    # feeds BOTH the survivorship window and the final join-back; without
+    # materialization the union + phonetic fold + groupBy over the dirty
+    # registry executed once per consumer.
+    sig = checkpoint_reused(
+        t.groupBy(
+            "p_name",
+            F.expr(
+                f"{_phonetic_sql('w[0]')} || '-' || {_phonetic_sql('w[1]')}"
+            ).alias("signature"),
+        ).agg(F.count("*").alias("n"))
+    )
     w_rk = Window.partitionBy("signature").orderBy(
         F.col("n").desc(), F.col("p_name")
     )

@@ -305,13 +305,25 @@ def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     factor). The HAVING-vs-scalar-subquery is a broadcast of a 1-row
     aggregate; the threshold and per-part values derive from exact
     decimal sums so the strict comparison agrees across engines."""
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     li = load_table(spark, sf_dir, "lineitem")
-    val = li.groupBy("l_partkey").agg(_sum_dbl(_revenue()).alias("part_value"))
-    thr = li.agg(
+    # ONE lineitem pass: the threshold's corpus revenue sum and distinct
+    # part count roll up exactly from the per-part decimal sums (decimal
+    # addition is exact and associative; one row per group makes
+    # count(l_partkey) the distinct count) — the former shape scanned and
+    # re-aggregated lineitem a second time just for the 1-row threshold.
+    vdec = checkpoint_reused(
+        li.groupBy("l_partkey").agg(F.sum(_revenue()).alias("v"))
+    )
+    val = vdec.select(
+        "l_partkey", F.round(F.col("v"), 6).cast("double").alias("part_value")
+    )
+    thr = vdec.agg(
         F.round(
             1.5
-            * F.round(F.sum(_revenue()), 6).cast("double")
-            / F.count_distinct("l_partkey"),
+            * F.round(F.sum("v"), 6).cast("double")
+            / F.count("l_partkey"),
             6,
         ).alias("thr")
     )
@@ -474,9 +486,17 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90), 1
         ).otherwise(0).alias("is_late"),
     )
-    per_os = lo.groupBy("l_orderkey", "l_suppkey").agg(
-        F.max("is_late").alias("supp_late"),
-        F.sum("is_late").cast("bigint").alias("late_rows"),
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # per_os ((order, supplier) rollup — the EXISTS-rewrite's pivot table)
+    # feeds BOTH the per-order stats and the final filter join; without
+    # materialization the lineitem⋈orders join + aggregation executed
+    # once per consumer.
+    per_os = checkpoint_reused(
+        lo.groupBy("l_orderkey", "l_suppkey").agg(
+            F.max("is_late").alias("supp_late"),
+            F.sum("is_late").cast("bigint").alias("late_rows"),
+        )
     )
     ord_stats = per_os.groupBy("l_orderkey").agg(
         F.count("*").alias("n_supp"),

@@ -1229,13 +1229,23 @@ def embedding_dispersion_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
             )
         ).alias("dim", "c"),
     )
-    per_dim = comps.groupBy("label", "dim").agg(F.sum("c").alias("s"))
-    per_label = per_dim.groupBy("label").agg(
-        F.round(F.sum(F.col("s") * F.col("s")), 6).cast("double").alias("ss")
+    # ONE pass over the exploded components: the per-dim aggregate carries
+    # BOTH sufficient statistics (sum c for the centroid form, sum c^2 for
+    # the unit form) — the former shape aggregated comps twice (per_dim +
+    # unit), running the 64x posexplode and its shuffle once per consumer.
+    # Decimal addition is exact and associative, so rolling sum(c^2) up
+    # from per-dim partials is bit-identical to the direct corpus sum; n
+    # (distinct vecs per label) comes from the pre-explode n0 table, whose
+    # per-label vec_id set is by construction the same as comps'.
+    per_dim = comps.groupBy("label", "dim").agg(
+        F.sum("c").alias("s"), F.sum(F.col("c") * F.col("c")).alias("q")
     )
-    unit = comps.groupBy("label").agg(
-        F.countDistinct("vec_id").cast("bigint").alias("n"),
-        F.round(F.sum(F.col("c") * F.col("c")), 6).cast("double").alias("sq"),
+    per_label = per_dim.groupBy("label").agg(
+        F.round(F.sum(F.col("s") * F.col("s")), 6).cast("double").alias("ss"),
+        F.round(F.sum("q"), 6).cast("double").alias("sq"),
+    )
+    unit = n0.groupBy("label").agg(
+        F.countDistinct("vec_id").cast("bigint").alias("n")
     )
     n = F.col("n").cast("double")
     return unit.join(per_label, "label").select(

@@ -114,7 +114,14 @@ def bloom_filter_probe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     included."""
     orders = _load_parallel(spark, sf_dir, "orders")
     cust = _load_parallel(spark, sf_dir, "customer")
-    members = (
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # members (distinct finished-order custkeys — the filter's build set)
+    # feeds BOTH the bitmap fold and the confusion-matrix join; without
+    # materialization the orders scan + distinct executed twice. This is
+    # exactly the "small side scanned twice" cost of Bloom pre-filtering
+    # (guide §3.2) — pay it once.
+    members = checkpoint_reused(
         orders.filter(F.col("o_orderstatus") == "F").select("o_custkey").distinct()
     )
     js = F.explode(F.array(*[F.lit(j) for j in range(_BF_K)])).alias("j")

@@ -851,10 +851,24 @@ def kaplan_meier_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("day"),
         )
     )
-    tot = dur.agg(F.count("*").alias("n"))
-    byday = dur.groupBy("day").agg(
-        F.sum("ev").cast("long").alias("n_events"),
-        F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
+    # byday (day-grain, bounded by study length) feeds the study-size
+    # total AND the risk window — checkpoint it once, and derive the
+    # total exactly from it (every dur row lands in exactly one byday
+    # row, so sum(n_events) + sum(n_censored) IS count(*) over dur).
+    # Without this the whole dur subtree (events scan + two min-agg
+    # joins) executed twice — once per consumer.
+    byday = checkpoint_reused(
+        dur.groupBy("day").agg(
+            F.sum("ev").cast("long").alias("n_events"),
+            F.sum(1 - F.col("ev")).cast("long").alias("n_censored"),
+        )
+    )
+    tot = byday.agg(
+        F.coalesce(F.sum(F.col("n_events") + F.col("n_censored")), F.lit(0))
+        .cast("long")
+        .alias("n")
     )
     w_before = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, -1)
     risk = byday.join(F.broadcast(tot)).select(

@@ -443,19 +443,26 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document top-3 TF-IDF terms (idf = ln(N/df), deterministic
     term-name tiebreak) — the classic corpus keyword extraction.
 
-    Two aggregations over the exploded token table (per-(doc,term) TF and
-    per-term DF); DF is vocabulary-sized — tiny next to the corpus — so it
-    broadcasts back onto TF, and the only large shuffles are the two
-    token-keyed groupBys with map-side partial aggregation.
+    ONE aggregation over the exploded token table (per-(doc,term) TF);
+    DF rolls up exactly from it — count(DISTINCT doc_id) per term over
+    the token stream IS the number of (doc_id, term) rows in TF, so the
+    second tokenize+explode+countDistinct corpus pass is pure recompute.
+    The TF table (the artifact a TF-IDF pipeline materializes) is
+    checkpointed once per invocation; DF is vocabulary-sized and
+    broadcasts back onto it.
     """
+    from kafka_streams_example_spark.operators import checkpoint_reused
+
     docs = _load_parallel(spark, sf_dir, "documents")
     # scalar dimension from parquet footers — no Spark count job
     n_docs = table_row_count(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("term")
     )
-    tf = toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
-    df = toks.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    tf = checkpoint_reused(
+        toks.groupBy("doc_id", "term").agg(F.count("*").alias("tf"))
+    )
+    df = tf.groupBy("term").agg(F.count("*").alias("df"))
     scored = tf.join(F.broadcast(df), "term").select(
         "doc_id",
         "term",

@@ -346,9 +346,18 @@ def test_input_sized_queries_build_without_spark_jobs(spark):
         return len(after - before)
 
     baseline = build_jobs("doc_chunking")  # plain read, no input sizing
-    for name in ("pack_sequences", "pack_sequences_greedy", "tfidf_top_terms"):
+    for name in ("pack_sequences", "pack_sequences_greedy"):
         got = build_jobs(name)
         assert got <= baseline, f"{name}: {got} build jobs > baseline {baseline}"
+    # tfidf_top_terms sizes its IDF denominator from parquet footers (no
+    # count job — the property this test pins), but since r11 it also
+    # lazily localCheckpoints the reused TF table, whose AQE stage
+    # materialization costs exactly 2 build-time jobs (work the query
+    # would do anyway, shifted to construction; the bench times both).
+    # A sizing regression back to df.count() would add a further job and
+    # still trip this bound.
+    got = build_jobs("tfidf_top_terms")
+    assert got <= baseline + 2, f"tfidf: {got} build jobs > baseline+2"
 
 
 def test_table_row_count_matches_count_star(spark):
@@ -430,6 +439,17 @@ def test_streaming_throughput_listener(spark, tmp_path):
         )
         q.processAllAvailable()
         q.stop()
+        # progress events are delivered asynchronously on the listener-bus
+        # thread — processAllAvailable() does not wait for them, so poll
+        # briefly before asserting (the un-waited assert flaked under CPU
+        # contention while the data path itself was fine)
+        import time as _time
+
+        deadline = _time.monotonic() + 30.0
+        while _time.monotonic() < deadline and not any(
+            p["num_input_rows"] == 50 for p in listener.progress
+        ):
+            _time.sleep(0.2)
         assert any(p["num_input_rows"] == 50 for p in listener.progress)
     finally:
         spark.streams.removeListener(listener)
