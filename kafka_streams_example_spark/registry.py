@@ -46,13 +46,35 @@ def _sum_dbl(expr) -> F.Column:
 
 
 
+# Tables whose rows are narrow scalars and whose consumers' first operation
+# is an exchange (groupBy/window/join) or a cheap partial aggregate. For
+# these the parallelism floor below is a NET LOSS locally: repartition(n)
+# round-robins the FULL input through an exchange (plus the
+# sortBeforeRepartition local sort, SPARK-23207) just to parallelize work
+# the next exchange would distribute anyway — measured at sf0.1:
+# funnel_signup_purchase 0.50→0.21 s, error_burst_detection 0.61→0.36 s,
+# session_windows 0.64→0.42 s, data_contract_validation 1.46→0.80 s,
+# solar_panel_stats 1.04→0.78 s by dropping it (guide §2.4: remove
+# shuffles outright). documents/embeddings stay floored: their consumers
+# run CPU-heavy per-row derivations (shingling, hashing, vector folds)
+# BEFORE any exchange, where a 1-split scan pins the work to one core.
+# At real scale the scan yields >= cores splits and BOTH paths are no-ops.
+_NARROW_TABLES = frozenset(
+    {"events", "orders", "lineitem", "customer", "part", "supplier",
+     "nation", "region"}
+)
+
+
 def _load_parallel(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """load_table + parallelism floor: local testdata arrives as one parquet
-    row-group, which would pin scan-side work (hashing, regex, window
-    bucketing over 1M rows) to a single core. No-op on real multi-split
-    inputs — see operators.ensure_min_partitions."""
+    """load_table + parallelism floor for text/vector tables: local
+    testdata arrives as one parquet row-group, which would pin scan-side
+    work (shingling, hashing, vector math over 1M rows) to a single core.
+    Narrow relational tables skip the floor (see _NARROW_TABLES). No-op on
+    real multi-split inputs — see operators.ensure_min_partitions."""
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
+    if name in _NARROW_TABLES:
+        return load_table(spark, sf_dir, name)
     return ensure_min_partitions(load_table(spark, sf_dir, name))
 
 

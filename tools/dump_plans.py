@@ -1,0 +1,42 @@
+"""Dump .explain("formatted") for named queries to files.
+
+Usage: python tools/dump_plans.py OUT_DIR SUFFIX query [query ...]
+
+Writes OUT_DIR/<query>_<SUFFIX>.txt for each named query (plan only,
+nothing executes). Run from the repo whose plans you want: the script
+resolves the registry relative to its own location, so invoking the
+copy inside a worktree of an older commit dumps THAT commit's plans.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from kafka_streams_example_spark import registry  # noqa: E402
+from kafka_streams_example_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    out_dir, suffix = sys.argv[1], sys.argv[2]
+    names = sys.argv[3:]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    os.makedirs(out_dir, exist_ok=True)
+    spark = get_spark(app_name="plan-dump")
+    spark.sparkContext.setLogLevel("ERROR")
+    for name in names:
+        df = registry.QUERIES[name](spark, sf_dir)
+        plan = df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        )
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path} ({len(plan)} bytes)")
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
