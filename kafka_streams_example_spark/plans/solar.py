@@ -146,6 +146,13 @@ def anomalies(
     (every module row already carries its panel stats) — no join at all.
     """
     mod = module_aggregates(df, ts_col, panel_col, module_col, power_col, window)
+    return anomalies_from_modules(mod, z)
+
+
+def anomalies_from_modules(mod: DataFrame, z: float = Z) -> DataFrame:
+    """J2 + F1 over an already-built module-aggregate table — the entry
+    point batch queries use so they can share ONE materialized A1 stage
+    (queries/solar.py:_module_agg_cached) across the whole solar family."""
     enriched = enrich_with_panel_statistics(mod)
     # |sum − avg| > z·deviance ≡ |sum − avg|/deviance > z incl. 0-deviance
     # edge cases (§2.1 note 3); portable double arithmetic, no Inf/NaN.

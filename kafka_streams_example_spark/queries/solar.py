@@ -53,6 +53,19 @@ stats AS (
 """
 
 
+def _module_agg_cached(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1 module aggregates over the events fixture, CACHED by plan
+    equality: the five batch solar queries (module agg, panel stats,
+    anomalies, both wire-format roundtrips) all start from this one
+    stage, so the events scan + window aggregation runs once per session
+    for the whole family (the _neardup_pairs discipline). This is
+    exactly the table the reference's Kafka Streams topology materializes
+    as its module-aggregate KTable changelog — windows × panels × modules
+    rows, bounded and narrow, never the raw events."""
+    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
+    return solar.module_aggregates(df).cache()
+
+
 @register(
     "solar_module_agg",
     _SOLAR_CTE
@@ -66,8 +79,7 @@ FROM mod
 def solar_module_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-module 30s tumbling window aggregation
     (reference: SolarConsumer.java:107-115)."""
-    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
-    mod = solar.module_aggregates(df)
+    mod = _module_agg_cached(spark, sf_dir)
     return solar.with_window_epoch(mod).select(
         "w_start",
         "w_end",
@@ -96,8 +108,7 @@ def solar_panel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2+J1+A3 collapsed: per-panel window stats incl. population stddev of
     module sums (reference: SolarConsumer.java:122-157,
     SolarPanelAggregator.java:45-59)."""
-    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
-    stats = solar.panel_statistics(solar.module_aggregates(df))
+    stats = solar.panel_statistics(_module_agg_cached(spark, sf_dir))
     return solar.with_window_epoch(stats).select(
         "w_start",
         "w_end",
@@ -132,8 +143,7 @@ def solar_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full reference pipeline: flag modules whose window power sum deviates
     more than Z=1 stddev from the panel mean
     (reference: SolarConsumer.java:165-201)."""
-    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
-    out = solar.anomalies(df)
+    out = solar.anomalies_from_modules(_module_agg_cached(spark, sf_dir))
     return solar.with_window_epoch(out).select(
         "w_start",
         "w_end",
@@ -249,8 +259,9 @@ def json_wire_roundtrip(spark, sf_dir):
     serde layer is lossless for the output schema."""
     from pyspark.sql import types as T
 
-    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
-    out = solar.with_window_epoch(solar.anomalies(df))
+    out = solar.with_window_epoch(
+        solar.anomalies_from_modules(_module_agg_cached(spark, sf_dir))
+    )
     wire = out.select(
         F.col("panel").alias("kafka_key"),
         F.to_json(
@@ -295,8 +306,9 @@ def solar_wire_reference_format(spark, sf_dir):
     this engine's anomaly topic unchanged."""
     from pyspark.sql import types as T
 
-    df = solar.events_as_solar(_load_parallel(spark, sf_dir, "events"))
-    wire = solar.anomalies_wire_format(solar.anomalies(df))
+    wire = solar.anomalies_wire_format(
+        solar.anomalies_from_modules(_module_agg_cached(spark, sf_dir))
+    )
     value_schema = T.StructType(
         [
             T.StructField("moduleName", T.StringType()),

@@ -1940,19 +1940,27 @@ FROM scored GROUP BY doc_id
 def doc_perplexity_proxy(spark, sf_dir):
     """Unigram-LM quality score: mean negative log corpus-probability of a
     doc's tokens (the cheap perplexity proxy used for corpus filtering).
-    Two aggregations + one broadcast-able frequency join — no Python."""
-    from kafka_streams_example_spark.operators import checkpoint_reused
+    Two aggregations + one broadcast-able frequency join — no Python.
 
+    FOUR registered queries read this score table — the proxy itself,
+    quality_filter_threshold_sweep, quality_threshold_for_budget and
+    corpus_curation_pipeline (all compose the registered query) — so both
+    the vocabulary count table (the unigram LM, vocab-sized) and the
+    per-doc score table (3 narrow scalars per doc — exactly what a
+    production quality-filter pipeline materializes between scoring and
+    selection) are CACHED by plan equality: the two corpus
+    tokenize+explode passes run once per session for every consumer (the
+    _neardup_pairs discipline). The former per-invocation freq
+    localCheckpoint could not be plan-shared (fresh RDD id per
+    invocation) and re-ran the scoring per consumer query."""
     docs = _load_parallel(spark, sf_dir, "documents")
     toks = docs.select(
         "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
     )
-    # freq feeds the total rollup AND the broadcast join — without
-    # materialization the corpus tokenize+explode+count runs once per
-    # consumer (and again under every composite that embeds this query).
-    # The vocabulary count table is the unigram LM itself; checkpoint it
-    # once per invocation: tokenize passes drop 3 → 2 (freq build + score).
-    freq = checkpoint_reused(toks.groupBy("token").agg(F.count("*").alias("c")))
+    # freq feeds the total rollup AND the broadcast join — the cache also
+    # covers that intra-plan multi-reference (both scan one
+    # InMemoryRelation): tokenize passes stay 2 per materialization.
+    freq = toks.groupBy("token").agg(F.count("*").alias("c")).cache()
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(freq), "token")
@@ -1962,7 +1970,7 @@ def doc_perplexity_proxy(spark, sf_dir):
     return scored.groupBy("doc_id").agg(
         F.count("*").alias("n_tokens"),
         F.round(-F.sum("logp") / F.count("*"), 6).alias("avg_neg_logp"),
-    )
+    ).cache()
 
 
 @register(
