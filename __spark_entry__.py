@@ -114,20 +114,42 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r11: the image
-# decode kernels switched to the numpy-vectorized codec module
-# (functions/codecs_np.py — outputs byte-identical by test, but the
-# executing kernel code changed, so the driver should re-prove the
-# oracle match). New r11 queries (trained IVF, recall A/B, video scene)
-# front via the never-recorded group automatically; the remaining ~40
-# window slots go to the stalest green tier — the r5-era cohort
-# (VERDICT r10 item 2).
+# re-verify ahead of merely least-often-verified greens. r11
+# optimization round: the executing PLANS of the families below changed
+# (session-shared plan-equality caches for multi-consumer subtrees, the
+# narrow-table parallelism-floor removal — outputs proven identical
+# against the DuckDB oracle at sf0.01, 259/259, before each commit; see
+# OPTIMIZATION_r11.md), so the driver should re-prove the oracle match
+# on the most-restructured ones first. The build-phase image-codec
+# switch (codecs_np) was recorded green in the r11 build window.
 _TOUCHED_THIS_ROUND: set[str] = {
-    "multimodal_decode_real",
-    "multimodal_decode_real_jpeg",
-    "image_phash_neardup",
-    "image_phash_dedup_cut",
-    "image_crossformat_phash_match",
+    # solar flagship family — shared cached A1 stage
+    "solar_module_agg",
+    "solar_panel_stats",
+    "solar_anomalies",
+    "solar_wire_reference_format",
+    "json_wire_roundtrip",
+    # CC family — shared cached edge table
+    "dedup_clusters",
+    "cluster_aware_split",
+    "dedup_cluster_size_histogram",
+    "corpus_curation_pipeline",
+    # ANN family — shared cached winner sets / centroid tables
+    "similarity_cosine_topk",
+    "similarity_ivf_topk",
+    "similarity_ivf_trained_topk",
+    "similarity_pq_topk",
+    "kmeans_centroids",
+    "ann_recall_at_k",
+    "ann_recall_trained_vs_fixed",
+    "ann_recall_pq_vs_ivf",
+    # unigram-LM score family — shared cached LM/score tables
+    "doc_perplexity_proxy",
+    "quality_filter_threshold_sweep",
+    "quality_threshold_for_budget",
+    # decontam / blocked-pairs shared frames
+    "decontam_ngram_overlap",
+    "neardup_ngram_pairs",
 }
 
 # Explicitly pinned re-verification cohort (cleared once recorded):
