@@ -86,14 +86,44 @@ def main() -> None:
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(time.perf_counter() - t0)
+    # CACHE-NEUTRAL sweeps (r11 VERDICT "Next round" #2): ~20 registered
+    # queries share session-level plan-equality caches (ANN winner sets,
+    # solar A1, unigram-LM score table, CC edge list, …), so after sweep 1
+    # their steady run times an InMemoryTableScan read, not the query.
+    # These extra sweeps clear the SQL cache FIRST, so each one measures
+    # one shared build (paid by the first consumer in registry order) plus
+    # cache reads for the other consumers — the materialized-view
+    # accounting a resident engine actually amortizes at, without letting
+    # a cache built in a previous sweep hide the build cost entirely.
+    # The steady sweeps above are untouched (same sweep3w semantics, so
+    # per-query continuity with r11 records holds); cache_neutral is the
+    # number to quote first in round-over-round comparisons.
+    # Default 1 extra sweep: the cc number is a per-query accounting
+    # signal, not the headline (cold already bounds it from above), and
+    # the driver's bench window has to fit n_runs + cc_runs full sweeps.
+    # Committed BENCH_DETAIL records use SPARK_GRAFT_BENCH_CC_RUNS=2.
+    cc_runs = int(os.environ.get("SPARK_GRAFT_BENCH_CC_RUNS", "1"))
+    cc_all: dict[str, list[float]] = {name: [] for name in HEADLINE}
+    for _ in range(cc_runs):
+        spark.catalog.clearCache()
+        for name in HEADLINE:
+            fn = registry.QUERIES[name]
+            if pool_warm:
+                warm_df.mapInPandas(_ident, "id LONG").count()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            cc_all[name].append(time.perf_counter() - t0)
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
     spread: dict[str, float] = {}
+    cache_neutral: dict[str, float] = {}
     for name, runs in all_runs.items():
         steady_runs = runs[1:] if len(runs) > 1 else runs
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(steady_runs), 3)
         spread[name] = round(max(steady_runs) - min(steady_runs), 3)
+        if cc_all[name]:
+            cache_neutral[name] = round(min(cc_all[name]), 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
@@ -120,6 +150,14 @@ def main() -> None:
         "protocol": protocol,
         "sf": sf_val,
     }
+    if cache_neutral:
+        # min over the clearCache'd sweeps — the cache-neutral signal;
+        # kept under its own protocol tag so compare_bench.py's steady
+        # diffs stay valid against pre-cc records (steady semantics are
+        # untouched: cc sweeps run after every steady sweep finished).
+        detail["cache_neutral"] = cache_neutral
+        detail["cache_neutral_total"] = round(sum(cache_neutral.values()), 3)
+        detail["cc_protocol"] = f"clearcache-sweep{cc_runs}w"
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_DETAIL.json"),
@@ -127,20 +165,20 @@ def main() -> None:
     with open(detail_path, "w") as fh:
         json.dump(detail, fh, indent=1, sort_keys=True)
     slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:12])
-    line = json.dumps(
-        {
-            "metric": "headline_queries_total_wall_steady",
-            "value": detail["value"],
-            "unit": "sec",
-            "queries": slowest,
-            "cold_total": detail["cold_total"],
-            "n_queries": len(timings),
-            "protocol": protocol,
-            "sf": sf_val,
-            "detail": "BENCH_DETAIL.json",
-        },
-        separators=(",", ":"),
-    )
+    line_payload = {
+        "metric": "headline_queries_total_wall_steady",
+        "value": detail["value"],
+        "unit": "sec",
+        "queries": slowest,
+        "cold_total": detail["cold_total"],
+        "n_queries": len(timings),
+        "protocol": protocol,
+        "sf": sf_val,
+        "detail": "BENCH_DETAIL.json",
+    }
+    if cache_neutral:
+        line_payload["cache_neutral_total"] = detail["cache_neutral_total"]
+    line = json.dumps(line_payload, separators=(",", ":"))
     # The driver records only a ~2KB tail of the run's output; the line
     # must survive that window whole or BENCH_r{N}.json gets parsed=null
     # (r06 failure mode — progress bars plus a long line cut the JSON).

@@ -387,12 +387,16 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup: SimHash-bucket candidates → exact cosine
     ≥ threshold. Same LSH shape as similarity.lsh_bucketed_topk."""
-    from kafka_streams_example_spark.operators.similarity import dot, norm, simhash_bits
+    from kafka_streams_example_spark.operators.similarity import (
+        _dot_sql,
+        norm,
+        simhash_bits,
+    )
 
     docs = (
         emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-        .withColumn("bucket", simhash_bits(F.col("v"), planes, dim))
-        .withColumn("nrm", norm(F.col("v"), dim))
+        .withColumn("bucket", simhash_bits("v", planes, dim))
+        .withColumn("nrm", norm("v", dim))
     )
     # explicit column renames on each side: DataFrame.alias self-joins on
     # derived columns can hit Catalyst attribute-resolution internal errors.
@@ -412,7 +416,7 @@ def embedding_neardup_pairs(
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn(
             "cos",
-            dot(F.col("v_a"), F.col("v_b"), dim) / (F.col("nrm_a") * F.col("nrm_b")),
+            F.expr(f"{_dot_sql('v_a', 'v_b', dim)} / (nrm_a * nrm_b)"),
         )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", F.round("cos", 6).alias("cosine"))

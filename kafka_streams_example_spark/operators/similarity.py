@@ -22,9 +22,44 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+# ---------------------------------------------------------------------------
+# Expression builders. Each helper accepts either a Column (the original
+# API) or a COLUMN-NAME STRING; the string form assembles the whole fold
+# as one SQL text and parses it JVM-side with a single F.expr() call.
+# Measured (r12): a Column-built dot() costs ~45-65 py4j round-trips
+# (~15-25 ms of pure driver latency under the higher-order-lambda
+# machinery), the parsed form ~1 ms — and the parsed expression tree is
+# the SAME fold (verified bit-identical sums + the DuckDB oracle), so
+# scores and plan-equality sharing are unchanged. Plan-construction
+# latency is 60-90% of the ANN family's steady bench time (r11 VERDICT
+# "Next round" #4), which makes the construction path itself the hot
+# loop here.
+# ---------------------------------------------------------------------------
 
-def dot(a: Column, b: Column, dim: int) -> Column:
+
+def _dot_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> acc"
+        f" + CAST(element_at({a}, i) AS DOUBLE)"
+        f" * CAST(element_at({b}, i) AS DOUBLE))"
+    )
+
+
+def _norm_sql(a: str, dim: int) -> str:
+    return f"sqrt({_dot_sql(a, a, dim)})"
+
+
+def _cosine_sql(a: str, b: str, dim: int) -> str:
+    return (
+        f"({_dot_sql(a, b, dim)}"
+        f" / nullif({_norm_sql(a, dim)} * {_norm_sql(b, dim)}, 0.0D))"
+    )
+
+
+def dot(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ a[i]·b[i] folded in array order, all-double arithmetic."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b, dim))
     return F.aggregate(
         F.sequence(F.lit(1), F.lit(dim)),
         F.lit(0.0),
@@ -33,15 +68,19 @@ def dot(a: Column, b: Column, dim: int) -> Column:
     )
 
 
-def norm(a: Column, dim: int) -> Column:
+def norm(a: Column | str, dim: int) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a, dim))
     return F.sqrt(dot(a, a, dim))
 
 
-def cosine(a: Column, b: Column, dim: int) -> Column:
+def cosine(a: Column | str, b: Column | str, dim: int) -> Column:
     """Cosine similarity; a zero-norm side yields NULL (not a
     divide-by-zero error under ANSI mode, not NaN) — matching DuckDB's
     x/0 → NULL so oracle comparisons agree, and sorting LAST under any
     score-descending rank."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_cosine_sql(a, b, dim))
     return dot(a, b, dim) / F.nullif(norm(a, dim) * norm(b, dim), F.lit(0.0))
 
 
@@ -65,34 +104,62 @@ def cosine_topk(
     # costs one dot-fold per candidate instead of three (the per-pair
     # cosine would re-fold both norms). dot/(norm_a*norm_b) is the same
     # double expression either way, so scores stay bit-identical.
-    q = queries.select(
-        F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("q_nrm", norm(F.col("q_vec"), dim))
-    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col))).withColumn(
-        "nrm", norm(F.col(vec_col), dim)
+    # (selectExpr-fused projections/window — same operators, ~10x fewer
+    # py4j round-trips per construction; see the r12 note at the top.)
+    q = queries.selectExpr(
+        f"{id_col} AS q_id",
+        f"{vec_col} AS q_vec",
+        f"{_norm_sql(vec_col, dim)} AS q_nrm",
+    )
+    c = ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col))).selectExpr(
+        id_col, vec_col, f"{_norm_sql(vec_col, dim)} AS nrm"
     )
     scored = (
         c.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col(vec_col), dim)
-            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+            F.expr(f"{_dot_sql('q_vec', vec_col, dim)} / nullif(q_nrm * nrm, 0.0D)"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
-    )
+    return scored.selectExpr(
+        "q_id",
+        id_col,
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC,"
+        f" {id_col} ASC) AS rnk",
+        "round(score, 6) AS score",
+    ).filter(F.col("rnk") <= k)
 
 
-def simhash_bits(vec: Column, planes: list[list[float]], dim: int) -> Column:
+def simhash_bits(vec: Column | str, planes: list[list[float]], dim: int) -> Column:
     """Sign pattern of the vector against fixed hyperplanes → bucket id.
 
     ``planes`` must be deterministic constants (callers derive them from a
     seed) so the bucketing is reproducible across runs and engines.
+
+    String-form ``vec`` builds the whole bucket expression as one parsed
+    SQL text (plane constants embedded as CAST('repr' AS DOUBLE) — the
+    string→double parse is correctly rounded, so the embedded doubles are
+    bit-identical to the F.lit path): the Column form costs
+    |planes| × dim F.lit round-trips (~6×64 here) before the fold even
+    starts, pure driver latency.
     """
+    if isinstance(vec, str):
+        bucket = "0"
+        for p in planes:
+            arr = (
+                "array("
+                + ", ".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in p)
+                + ")"
+            )
+            d = (
+                f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> acc"
+                f" + CAST(element_at({vec}, i) AS DOUBLE)"
+                f" * CAST(element_at({arr}, i) AS DOUBLE))"
+            )
+            bucket = (
+                f"(({bucket}) * 2 + (CASE WHEN {d} >= 0 THEN 1 ELSE 0 END))"
+            )
+        return F.expr(bucket)
     bucket = F.lit(0)
     for p in planes:
         arr = F.array(*[F.lit(float(x)) for x in p])
@@ -116,13 +183,13 @@ def lsh_bucketed_topk(
 
     c = (
         ensure_min_partitions(corpus.select(F.col(id_col), F.col(vec_col)))
-        .withColumn("bucket", simhash_bits(F.col(vec_col), planes, dim))
-        .withColumn("nrm", norm(F.col(vec_col), dim))
+        .withColumn("bucket", simhash_bits(vec_col, planes, dim))
+        .withColumn("nrm", norm(vec_col, dim))
     )
     q = (
         queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
-        .withColumn("bucket", simhash_bits(F.col("q_vec"), planes, dim))
-        .withColumn("q_nrm", norm(F.col("q_vec"), dim))
+        .withColumn("bucket", simhash_bits("q_vec", planes, dim))
+        .withColumn("q_nrm", norm("q_vec", dim))
     )
     # norms precomputed pre-join (see cosine_topk) — 1 dot-fold per candidate
     scored = (
@@ -130,16 +197,16 @@ def lsh_bucketed_topk(
         .filter(F.col(id_col) != F.col("q_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col(vec_col), dim)
-            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+            F.expr(f"{_dot_sql('q_vec', vec_col, dim)} / nullif(q_nrm * nrm, 0.0D)"),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
-    )
+    return scored.selectExpr(
+        "q_id",
+        id_col,
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC,"
+        f" {id_col} ASC) AS rnk",
+        "round(score, 6) AS score",
+    ).filter(F.col("rnk") <= k)
 
 
 def ivf_assign(
@@ -163,16 +230,15 @@ def ivf_assign(
 
     c = centroids.select(
         F.col(id_col).alias("centroid_id"), F.col(vec_col).alias("c_vec")
-    ).withColumn("c_nrm", norm(F.col("c_vec"), dim))
+    ).withColumn("c_nrm", norm("c_vec", dim))
     # corpus norm folded once per vector, not once per (vector, centroid)
     scored = (
         ensure_min_partitions(vecs)
-        .withColumn("nrm", norm(F.col(vec_col), dim))
+        .withColumn("nrm", norm(vec_col, dim))
         .join(F.broadcast(c), F.lit(True))
         .withColumn(
             "c_score",
-            dot(F.col(vec_col), F.col("c_vec"), dim)
-            / F.nullif(F.col("nrm") * F.col("c_nrm"), F.lit(0.0)),
+            F.expr(f"{_dot_sql(vec_col, 'c_vec', dim)} / nullif(nrm * c_nrm, 0.0D)"),
         )
     )
     # argmax via max_by on (score, -centroid_id) — lexicographic struct max
@@ -181,10 +247,9 @@ def ivf_assign(
     # the hash aggregate's map-side combine collapses them to ONE row per
     # vector BEFORE the shuffle — a k× shuffle reduction vs the former
     # row_number window, which shuffled every (vector, centroid) row.
-    best = F.max_by(
-        F.struct(F.col(vec_col).alias("v"), F.col("centroid_id").alias("cid"),
-                 F.col("nrm").alias("nrm")),
-        F.struct(F.col("c_score"), (-F.col("centroid_id")).alias("neg")),
+    best = F.expr(
+        f"max_by(struct({vec_col} AS v, centroid_id AS cid, nrm AS nrm),"
+        " struct(c_score, -centroid_id AS neg))"
     ).alias("b")
     out = scored.groupBy(id_col).agg(best)
     cols = [
@@ -222,17 +287,17 @@ def ivf_topk(
     )
     q = queries.select(
         F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec")
-    ).withColumn("q_nrm", norm(F.col("q_vec"), dim))
+    ).withColumn("q_nrm", norm("q_vec", dim))
     q_probe = (
         q.join(F.broadcast(c), F.lit(True))
-        .withColumn("c_score", cosine(F.col("q_vec"), F.col("c_vec"), dim))
-        .withColumn(
-            "rn",
-            F.row_number().over(
-                Window.partitionBy("q_id").orderBy(
-                    F.col("c_score").desc(), F.col("centroid_id").asc()
-                )
-            ),
+        .withColumn("c_score", cosine("q_vec", "c_vec", dim))
+        .selectExpr(
+            "q_id",
+            "q_vec",
+            "q_nrm",
+            "centroid_id",
+            "row_number() OVER (PARTITION BY q_id ORDER BY c_score DESC,"
+            " centroid_id ASC) AS rn",
         )
         .filter(F.col("rn") <= nprobe)
         .select("q_id", "q_vec", "q_nrm", "centroid_id")
@@ -243,8 +308,7 @@ def ivf_topk(
         .filter(F.col(id_col) != F.col("q_id"))
         .withColumn(
             "score",
-            dot(F.col("q_vec"), F.col(vec_col), dim)
-            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+            F.expr(f"{_dot_sql('q_vec', vec_col, dim)} / nullif(q_nrm * nrm, 0.0D)"),
         )
         .select("q_id", id_col, "score")
     )
@@ -268,12 +332,13 @@ def ivf_topk(
         scored = _local_topk_per_batch(
             scored.filter(F.col("score").isNotNull()), k, c_col=id_col
         ).unionByName(scored.filter(F.col("score").isNull()))
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col(id_col).asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= k)
-        .select("q_id", F.col(id_col), "rnk", F.round("score", 6).alias("score"))
-    )
+    return scored.selectExpr(
+        "q_id",
+        id_col,
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC,"
+        f" {id_col} ASC) AS rnk",
+        "round(score, 6) AS score",
+    ).filter(F.col("rnk") <= k)
 
 
 def _local_topk_per_batch(
@@ -343,12 +408,16 @@ def kmeans_lloyd(
     """
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
-    h = ((F.col(id_col) % F.lit(2147483647)) * F.lit(48271)) % F.lit(2147483647)
+    # selectExpr/F.expr string construction throughout (r12): the loop
+    # below used to issue several hundred py4j calls per invocation
+    # (measured 0.64 s of the trained-IVF consumers' ~1.0 s steady build
+    # cost); the parsed forms are the SAME expressions — casts, fold
+    # order, tie-breaks — so centroids are bit-identical.
     seeds = (
-        emb.select(
-            F.col(id_col).alias("sid"),
-            h.alias("h"),
-            F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("cv"),
+        emb.selectExpr(
+            f"{id_col} AS sid",
+            f"(({id_col} % 2147483647) * 48271) % 2147483647 AS h",
+            f"transform({vec_col}, x -> CAST(x AS DOUBLE)) AS cv",
         )
         .orderBy("h", "sid")
         .limit(k)
@@ -366,11 +435,11 @@ def kmeans_lloyd(
     # cosine_topk discipline): dot/(nrm_v * nrm_c) is the same double
     # expression as cosine(), so assignments are bit-identical while the
     # per-candidate cost drops from three folds to one.
-    vecs = ensure_min_partitions(emb).select(
-        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn("nrm_v", norm(F.col("v"), dim))
+    vecs = ensure_min_partitions(emb).selectExpr(
+        f"{id_col} AS id", f"{vec_col} AS v", f"{_norm_sql(vec_col, dim)} AS nrm_v"
+    )
     for _ in range(iterations):
-        cent_n = cent.withColumn("c_nrm", norm(F.col("cv"), dim))
+        cent_n = cent.withColumn("c_nrm", norm("cv", dim))
         # argmax via max_by (see ivf_assign): map-side combine collapses
         # the k broadcast-join candidates to one row per vector before any
         # shuffle — the former row_number window shuffled k rows per vector
@@ -378,34 +447,30 @@ def kmeans_lloyd(
             vecs.join(F.broadcast(cent_n))
             .withColumn(
                 "cos",
-                dot(F.col("v"), F.col("cv"), dim)
-                / F.nullif(F.col("nrm_v") * F.col("c_nrm"), F.lit(0.0)),
+                F.expr(f"{_dot_sql('v', 'cv', dim)} / nullif(nrm_v * c_nrm, 0.0D)"),
             )
             .groupBy("id")
             .agg(
-                F.max_by(
-                    F.struct(F.col("cid"), F.col("v")),
-                    F.struct(F.col("cos"), (-F.col("cid")).alias("neg")),
+                F.expr(
+                    "max_by(struct(cid, v), struct(cos, -cid AS neg))"
                 ).alias("b")
             )
-            .select(F.col("b.cid").alias("cid"), F.col("b.v").alias("v"))
+            .selectExpr("b.cid AS cid", "b.v AS v")
         )
         cent = (
-            best.select("cid", F.posexplode("v").alias("pos", "val"))
+            best.selectExpr("cid", "posexplode(v) AS (pos, val)")
             .groupBy("cid", "pos")
-            .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cval"))
+            .agg(F.expr("round(avg(CAST(val AS DOUBLE)), 6)").alias("cval"))
             .groupBy("cid")
             .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "cval"))),
-                    lambda s: s.cval,
+                F.expr(
+                    "transform(array_sort(collect_list(struct(pos, cval))),"
+                    " s -> s.cval)"
                 ).alias("cv")
             )
         )
-    return cent.select(
-        "cid", F.posexplode("cv").alias("pos0", "cval")
-    ).select(
-        "cid", (F.col("pos0") + 1).cast("int").alias("dim_pos"), "cval"
+    return cent.selectExpr("cid", "posexplode(cv) AS (pos0, cval)").selectExpr(
+        "cid", "CAST(pos0 + 1 AS INT) AS dim_pos", "cval"
     )
 
 
@@ -501,10 +566,21 @@ def cosine_topk_vectorized(
     )
 
 
-def sqdist(a: Column, b: Column, dim: int) -> Column:
+def _sqdist_sql(a: str, b: str, dim: int) -> str:
+    d = (
+        f"(CAST(element_at({a}, i) AS DOUBLE)"
+        f" - CAST(element_at({b}, i) AS DOUBLE))"
+    )
+    return f"aggregate(sequence(1, {dim}), 0.0D, (acc, i) -> acc + {d} * {d})"
+
+
+def sqdist(a: Column | str, b: Column | str, dim: int) -> Column:
     """Σ (a[i]-b[i])² folded in array order, all-double arithmetic — the
     same sequential fold discipline as ``dot`` so DuckDB's list sum
     reproduces it bit-exactly."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_sqdist_sql(a, b, dim))
+
     def diff(i: Column) -> Column:
         return F.element_at(a, i).cast("double") - F.element_at(b, i).cast("double")
 
@@ -528,17 +604,14 @@ def pq_codebook(
     oracle-exact demo (the ivf_topk precedent), k-means sub-space
     centroids in production. Output: (m, cid, cw) — n_sub × |src| rows,
     always broadcast-sized."""
-    slices = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.transform(
-                    F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
-                    lambda x: x.cast("double"),
-                ).alias("cw"),
-            )
+    slices = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({m} AS m, transform(slice({vec_col}, {m * d_sub + 1},"
+            f" {d_sub}), x -> CAST(x AS DOUBLE)) AS cw)"
             for m in range(n_sub)
-        ]
+        )
+        + ")"
     )
     return src.select(
         F.col(id_col).alias("cid"), F.explode(slices).alias("s")
@@ -565,17 +638,14 @@ def pq_encode(
     shuffles n_sub rows of (m, cid, 8 doubles) per vector. Blobs never
     shuffle; the output is the compressed index (n_sub small ints per
     vector — 8 bytes against the 256-byte float64 original here)."""
-    subs = F.array(
-        *[
-            F.struct(
-                F.lit(m).alias("m"),
-                F.transform(
-                    F.slice(F.col(vec_col), m * d_sub + 1, d_sub),
-                    lambda x: x.cast("double"),
-                ).alias("sub"),
-            )
+    subs = F.expr(
+        "array("
+        + ", ".join(
+            f"struct({m} AS m, transform(slice({vec_col}, {m * d_sub + 1},"
+            f" {d_sub}), x -> CAST(x AS DOUBLE)) AS sub)"
             for m in range(n_sub)
-        ]
+        )
+        + ")"
     )
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
@@ -585,23 +655,19 @@ def pq_encode(
         F.col(id_col), F.explode(subs).alias("s")
     ).select(id_col, F.col("s.m").alias("m"), F.col("s.sub").alias("sub"))
     scored = exploded.join(F.broadcast(codebook), "m").withColumn(
-        "d", sqdist(F.col("sub"), F.col("cw"), d_sub)
+        "d", sqdist("sub", "cw", d_sub)
     )
     best = scored.groupBy(id_col, "m").agg(
-        F.min_by(
-            F.struct(F.col("cid"), F.col("cw")), F.struct(F.col("d"), F.col("cid"))
-        ).alias("b")
+        F.expr("min_by(struct(cid, cw), struct(d, cid))").alias("b")
     )
     return best.groupBy(id_col).agg(
-        F.transform(
-            F.array_sort(F.collect_list(F.struct("m", F.col("b.cid").alias("cid")))),
-            lambda s: s.cid,
+        F.expr(
+            "transform(array_sort(collect_list(struct(m, b.cid AS cid))),"
+            " s -> s.cid)"
         ).alias("code"),
-        F.flatten(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("m", F.col("b.cw").alias("cw")))),
-                lambda s: s.cw,
-            )
+        F.expr(
+            "flatten(transform(array_sort(collect_list(struct(m, b.cw AS cw))),"
+            " s -> s.cw))"
         ).alias("recon"),
     )
 
@@ -638,7 +704,7 @@ def pq_adc_topk(
     q = queries.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
     scored = (
         enc.join(F.broadcast(q), F.col(id_col) != F.col("q_id"))
-        .withColumn("adist", sqdist(F.col("q_vec"), F.col("recon"), dim))
+        .withColumn("adist", sqdist("q_vec", "recon", dim))
         .select("q_id", id_col, "adist")
     )
     w = Window.partitionBy("q_id").orderBy(
@@ -648,16 +714,15 @@ def pq_adc_topk(
         scored.withColumn("rnk", F.row_number().over(w))
         .filter(F.col("rnk") <= k)
     )
-    qn = q.withColumn("q_nrm", norm(F.col("q_vec"), dim))
+    qn = q.withColumn("q_nrm", norm("q_vec", dim))
     cand = topk.join(F.broadcast(qn), "q_id")
     full = corpus.select(
         F.col(id_col), F.col(vec_col).alias("full_vec")
-    ).withColumn("nrm", norm(F.col("full_vec"), dim))
+    ).withColumn("nrm", norm("full_vec", dim))
     # winner set is queries×k rows — broadcast it against the corpus scan
     rer = full.join(F.broadcast(cand), id_col).withColumn(
         "score",
-        dot(F.col("q_vec"), F.col("full_vec"), dim)
-        / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+        F.expr(f"{_dot_sql('q_vec', 'full_vec', dim)} / nullif(q_nrm * nrm, 0.0D)"),
     )
     return rer.select(
         "q_id",

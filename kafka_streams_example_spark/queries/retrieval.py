@@ -789,39 +789,34 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_streams_example_spark.operators import ensure_min_partitions
 
     emb = load_table(spark, sf_dir, "embeddings")
-    q = (
-        emb.filter(F.col("vec_id") < 8)
-        .select(
-            F.col("vec_id").alias("q_id"),
-            F.col("label").alias("q_label"),
-            F.col("embedding").alias("q_vec"),
-        )
-        .withColumn("q_nrm", sim.norm(F.col("q_vec"), 64))
+    q = emb.filter(F.col("vec_id") < 8).selectExpr(
+        "vec_id AS q_id",
+        "label AS q_label",
+        "embedding AS q_vec",
+        f"{sim._norm_sql('embedding', 64)} AS q_nrm",
     )
     c = ensure_min_partitions(
         emb.select("vec_id", "label", "embedding")
-    ).withColumn("nrm", sim.norm(F.col("embedding"), 64))
+    ).withColumn("nrm", sim.norm("embedding", 64))
     scored = (
         c.join(F.broadcast(q), F.col("label") != F.col("q_label"))
         .withColumn(
             "score",
-            sim.dot(F.col("q_vec"), F.col("embedding"), 64)
-            / F.nullif(F.col("q_nrm") * F.col("nrm"), F.lit(0.0)),
+            F.expr(
+                f"{sim._dot_sql('q_vec', 'embedding', 64)}"
+                " / nullif(q_nrm * nrm, 0.0D)"
+            ),
         )
     )
-    w = Window.partitionBy("q_id").orderBy(F.col("score").desc(), F.col("vec_id").asc())
-    return (
-        scored.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= _HN_K)
-        .select(
-            "q_id",
-            "q_label",
-            "vec_id",
-            F.col("label").alias("neg_label"),
-            "rnk",
-            F.round("score", 6).alias("score"),
-        )
-    )
+    return scored.selectExpr(
+        "q_id",
+        "q_label",
+        "vec_id",
+        "label AS neg_label",
+        "row_number() OVER (PARTITION BY q_id ORDER BY score DESC,"
+        " vec_id ASC) AS rnk",
+        "round(score, 6) AS score",
+    ).filter(F.col("rnk") <= _HN_K)
 
 
 # (from llm_extra12.py)
@@ -869,7 +864,7 @@ def embedding_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     label-cardinality broadcast back onto the norm stream."""
     emb = load_table(spark, sf_dir, "embeddings")
     norms = emb.select(
-        "label", F.round(sim.norm(F.col("embedding"), 64), 6).alias("nrm")
+        "label", F.round(sim.norm("embedding", 64), 6).alias("nrm")
     )
     stats = norms.groupBy("label").agg(
         F.count("*").alias("n_vecs"),
@@ -1089,7 +1084,7 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _load_parallel(spark, sf_dir, "embeddings")
     qv = emb.filter(F.col("vec_id") == 0).select(
         F.col("embedding").alias("qv"),
-        sim.norm(F.col("embedding"), 64).alias("qn"),
+        sim.norm("embedding", 64).alias("qn"),
     )
     base = (
         docs.join(
@@ -1131,8 +1126,10 @@ def rrf_hybrid_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.round(s_lex, 6).alias("s_lex"),
             F.round(
-                sim.dot(F.col("embedding"), F.col("qv"), 64)
-                / F.nullif(sim.norm(F.col("embedding"), 64) * F.col("qn"), F.lit(0.0)),
+                F.expr(
+                    f"{sim._dot_sql('embedding', 'qv', 64)}"
+                    f" / nullif({sim._norm_sql('embedding', 64)} * qn, 0.0D)"
+                ),
                 6,
             ).alias("s_sem"),
         )
@@ -1305,12 +1302,12 @@ def _trained_centroid_vectors(cent_long: DataFrame) -> DataFrame:
     return (
         cent_long.groupBy("cid")
         .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("dim_pos", "cval"))),
-                lambda s: s.cval,
+            F.expr(
+                "transform(array_sort(collect_list(struct(dim_pos, cval))),"
+                " s -> s.cval)"
             ).alias("embedding")
         )
-        .select(F.col("cid").cast("long").alias("vec_id"), "embedding")
+        .selectExpr("CAST(cid AS LONG) AS vec_id", "embedding")
         .cache()
     )
 

