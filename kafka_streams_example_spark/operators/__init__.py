@@ -97,6 +97,59 @@ def checkpoint_reused(df: DataFrame) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+# Per-frame budget for session-level plan-equality caches. The r11
+# VERDICT's open risk #3: the multi-consumer .cache() frames (per-doc
+# score table, pair tables, edge lists, n-gram count tables) are narrow
+# but CORPUS-CARDINALITY — at 100 TB they are TB-scale cached frames
+# competing with execution memory. DataFrame.cache() is MEMORY_AND_DISK
+# (degrades, never OOMs), but a cache that mostly lives on disk and
+# evicts execution memory is strictly worse than a per-invocation
+# materialization, so above the budget the frame falls back to
+# ``checkpoint_reused`` (intra-query sharing only, nothing session-wide
+# pinned). Parameterised for production (engine default 1 GiB per
+# frame); the bench SFs sit orders of magnitude under it, so the local
+# protocol is unchanged. Thresholds and per-site estimate formulas are
+# documented in SCALE.md §caches.
+_CACHE_MAX_BYTES = int(os.environ.get("SPARK_GRAFT_CACHE_MAX_BYTES", str(1 << 30)))
+
+
+def estimated_input_bytes(df: DataFrame) -> int:
+    """Total on-disk byte size of the frame's scan files (compressed
+    parquet bytes; driver-side file listing, zero Spark jobs), or -1 when
+    the input is not a local file scan. Operator-internal caches scale
+    this by a documented expansion factor to budget themselves when the
+    caller cannot pass a footer estimate."""
+    try:
+        files = df.inputFiles()
+        if not files:
+            return -1
+        total = 0
+        for uri in files:
+            parsed = urlparse(uri)
+            if parsed.scheme not in ("file", ""):
+                return -1
+            total += os.path.getsize(unquote(parsed.path))
+        return total
+    except Exception:
+        return -1
+
+
+def cache_bounded(df: DataFrame, est_bytes: int) -> DataFrame:
+    """Session-cache ``df`` when its estimated materialized size fits the
+    per-frame budget; otherwise cut lineage per invocation instead.
+
+    ``est_bytes`` is a driver-side UPPER-BOUND estimate (parquet footer
+    bytes/rows × a per-site expansion factor — zero Spark jobs); a
+    negative value means "unknown", which falls back — the safe
+    direction, mirroring the decontam broadcast guard
+    (queries/dedup.py:_maybe_broadcast_bench). Output is identical on
+    both paths (proven by tests/test_round12.py's forced-fallback
+    parity); only the sharing scope changes."""
+    if 0 <= est_bytes <= _CACHE_MAX_BYTES:
+        return df.cache()
+    return checkpoint_reused(df)
+
+
 def ensure_min_partitions(df: DataFrame, n: int | None = None) -> DataFrame:
     """Repartition up to the session's core count when the input arrives in
     fewer splits. Matters for CPU-heavy per-row derivations (shingling,

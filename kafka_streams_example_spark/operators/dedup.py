@@ -43,6 +43,26 @@ def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -
     )
 
 
+_CORPUS_CACHE_EXPANSION = 8  # compressed scan bytes -> hashed-shingle frame
+
+
+def _budgeted_corpus_cache(df: DataFrame) -> DataFrame:
+    """Session-budgeted cache for corpus-shingle-sized prepared frames
+    (r12, guide §5): estimate from the scan's file bytes when the input
+    is a local parquet scan; keep the r11 unconditional cache otherwise
+    (derived/streaming inputs, where the estimate is unknowable and the
+    frame is per-batch-sized)."""
+    from kafka_streams_example_spark.operators import (
+        cache_bounded,
+        estimated_input_bytes,
+    )
+
+    est = estimated_input_bytes(df)
+    if est < 0:
+        return df.cache()
+    return cache_bounded(df, est * _CORPUS_CACHE_EXPANSION)
+
+
 def _minhash_perm(base: Column, a: int, b: int) -> Column:
     # pmod: Spark % follows the dividend sign; inputs here are non-negative
     # (stable_long is 60-bit) so a plain % is safe and portable.
@@ -143,10 +163,14 @@ def minhash_pairs(
         .withColumn("hsh", F.array_distinct(hashed_shingles(F.col("shingles"))))
         .drop("shingles")
         .withColumn("sig", minhash_signature(F.col("hsh"), num_hashes, seed))
-        # consumed twice (banding join + verify); hashes/sigs are tiny
-        # relative to the text they replace, so caching is scale-safe
-        .cache()
     )
+    # consumed twice (banding join + verify); hashes/sigs are smaller
+    # than the text they replace but still corpus-shingle-sized, so the
+    # cache is budgeted from the scan's file bytes (x8 covers parquet
+    # decompression plus the int-array expansion; SCALE.md §caches) —
+    # above budget the frame materializes per invocation. Non-scan
+    # inputs (streaming micro-batches) keep the unconditional cache.
+    docs = _budgeted_corpus_cache(docs)
     # Banding carries ONLY (id, band key) through the self-join — the
     # shingle arrays would otherwise dominate shuffle volume.
     banded = minhash_band_hashes(docs, num_hashes=num_hashes, bands=bands)
@@ -303,9 +327,10 @@ def ngram_jaccard_pairs(
     string-set Jaccard, so the hash never needs to be reproduced
     elsewhere."""
     docs = _allpairs_prepared(df, block_key, text_col, id_col, ngram, freq_order)
-    # consumed by candidate generation AND verify; hashes are far
-    # smaller than the text they replace, so caching is scale-safe
-    docs = docs.cache()
+    # consumed by candidate generation AND verify; hashed-shingle rows
+    # are smaller than the text they replace but corpus-shingle-sized —
+    # budgeted like the minhash prepared frame (SCALE.md §caches)
+    docs = _budgeted_corpus_cache(docs)
     cand = _allpairs_candidates(docs, threshold)
     sets = docs.select("id", "hsh")
     return (
@@ -344,9 +369,9 @@ def containment_pairs(
     corpora where a hash ordering would post hot shingles into prefixes.
     Exact set containment verifies candidates; the result is identical
     to the quadratic self-join (the DuckDB oracle's formulation)."""
-    docs = _allpairs_prepared(
-        df, F.lit(""), text_col, id_col, ngram, freq_order=True
-    ).cache()
+    docs = _budgeted_corpus_cache(
+        _allpairs_prepared(df, F.lit(""), text_col, id_col, ngram, freq_order=True)
+    )
     p_len = (F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1).cast("int")
     pref = docs.select(
         "id", F.explode(F.slice(F.col("hsh"), F.lit(1), p_len)).alias("tok")

@@ -19,6 +19,7 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 20,
+    edge_cache_bytes: int | None = None,
 ) -> DataFrame:
     """Min-label connected components over an undirected edge list.
 
@@ -46,8 +47,19 @@ def connected_components(
     # the text/blob columns never enter it. Lineage: `both` is the constant
     # BASE of every iteration join, so cutting ITS lineage was never what
     # bounded plan growth — the per-round label localCheckpoints below do
-    # that and stay as they are.
-    both = both.distinct().cache()
+    # that and stay as they are. Caller-controlled budget (r11 ADVICE +
+    # VERDICT #6): ``edge_cache_bytes`` is the caller's footer-derived
+    # upper-bound estimate of the edge table — above the per-frame cache
+    # budget the table is materialized per invocation instead of pinned
+    # for the session (identical output, bounded memory). None keeps the
+    # unconditional cache for callers without an estimate.
+    both = both.distinct()
+    if edge_cache_bytes is None:
+        both = both.cache()
+    else:
+        from kafka_streams_example_spark.operators import cache_bounded
+
+        both = cache_bounded(both, edge_cache_bytes)
 
     # Round 1 fused into label initialization: with component == id, the
     # first neighbor-min is simply min(v) per u, so the whole first round
@@ -105,10 +117,12 @@ def connected_components(
     return labels
 
 
-def dedup_clusters(pairs: DataFrame) -> DataFrame:
+def dedup_clusters(
+    pairs: DataFrame, edge_cache_bytes: int | None = None
+) -> DataFrame:
     """Near-dup pairs → dedup clusters: (doc id, cluster id = min reachable
     doc id, is_keeper). Downstream keeps rows where is_keeper."""
-    cc = connected_components(pairs)
+    cc = connected_components(pairs, edge_cache_bytes=edge_cache_bytes)
     return cc.select(
         F.col("id").alias("doc_id"),
         F.col("component").alias("cluster_id"),

@@ -124,12 +124,21 @@ def _blocked_pairs_05(spark, sf_dir):
     dedup_clusters' near-edge side): the AllPairs candidate join + exact
     verify runs once per session (the _neardup_pairs discipline; sparse
     (ids, jaccard) rows only)."""
+    from kafka_streams_example_spark.operators import cache_bounded
+
     docs = load_table(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(
-        docs,
-        block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
-        threshold=0.5,
-    ).cache()
+    # pair rows are O(dup rows) after the t>=0.5 verify — budgeted at
+    # ~4 pairs/doc x 24 B (SCALE.md §caches); above the per-frame budget
+    # the table materializes per invocation instead of pinning session
+    # memory (identical output either way).
+    return cache_bounded(
+        dd.ngram_jaccard_pairs(
+            docs,
+            block_key=F.concat_ws("|", F.col("lang"), F.col("source")),
+            threshold=0.5,
+        ),
+        table_row_count(spark, sf_dir, "documents") * 96,
+    )
 
 
 @register("neardup_minhash_pairs")
@@ -196,7 +205,12 @@ def dedup_clusters(spark, sf_dir):
         .filter(F.col("doc_id") != F.col("keeper"))
         .select(F.col("keeper").alias("id_a"), F.col("doc_id").alias("id_b"))
     )
-    return dc(near.union(fp_star))
+    # Edge-table cache budget (SCALE.md §caches): near pairs + fp stars
+    # are both O(dup rows); the undirected distinct edge list is bounded
+    # by ~2 x 4 x docs x 16 B — above the per-frame budget the operator
+    # materializes per invocation instead of pinning a TB-scale frame.
+    est = table_row_count(spark, sf_dir, "documents") * 128
+    return dc(near.union(fp_star), edge_cache_bytes=est)
 
 
 def _duck_minhash_sql(
@@ -293,13 +307,17 @@ def _bench_grams(spark: SparkSession, sf_dir: str) -> DataFrame:
     tokenize + 5-gram + distinct pass runs once per session (the
     _neardup_pairs discipline); gram strings are ~1/17th of corpus bytes
     by the same footer arithmetic _maybe_broadcast_bench guards on."""
+    from kafka_streams_example_spark.operators import cache_bounded
+
     docs = _load_parallel(spark, sf_dir, "documents")
     ng = docs.select("doc_id", tx.word_ngrams(F.col("text"), 5).alias("ng"))
-    return (
+    # same footer arithmetic as _maybe_broadcast_bench: eval share of the
+    # source bytes x the ~5x gram-string expansion
+    return cache_bounded(
         ng.filter(F.col("doc_id") % 17 == 0)
         .select(F.explode("ng").alias("g"))
-        .distinct()
-        .cache()
+        .distinct(),
+        (table_uncompressed_bytes(sf_dir, "documents") // 17) * _GRAM_EXPANSION,
     )
 
 
@@ -1313,12 +1331,15 @@ def neardup_transitivity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # boilerplate-heavy case canonical frequency-ordered prefixes prune
     # best (measured >=10x fewer candidates, identical results —
     # test_freq_ordered_allpairs_same_result_fewer_candidates)
-    e = (
+    from kafka_streams_example_spark.operators import cache_bounded
+
+    # unblocked t>=0.3 pairs run denser than the blocked t>=0.5 table —
+    # budgeted at ~8 pairs/doc x 16 B (SCALE.md §caches)
+    e = cache_bounded(
         dd.ngram_jaccard_pairs(
             docs, block_key=F.lit("all"), threshold=0.3, freq_order=True
-        )
-        .select("id_a", "id_b")
-        .cache()
+        ).select("id_a", "id_b"),
+        table_row_count(spark, sf_dir, "documents") * 128,
     )
     und = e.select(F.col("id_a").alias("x"), F.col("id_b").alias("y")).union(
         e.select(F.col("id_b"), F.col("id_a"))
@@ -1388,10 +1409,17 @@ def _neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     point, so Spark's plan-equality cache lookup materializes the
     expensive AllPairs pass ONCE per session for all of them (the same
     discipline as neardup_transitivity_audit's cached edge table)."""
+    from kafka_streams_example_spark.operators import cache_bounded
+
     docs = _load_parallel(spark, sf_dir, "documents")
-    return dd.ngram_jaccard_pairs(
-        docs, block_key=F.lit("all"), threshold=_PAIR_T, freq_order=True
-    ).cache()
+    # same density budget as the transitivity edge table (~8 pairs/doc,
+    # plus lang tags and the jaccard double; SCALE.md §caches)
+    return cache_bounded(
+        dd.ngram_jaccard_pairs(
+            docs, block_key=F.lit("all"), threshold=_PAIR_T, freq_order=True
+        ),
+        table_row_count(spark, sf_dir, "documents") * 192,
+    )
 
 
 # --------------------------------------------------------------------------

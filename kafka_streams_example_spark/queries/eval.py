@@ -764,6 +764,51 @@ _XE_UNSEEN = (
 )
 
 
+def _bigram_split_lang_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (split, lang, tok_a, tok_b, c) bigram count table — the master
+    n-gram count artifact of the LM family, built from ONE corpus
+    tokenize + zip_with + explode pass and CACHED by plan equality for
+    its three registered consumers: bigram_crossentropy_eval reads the
+    split/lang-tagged rows directly, kneser_ney_bigram and
+    bigram_lm_probs roll global (a, b) counts up from it (integer sums
+    over the split/lang tags — exact by construction, proven against the
+    unchanged DuckDB oracles). Before r12 each consumer ran its own
+    corpus pass; the count rollups are bigram-TYPE-sized, orders of
+    magnitude smaller than the token stream. Narrow sparse frame (4
+    strings + long), the blessed cache class; see operators/graph.py for
+    the size discipline."""
+    docs = _load_parallel(spark, sf_dir, "documents")
+    d = docs.select(
+        "lang",
+        F.when(split_col(F.col("doc_id")) == "train", "train")
+        .otherwise("eval")
+        .alias("split"),
+        tx.tokens(F.lower(F.col("text"))).alias("t"),
+    )
+    bg = d.select(
+        "lang",
+        "split",
+        F.explode(
+            F.expr(
+                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
+                " slice(t, 2, greatest(size(t) - 1, 0)),"
+                " (x, y) -> struct(x AS a, y AS b))"
+            )
+        ).alias("p"),
+    ).select("lang", "split", "p.a", "p.b")
+    from kafka_streams_example_spark.operators import cache_bounded
+    from kafka_streams_example_spark.sources.files import table_uncompressed_bytes
+
+    return cache_bounded(
+        bg.groupBy("split", "lang", "a", "b").agg(
+            F.count("*").cast("long").alias("c")
+        ),
+        # bigram keys are two adjacent corpus substrings (+ short tags):
+        # ~2x source bytes upper-bounds the table (SCALE.md §caches)
+        table_uncompressed_bytes(sf_dir, "documents") * 2,
+    )
+
+
 @register(
     "bigram_crossentropy_eval",
     f"""
@@ -834,35 +879,19 @@ def bigram_crossentropy_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("split"),
         tx.tokens(F.lower(F.col("text"))).alias("t"),
     )
-    bg = d.select(
-        "lang",
-        "split",
-        F.explode(
-            F.expr(
-                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " slice(t, 2, greatest(size(t) - 1, 0)),"
-                " (x, y) -> struct(x AS a, y AS b))"
-            )
-        ).alias("p"),
-    ).select("lang", "split", "p.a", "p.b")
     tokv = (
         d.filter(F.col("split") == "train")
         .select("lang", F.explode("t").alias("tok"))
         .groupBy("lang")
         .agg(F.countDistinct("tok").cast("long").alias("vocab"))
     )
-    # ONE (split, lang, a, b) count pass, checkpointed: tr_pair/tr_pre/ev
-    # previously each re-ran the corpus tokenize + bigram explode (three
-    # more passes on top of tokv's). The split-tagged bigram count table
-    # is vocabulary-bounded; prefix totals roll up from it exactly
-    # (sum of pair counts per (lang, a) = the direct prefix count).
-    from kafka_streams_example_spark.operators import checkpoint_reused
-
-    cnt = checkpoint_reused(
-        bg.groupBy("split", "lang", "a", "b").agg(
-            F.count("*").cast("long").alias("c")
-        )
-    )
+    # ONE (split, lang, a, b) count pass — since r12 the session-shared
+    # master bigram table (also feeding kneser_ney_bigram /
+    # bigram_lm_probs): tr_pair/tr_pre/ev previously each re-ran the
+    # corpus tokenize + bigram explode. Prefix totals roll up from it
+    # exactly (sum of pair counts per (lang, a) = the direct prefix
+    # count).
+    cnt = _bigram_split_lang_counts(spark, sf_dir)
     tr_pair = cnt.filter(F.col("split") == "train").select(
         "lang", "a", "b", F.col("c").alias("c_tr")
     )

@@ -1392,8 +1392,17 @@ GROUP BY event_type
 )
 def events_json_stats(spark, sf_dir):
     """Semi-structured JSON extraction (the reference's whole serde layer is
-    two expressions in Spark: from_json/get_json_object)."""
-    ev = _load_parallel(spark, sf_dir, "events")
+    two expressions in Spark: from_json/get_json_object).
+
+    Keeps the explicit parallelism floor (r12 loser sweep): per-row JSON
+    parsing of ``props`` runs BEFORE the aggregate's exchange, so a
+    1-split local scan pins it to one core — the documented
+    documents/embeddings exception class, not the narrow-table shape
+    (measured A/B: floored 0.27 s vs 0.36 s steady at sf0.1)."""
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+    from kafka_streams_example_spark.sources.files import load_table
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
@@ -1417,8 +1426,15 @@ def events_variant_extract(spark, sf_dir):
     JSON payload parses ONCE into the binary variant encoding, and every
     path extraction reads the variant (no re-parse per path — the scaling
     point vs get_json_object, which re-parses the string for each field).
-    try_variant_get on an absent path yields NULL instead of erroring."""
-    ev = _load_parallel(spark, sf_dir, "events")
+    try_variant_get on an absent path yields NULL instead of erroring.
+
+    Keeps the explicit parallelism floor (r12 loser sweep): parse_json
+    runs per row before anything else — the CPU-heavy pre-exchange
+    derivation class (measured A/B: floored 0.26 s vs 0.36 s steady)."""
+    from kafka_streams_example_spark.operators import ensure_min_partitions
+    from kafka_streams_example_spark.sources.files import load_table
+
+    ev = ensure_min_partitions(load_table(spark, sf_dir, "events"))
     v = F.parse_json(F.col("props"))
     return ev.withColumn("v", v).select(
         "event_id",

@@ -946,6 +946,31 @@ def token_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LM_K = 0.5  # add-k smoothing constant (exactly representable)
 
 
+def _bigram_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (tok_a, tok_b, n_ab) bigram count table, rolled up from the
+    session-shared split/lang-tagged master (queries/eval.py:
+    _bigram_split_lang_counts) and CACHED for its two registered
+    consumers (kneser_ney_bigram, bigram_lm_probs). The rollup is an
+    exact integer sum over the split/lang tags; the rollup input is the
+    cached bigram-TYPE-sized master, so materializing this table costs a
+    types-sized aggregation, not a corpus pass. Lazy import: eval.py
+    imports text.py at module load, so the reverse edge must resolve at
+    query-call time."""
+    from kafka_streams_example_spark.queries.eval import _bigram_split_lang_counts
+
+    from kafka_streams_example_spark.operators import cache_bounded
+    from kafka_streams_example_spark.sources.files import table_uncompressed_bytes
+
+    master = _bigram_split_lang_counts(spark, sf_dir)
+    return cache_bounded(
+        master.groupBy("a", "b")
+        .agg(F.sum("c").alias("n_ab"))
+        .select(F.col("a").alias("tok_a"), F.col("b").alias("tok_b"), "n_ab"),
+        # bigram keys are two adjacent corpus substrings: ~2x source bytes
+        table_uncompressed_bytes(sf_dir, "documents") * 2,
+    )
+
+
 @register(
     "bigram_lm_probs",
     f"""
@@ -980,28 +1005,20 @@ def bigram_lm_probs(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join, no Python); the prefix-count table and |V| are
     vocabulary-sized broadcasts; counts stay < 2^53 so the smoothed
     division is exact on both engines."""
-    docs = _load_parallel(spark, sf_dir, "documents")
-    t = docs.select(tx.tokens(F.lower(F.col("text"))).alias("t"))
-    bg = t.select(
-        F.explode(
-            F.expr(
-                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " slice(t, 2, greatest(size(t) - 1, 0)),"
-                " (x, y) -> struct(x AS tok_a, y AS tok_b))"
-            )
-        ).alias("b")
-    ).select("b.tok_a", "b.tok_b")
+    # All statistics roll up from the session-shared (tok_a, tok_b, n_ab)
+    # pair table (r12: _bigram_pair_counts — one corpus pass for this
+    # query, kneser_ney_bigram and bigram_crossentropy_eval together):
+    # n_a = Σ_b n_ab is exactly the former direct prefix count, and the
+    # distinct token set over pair keys is exactly the former distinct
+    # set over bigram occurrences. Integer arithmetic — oracle unchanged.
+    pair_all = _bigram_pair_counts(spark, sf_dir)
     vocab = (
-        bg.select(F.col("tok_a").alias("tok"))
-        .union(bg.select("tok_b"))
+        pair_all.select(F.col("tok_a").alias("tok"))
+        .union(pair_all.select("tok_b"))
         .agg(F.countDistinct("tok").alias("vocab"))
     )
-    pre = bg.groupBy("tok_a").agg(F.count("*").alias("n_a"))
-    pair = (
-        bg.groupBy("tok_a", "tok_b")
-        .agg(F.count("*").alias("n_ab"))
-        .filter(F.col("n_ab") >= 5)
-    )
+    pre = pair_all.groupBy("tok_a").agg(F.sum("n_ab").alias("n_a"))
+    pair = pair_all.filter(F.col("n_ab") >= 5)
     return (
         pair.join(F.broadcast(pre), "tok_a")
         .join(F.broadcast(vocab))
@@ -1561,25 +1578,13 @@ def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything is vocabulary-bounded — pre/back/types are broadcast
     joins. Reference: Kneser & Ney (1995); Chen & Goodman (1999) for
     the interpolated form."""
-    docs = _load_parallel(spark, sf_dir, "documents")
-    t = docs.select(tx.tokens(F.lower(F.col("text"))).alias("t"))
-    bg = t.select(
-        F.explode(
-            F.expr(
-                "zip_with(slice(t, 1, greatest(size(t) - 1, 0)),"
-                " slice(t, 2, greatest(size(t) - 1, 0)),"
-                " (x, y) -> struct(x AS tok_a, y AS tok_b))"
-            )
-        ).alias("b")
-    ).select("b.tok_a", "b.tok_b")
-    from kafka_streams_example_spark.operators import checkpoint_reused
-
-    # pair feeds FOUR consumers (the report filter + pre/back/types) —
-    # checkpoint the bigram count table (the LM-count artifact) so the
-    # corpus tokenize + explode + count runs once per invocation
-    pair = checkpoint_reused(
-        bg.groupBy("tok_a", "tok_b").agg(F.count("*").alias("n_ab"))
-    )
+    # pair feeds FOUR consumers (the report filter + pre/back/types); it
+    # is the session-shared cached rollup of the master bigram table
+    # (r12: _bigram_pair_counts — same LM-count artifact the former
+    # per-invocation checkpoint materialized, now one corpus pass per
+    # session shared with bigram_lm_probs / bigram_crossentropy_eval,
+    # and the four intra-plan references all scan one InMemoryRelation).
+    pair = _bigram_pair_counts(spark, sf_dir)
     pre = pair.groupBy("tok_a").agg(
         F.sum("n_ab").alias("c_a"), F.count("*").alias("n1_fwd")
     )
@@ -1881,12 +1886,15 @@ HAVING count(*) >= 5
 )
 def token_frequencies(spark, sf_dir):
     """Explode / lateral-view shape: corpus token frequencies (the
-    vocabulary-building pass of a text pipeline)."""
-    docs = _load_parallel(spark, sf_dir, "documents")
+    vocabulary-building pass of a text pipeline).
+
+    Reads the session-shared _unigram_freq vocabulary table (r12): the
+    former standalone plan differed from the LM-family frequency table
+    only by a pruned-away doc_id column, so the two never shared a
+    materialization; counts are identical by construction."""
     return (
-        docs.select(F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"))
-        .groupBy("token")
-        .agg(F.count("*").alias("freq"))
+        _unigram_freq(spark, sf_dir)
+        .select("token", F.col("c").alias("freq"))
         .filter(F.col("freq") >= 5)
     )
 
@@ -1918,6 +1926,32 @@ def array_functions_docs(spark, sf_dir):
         F.array_contains(toks, "the").alias("has_the"),
         F.element_at(sorted_distinct, 1).alias("min_token"),
     ).filter(F.size(toks) > 0)
+
+
+def _unigram_freq(spark, sf_dir):
+    """The corpus unigram count table (token, c) — the vocabulary LM.
+
+    CACHED by plan equality (vocab-sized, narrow — the blessed frame
+    class): r11 shared it between doc_perplexity_proxy's four consumers;
+    r12 routes token_frequencies and ccnet_perplexity_buckets through
+    the SAME helper (each previously re-ran its own tokenize+explode+
+    count pass with a plan that differed only by a pruned-away column,
+    so the cache could never hit). Counts are invariant to the extra
+    doc_id in the pre-aggregation projection — groupBy(token) sees the
+    same token stream."""
+    from kafka_streams_example_spark.operators import cache_bounded
+    from kafka_streams_example_spark.sources.files import table_uncompressed_bytes
+
+    docs = _load_parallel(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
+    )
+    # vocab keys are distinct substrings of the corpus, so the source
+    # byte size upper-bounds the table (SCALE.md §caches)
+    return cache_bounded(
+        toks.groupBy("token").agg(F.count("*").alias("c")),
+        table_uncompressed_bytes(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -1960,17 +1994,26 @@ def doc_perplexity_proxy(spark, sf_dir):
     # freq feeds the total rollup AND the broadcast join — the cache also
     # covers that intra-plan multi-reference (both scan one
     # InMemoryRelation): tokenize passes stay 2 per materialization.
-    freq = toks.groupBy("token").agg(F.count("*").alias("c")).cache()
+    freq = _unigram_freq(spark, sf_dir)
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(freq), "token")
         .join(F.broadcast(total))
         .withColumn("logp", F.log(F.col("c").cast("double") / F.col("n")))
     )
-    return scored.groupBy("doc_id").agg(
-        F.count("*").alias("n_tokens"),
-        F.round(-F.sum("logp") / F.count("*"), 6).alias("avg_neg_logp"),
-    ).cache()
+    from kafka_streams_example_spark.operators import cache_bounded
+    from kafka_streams_example_spark.sources.files import table_row_count
+
+    # per-doc score table: 3 narrow scalars per doc — rows ∝ docs, so the
+    # session cache is budgeted at ~40 B/doc (SCALE.md §caches; r11
+    # VERDICT #6 named this frame explicitly)
+    return cache_bounded(
+        scored.groupBy("doc_id").agg(
+            F.count("*").alias("n_tokens"),
+            F.round(-F.sum("logp") / F.count("*"), 6).alias("avg_neg_logp"),
+        ),
+        table_row_count(spark, sf_dir, "documents") * 40,
+    )
 
 
 @register(
@@ -2462,9 +2505,12 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", "lang", F.explode(tx.tokens(F.lower(F.col("text")))).alias("token")
     )
-    # Same discipline as doc_perplexity_proxy: freq feeds the total
-    # rollup and the broadcast join (tokenize 3× → 2× per evaluation)…
-    freq = checkpoint_reused(toks.groupBy("token").agg(F.count("*").alias("c")))
+    # Same discipline as doc_perplexity_proxy — and now the SAME cached
+    # vocabulary table (r12: _unigram_freq): the former per-invocation
+    # checkpoint rebuilt an identical count table whose plan differed
+    # only by the lang column in the pre-aggregation projection, paying
+    # one extra corpus tokenize pass per run.
+    freq = _unigram_freq(spark, sf_dir)
     total = freq.agg(F.sum("c").alias("n"))
     scored = (
         toks.join(F.broadcast(freq), "token")
@@ -2620,9 +2666,20 @@ def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         bucket.alias("bucket"),
         F.explode(tx.tokens(F.lower(F.col("text")))).alias("token"),
     )
-    per_bucket = x.groupBy("bucket").agg(
-        F.count("*").cast("bigint").alias("n_tok"),
-        F.countDistinct("doc_id").cast("bigint").alias("n_doc"),
+    # per_bucket needs no token explode (r12): doc_id is the table's key,
+    # so countDistinct(doc_id) over exploded tokens = the count of docs
+    # with >= 1 token, and count(*) of exploded rows = sum of per-doc
+    # token counts — both computable from one doc-level projection. The
+    # explode+shuffle of the full token stream (a second corpus-token
+    # pass) served only this aggregate; vocab_hist below keeps the one
+    # genuine token-level pass.
+    per_doc = docs.select(
+        bucket.alias("bucket"),
+        F.size(tx.tokens(F.lower(F.col("text")))).alias("n"),
+    ).filter(F.col("n") > 0)
+    per_bucket = per_doc.groupBy("bucket").agg(
+        F.sum("n").cast("bigint").alias("n_tok"),
+        F.count("*").cast("bigint").alias("n_doc"),
     )
     vocab_hist = (
         x.groupBy("token")

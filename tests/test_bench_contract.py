@@ -8,8 +8,11 @@ import os
 import subprocess
 import sys
 
+import pytest
 
 
+
+@pytest.mark.slow  # ~9 min end-to-end bench replay; the driver runs bench.py itself
 def test_bench_emits_single_json_line_quickly():
     """Run bench.py against the smoke SF with a trimmed headline list via
     env override is not supported — instead just validate the contract on

@@ -17,6 +17,14 @@ from datetime import datetime, timezone
 
 from kafka_streams_example_spark import registry
 
+# slow tier (r12): definition-level brute-force/property replays —
+# the builder's pre-commit gate (SPARK_GRAFT_SLOW=1) runs them; the
+# driver's bounded default window keeps the oracle/streaming gates.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 _DOC_SCHEMA = "doc_id LONG, text STRING, lang STRING, source STRING, n_chars LONG"
 _EV_SCHEMA = (
     "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"

@@ -19,6 +19,14 @@ from itertools import combinations
 from kafka_streams_example_spark import registry
 from tests.conftest import SF_SMOKE
 
+# slow tier (r12): definition-level brute-force/property replays —
+# the builder's pre-commit gate (SPARK_GRAFT_SLOW=1) runs them; the
+# driver's bounded default window keeps the oracle/streaming gates.
+import pytest
+
+pytestmark = pytest.mark.slow
+
+
 
 def _norm(text: str) -> str:
     return " ".join(text.lower().split())

@@ -72,6 +72,7 @@ _TEXT_QUERIES = sorted(
 )
 
 
+@pytest.mark.slow  # second full text-family parity sweep on the unicode fixture
 @pytest.mark.parametrize("name", _TEXT_QUERIES)
 def test_oracle_parity_on_unicode_corpus(spark, unicode_sf_dir, name):
     """Every text-touching oracle must stay value-exact when the corpus
@@ -89,6 +90,7 @@ def test_oracle_parity_on_unicode_corpus(spark, unicode_sf_dir, name):
         con.close()
 
 
+@pytest.mark.slow  # exhaustive all-query schema audit (~54s)
 def test_no_query_emits_decimal_columns(spark):
     """No registered query may emit a DecimalType column, at any nesting
     depth. The driver hashes stringified values against the DuckDB

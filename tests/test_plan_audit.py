@@ -175,6 +175,7 @@ def empty_sf_dir(spark, tmp_path_factory):
     return out
 
 
+@pytest.mark.slow  # full-surface replay (~80s) — exhaustive tier
 def test_every_query_survives_empty_input(spark, empty_sf_dir):
     """Robustness sweep: all registered queries must run (not crash) on
     zero-row tables — empty aggregation states, empty windows, empty
@@ -213,6 +214,7 @@ def nullish_sf_dir(spark, tmp_path_factory):
     return out
 
 
+@pytest.mark.slow  # full-surface replay (~120s) — exhaustive tier
 def test_every_query_survives_null_heavy_input(spark, nullish_sf_dir):
     """Robustness sweep: NULL text/lang/source/event_type/value/props/
     embedding must not crash any query. Caught three real bugs: NULL map

@@ -14,6 +14,12 @@ from pyspark.sql import functions as F
 
 from kafka_streams_example_spark.plans import solar
 
+# slow tier (r12): definition-level brute-force/property replays —
+# the builder's pre-commit gate (SPARK_GRAFT_SLOW=1) runs them; the
+# driver's bounded default window keeps the oracle/streaming gates.
+pytestmark = pytest.mark.slow
+
+
 
 def round_half_up(x: float, digits: int) -> float:
     """Java BigDecimal.valueOf(x).setScale(digits, HALF_UP) — what Spark's

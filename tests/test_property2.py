@@ -22,6 +22,11 @@ from kafka_streams_example_spark.queries.dedup import (
     _phonetic_sql,
 )
 
+# slow tier (r12): definition-level brute-force/property replays —
+# the builder's pre-commit gate (SPARK_GRAFT_SLOW=1) runs them; the
+# driver's bounded default window keeps the oracle/streaming gates.
+pytestmark = pytest.mark.slow
+
 
 @pytest.fixture(scope="module")
 def duck():
