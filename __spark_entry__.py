@@ -114,28 +114,19 @@ def _rotated(names: list[str]) -> list[str]:
 
 # Queries whose plan or oracle changed since their last recorded green
 # row (maintained per round): their old green records are stale, so they
-# re-verify ahead of merely least-often-verified greens. r11
-# optimization round: the executing PLANS of the families below changed
-# (session-shared plan-equality caches for multi-consumer subtrees, the
-# narrow-table parallelism-floor removal — outputs proven identical
-# against the DuckDB oracle at sf0.01, 259/259, before each commit; see
-# OPTIMIZATION_r11.md), so the driver should re-prove the oracle match
-# on the most-restructured ones first. The build-phase image-codec
-# switch (codecs_np) was recorded green in the r11 build window.
+# re-verify ahead of merely least-often-verified greens. r12
+# optimization round: the families below had their executing plans
+# restructured (SQL-text expression builders in the similarity
+# operators, shared vocab/bigram count tables, the pointer-shortcut CC
+# loop, cache size-guards, the events parallelism floor) — outputs
+# proven identical against the DuckDB oracle at sf0.01, 259/259, before
+# each commit; see OPTIMIZATION_r12.md.
 _TOUCHED_THIS_ROUND: set[str] = {
-    # solar flagship family — shared cached A1 stage
-    "solar_module_agg",
-    "solar_panel_stats",
-    "solar_anomalies",
-    "solar_wire_reference_format",
-    "json_wire_roundtrip",
-    # CC family — shared cached edge table
-    "dedup_clusters",
-    "cluster_aware_split",
-    "dedup_cluster_size_histogram",
-    "corpus_curation_pipeline",
-    # ANN family — shared cached winner sets / centroid tables
+    # ANN/similarity family — SQL-text expression construction
     "similarity_cosine_topk",
+    "similarity_cosine_topk_vectorized",
+    "similarity_lsh_topk",
+    "neardup_embeddings",
     "similarity_ivf_topk",
     "similarity_ivf_trained_topk",
     "similarity_pq_topk",
@@ -143,13 +134,38 @@ _TOUCHED_THIS_ROUND: set[str] = {
     "ann_recall_at_k",
     "ann_recall_trained_vs_fixed",
     "ann_recall_pq_vs_ivf",
-    # unigram-LM score family — shared cached LM/score tables
+    "hard_negative_mining",
+    "embedding_norm_outliers",
+    "rrf_hybrid_retrieval",
+    # CC family — pointer-shortcut batched-round label propagation +
+    # budgeted edge cache
+    "dedup_clusters",
+    "cluster_aware_split",
+    "dedup_cluster_size_histogram",
+    "corpus_curation_pipeline",
+    # unigram/bigram LM family — shared vocabulary & bigram count tables
     "doc_perplexity_proxy",
     "quality_filter_threshold_sweep",
     "quality_threshold_for_budget",
-    # decontam / blocked-pairs shared frames
-    "decontam_ngram_overlap",
+    "token_frequencies",
+    "ccnet_perplexity_buckets",
+    "bigram_lm_probs",
+    "kneser_ney_bigram",
+    "bigram_crossentropy_eval",
+    "heaps_law_fit",
+    # pair-table family — budgeted session caches
     "neardup_ngram_pairs",
+    "neardup_minhash_pairs",
+    "neardup_transitivity_audit",
+    "cross_split_leakage_pairs",
+    "cross_lingual_neardup_pairs",
+    "minhash_jaccard_estimate",
+    "similarity_pair_histogram",
+    "decontam_ngram_overlap",
+    "neardup_containment_pairs",
+    # events floor restorations
+    "events_json_stats",
+    "events_variant_extract",
 }
 
 # Explicitly pinned re-verification cohort (cleared once recorded):

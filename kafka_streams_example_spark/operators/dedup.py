@@ -78,6 +78,38 @@ def hashed_shingles(shingles: Column) -> Column:
     return F.transform(shingles, lambda s: stable_long(s))
 
 
+# SQL-text twins (r12): the Column/lambda forms cost tens of py4j
+# round-trips each to CONSTRUCT (32 array_min(transform(...)) lambdas for
+# one signature — measured 0.5-0.9 s of the minhash consumers' steady
+# build time); the parsed forms assemble the identical expression tree in
+# one F.expr call. Same md5/conv arithmetic, so signatures and the DuckDB
+# oracles are unchanged.
+_STABLE_LONG_SQL = "CAST(conv(substring(md5({s}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def hashed_shingles_sql(shingles: str) -> str:
+    inner = _STABLE_LONG_SQL.format(s="s")
+    return f"transform({shingles}, s -> {inner})"
+
+
+def minhash_signature_sql(
+    hashed: str, num_hashes: int = 32, seed: int = 42
+) -> str:
+    import random
+
+    rng = random.Random(seed)
+    params = [
+        (rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE))
+        for _ in range(num_hashes)
+    ]
+    reduced = f"transform({hashed}, h -> h % {_MERSENNE})"
+    mins = ", ".join(
+        f"array_min(transform({reduced}, h -> ({a} * h + {b}) % {_MERSENNE}))"
+        for a, b in params
+    )
+    return f"array({mins})"
+
+
 def minhash_signature(
     hashed: Column, num_hashes: int = 32, seed: int = 42
 ) -> Column:
@@ -160,9 +192,11 @@ def minhash_pairs(
         .drop("txt")
         .filter(F.size("shingles") > 0)
         # distinct hashed shingles: integer set ops downstream, md5 once
-        .withColumn("hsh", F.array_distinct(hashed_shingles(F.col("shingles"))))
+        .withColumn(
+            "hsh", F.expr(f"array_distinct({hashed_shingles_sql('shingles')})")
+        )
         .drop("shingles")
-        .withColumn("sig", minhash_signature(F.col("hsh"), num_hashes, seed))
+        .withColumn("sig", F.expr(minhash_signature_sql("hsh", num_hashes, seed)))
     )
     # consumed twice (banding join + verify); hashes/sigs are smaller
     # than the text they replace but still corpus-shingle-sized, so the

@@ -1054,8 +1054,10 @@ def minhash_jaccard_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.size("ng") > 0)
         .select(
             "doc_id",
-            dd.minhash_signature(
-                dd.hashed_shingles(F.col("ng")), _MH_NUM, _MH_SEED
+            F.expr(
+                dd.minhash_signature_sql(
+                    dd.hashed_shingles_sql("ng"), _MH_NUM, _MH_SEED
+                )
             ).alias("sg"),
         )
     )
@@ -2352,8 +2354,8 @@ def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     PATH (4 bytes/doc of signature instead of 128) whose accuracy this
     query measures before you commit to it."""
     from kafka_streams_example_spark.operators.dedup import (
-        hashed_shingles,
-        minhash_signature,
+        hashed_shingles_sql,
+        minhash_signature_sql,
     )
     from kafka_streams_example_spark.operators.text import word_ngrams
 
@@ -2361,7 +2363,7 @@ def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     hashed = (
         docs.select("doc_id", word_ngrams(F.col("text"), _BB_NGRAM).alias("ng"))
         .filter(F.size("ng") > 0)
-        .select("doc_id", hashed_shingles(F.col("ng")).alias("h60"))
+        .select("doc_id", F.expr(hashed_shingles_sql("ng")).alias("h60"))
     )
     from kafka_streams_example_spark.operators import checkpoint_reused
 
@@ -2374,7 +2376,9 @@ def bbit_minhash_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         hashed.select(
             "doc_id",
             "h60",
-            minhash_signature(F.col("h60"), _BB_HASHES, _BB_SEED).alias("sig"),
+            F.expr(
+                minhash_signature_sql("h60", _BB_HASHES, _BB_SEED)
+            ).alias("sig"),
         )
     )
     rows = _BB_HASHES // _BB_BANDS
